@@ -1,0 +1,148 @@
+"""Sources & sinks (SURVEY §2.1, §2.6).
+
+Batch-source analogs of the reference's bounded sources:
+  * ``from_elements``  ≙ ``env.fromElements``   (DataStreams.scala:15)
+  * ``from_sequence``  ≙ ``env.fromSequence``   (DataStreams.scala:40)
+  * ``from_collection``≙ ``env.fromCollection`` (WindowFunctions.scala:40)
+  * ``load_table``     ≙ parquet scan of the driver fixtures (TESTDATA.md)
+
+Sinks ≙ print/StreamingFileSink (DataStreams.scala:18,57-62): ``show`` is the
+console sink; ``write_files`` the file sink. The reference's parallelism-1
+sink (``setParallelism(1)``, DataStreams.scala:62) maps to ``coalesce(1)`` —
+exposed but NOT default, since single-file writes don't scale.
+
+Kafka / JDBC connector parity (declared in reference build.sbt:20-25 but
+unused in code): thin wrappers below delegate to Spark's built-in formats.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet TIMESTAMP(NANOS) columns (events.ts is timestamp[ns]) are illegal
+# in Spark 4 by default; we read them as raw nanos (legacy conf, settable at
+# runtime so it also works on a driver-created session) and convert to
+# microsecond TimestampType here.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+# --- bounded sources -------------------------------------------------------
+
+def from_elements(spark: SparkSession, elements: Iterable, schema) -> DataFrame:
+    """``env.fromElements(1,2,3,4)`` analog (reference DataStreams.scala:15)."""
+    return spark.createDataFrame(list(elements), schema)
+
+
+def from_sequence(spark: SparkSession, start: int, end_inclusive: int) -> DataFrame:
+    """``env.fromSequence(1, 100)`` analog (reference DataStreams.scala:40).
+
+    Flink's fromSequence is inclusive of both bounds; ``spark.range`` end is
+    exclusive, hence the +1. Column aliased ``n`` for oracle parity.
+    """
+    return spark.range(start, end_inclusive + 1).select(F.col("id").alias("n"))
+
+
+def from_collection(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """``env.fromCollection(events)`` analog (reference WindowFunctions.scala:40-41)."""
+    return spark.createDataFrame(rows, schema)
+
+
+# --- fixture tables --------------------------------------------------------
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Parquet scan of one driver fixture table.
+
+    Scale note: a plain ``spark.read.parquet`` keeps predicate pushdown,
+    column pruning and partition pruning available to Catalyst — callers
+    should select/filter on the returned DataFrame and let the optimizer
+    reach the scan (verified in tests via ``explain`` PushedFilters).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div: double division would lose ns precision (>2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, names: Iterable[str], sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def register_temp_views(spark: SparkSession, names: Iterable[str], sf_dir: str | None = None) -> None:
+    """Expose fixture tables to ``spark.sql`` under their bare names."""
+    for n in names:
+        load_table(spark, n, sf_dir).createOrReplaceTempView(n)
+
+
+# --- sinks -----------------------------------------------------------------
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    single_file: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """File sink ≙ StreamingFileSink.forRowFormat (DataStreams.scala:57-62).
+
+    ``single_file=True`` reproduces the reference's ``setParallelism(1)``
+    sink; at scale leave it False and let each task write its own file.
+    ``partition_by`` adds hive-style partitioning — the scale path for a
+    100 TB sink (partition pruning on read).
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str, streaming: bool = True) -> DataFrame:
+    """Kafka source parity (reference build.sbt:21 flink-connector-kafka)."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    return (
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+
+
+def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """Kafka sink parity. Expects a ``value`` column (binary or string)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, num_partitions: int = 8, partition_column: str | None = None, lower_bound=None, upper_bound=None, **options) -> DataFrame:
+    """JDBC source parity (reference build.sbt:23-25 flink-connector-jdbc +
+    postgres). Partitioned reads (partition_column + bounds) are the scale
+    path — a single-connection JDBC scan does not survive 100×."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()

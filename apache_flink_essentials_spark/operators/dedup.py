@@ -1,0 +1,214 @@
+"""Deduplication for LLM-data pipelines (SURVEY §2.10): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these operators at 100 TB):
+  * exact dedup: one hash-aggregate shuffle on the fingerprint — never a
+    self-join on raw text.
+  * near-dedup: NEVER all-pairs. MinHash signatures are computed per-row
+    (narrow, codegen'd higher-order functions — no Python), candidate pairs
+    come from an LSH *band bucket equi-join* (shuffle on band hash, so cost
+    is Σ bucket², not n²), and exact Jaccard verification runs only on
+    candidates.
+  * All hashing is md5-based → engine-portable (identical in DuckDB), which
+    is what makes the near-dup pipeline oracle-checkable end to end.
+
+MinHash/LSH background: Broder '97 resemblance sketches; banding analysis as
+in Mining of Massive Datasets ch.3. With b bands of r rows the candidate
+threshold is ≈ (1/b)^(1/r).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators.text import tokens_expr
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on normalized text: keep the min-id
+    representative, count members. One hash-agg shuffle on a 128-bit md5 key
+    (never shuffles the raw text payload at full width)."""
+    normalized = F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+    return (
+        df.select(normalized.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles_expr(text_col: str = "text", k: int = 3) -> Column:
+    """k-token shingles (distinct) from whitespace tokens, via higher-order
+    functions — 0-based array indexing, all JVM-side."""
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.when(
+        F.size(toks) >= k, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
+    """num_hashes independent min-hashes: h_i(S) = min over shingles of
+    md5(i ':' shingle). Lexicographic min over hex digests — portable across
+    engines, uniform enough for resemblance estimation."""
+
+    def hasher(seed: int):
+        # factory so the closure binds the seed; a 2-arg lambda would be
+        # interpreted by transform() as (element, index)
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    return [
+        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verification.
+
+    Stages (each narrow until the single band-bucket shuffle):
+      1. per-doc: shingles → num_hashes minhashes → bands hashes
+      2. explode bands, equi-join on (band_idx, band_hash) with id< id —
+         the ONLY pairwise step, confined to same-bucket docs
+      3. exact Jaccard on candidates (array_intersect/union on distinct
+         token sets), keep >= threshold
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
+        *minhash_signature(shingles_expr(text_col, shingle_k), num_hashes),
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.col("tok_set"), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.col("tok_set"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("tok_set").alias("tok_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("tok_set").alias("tok_b"),
+        "band_idx",
+        "band_hash",
+    )
+    candidates = (
+        left.join(right, on=["band_idx", "band_hash"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "tok_a", "tok_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard over BLOCKED pairs: a cheap blocking
+    key (default: same lang + same source) confines the quadratic step.
+    Complement to minhash_lsh_pairs when a natural blocking key exists."""
+    block_cols = block_cols or ["lang"]
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.array_distinct(tokens_expr(text_col)).alias("tok")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"), *[F.col(c) for c in block_cols]
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"), *[F.col(c) for c in block_cols]
+    )
+    pairs = a.join(b, on=block_cols, how="inner").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint (Charikar '02): sum ±1 per bit over token hashes,
+    sign → bit. Near-dups differ in few bits (Hamming distance).
+
+    Portable construction: bit j of token t = parity of hex digit j of
+    md5(t); contribution ±1; fingerprint bit = 1 if the sum > 0.
+    bits ≤ 32 (md5 hex digits). Returns (id, simhash BIGINT).
+    """
+    toks = F.array_distinct(tokens_expr(text_col))
+    hashed = F.transform(toks, lambda t: F.md5(t))
+
+    def bit_sum(j: int):
+        # factory-bound j: a default-arg lambda would change the lambda arity
+        # and be misread by aggregate() as a 3-arg (acc, elem, idx) function
+        return lambda acc, h: acc + F.when(
+            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("long") % 2 == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        contrib = F.aggregate(hashed, F.lit(0).cast("long"), bit_sum(j))
+        bit_cols.append(F.when(contrib > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: docs whose fingerprints agree on either
+    half band (standard multi-index trick: hamming ≤ k pairs must collide on
+    at least one of k+1 disjoint bands; here 2 bands ⇒ guarantees h ≤ 1,
+    catches most h ≤ 2). Verified by exact popcount filter."""
+    half = bits // 2
+    sh = simhash(df, id_col, text_col, bits)
+    sh = sh.withColumn("lo", F.col("simhash") % (2 ** half)).withColumn(
+        "hi", F.floor(F.col("simhash") / (2 ** half))
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo", "hi")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo", "hi")
+    cands = (
+        a.join(b.drop("hi"), on="lo").select("id_a", "id_b", "sh_a", "sh_b")
+        .unionByName(a.drop("lo").join(b.drop("lo"), on="hi").select("id_a", "id_b", "sh_a", "sh_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

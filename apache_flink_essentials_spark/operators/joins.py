@@ -1,0 +1,179 @@
+"""Multi-stream operators (SURVEY §2.3): union / window join / interval join
+/ connect.
+
+Reference sites: MultipleStreams.scala — union (:19-33), window join
+(:36-57), interval join (:61-103), connect+CoProcessFunction (:106-145).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def union_streams(*dfs: DataFrame) -> DataFrame:
+    """J1 ≙ ``stream.union(other)`` (MultipleStreams.scala:29).
+
+    ``unionByName`` so column order can't silently mis-align; purely
+    narrow — no shuffle, each input's partitions pass through.
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    size: str,
+    projection: Sequence[Column] | None = None,
+    epoch_bounds: bool = True,
+) -> DataFrame:
+    """J2 ≙ windowed equi-join (MultipleStreams.scala:36-57): pairs with equal
+    key whose timestamps fall in the same tumbling window.
+
+    Idiomatic Spark: assign the window column on BOTH sides, then equi-join
+    on (key, window). Because both join keys are equi-keys, Catalyst plans a
+    hash join (broadcast or shuffled, AQE's choice) — never a nested-loop
+    over the time condition. At scale both sides shuffle once on
+    (key, window); with a skewed key AQE's skew-join splits it.
+
+    The reference uses processing-time windows here; we take the event-time
+    columns (deterministic, oracle-checkable) — pass ingest-time columns for
+    the processing-time behavior.
+    """
+    lw = left.withColumn("window", F.window(F.col(left_ts), size))
+    rw = right.withColumn("window", F.window(F.col(right_ts), size))
+    # disambiguate all non-key columns
+    lsel = [F.col(key).alias(key), F.col("window").alias("window")] + [
+        F.col(c).alias(f"l_{c}") for c in left.columns if c != key
+    ]
+    rsel = [F.col(key).alias(key), F.col("window").alias("window")] + [
+        F.col(c).alias(f"r_{c}") for c in right.columns if c != key
+    ]
+    joined = lw.select(*lsel).join(rw.select(*rsel), on=[key, "window"], how="inner")
+    start = F.col("window.start").cast("long") if epoch_bounds else F.col("window.start")
+    out = joined.withColumn("window_start", start).drop("window")
+    if projection is not None:
+        out = out.select(*projection)
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    lower_exclusive: bool = True,
+    upper_exclusive: bool = True,
+) -> DataFrame:
+    """J3 ≙ keyed interval (band) join (MultipleStreams.scala:61-103):
+    pairs with equal key where lower < tL − tR < upper (bounds exclusive per
+    ``lowerBoundExclusive``/``upperBoundExclusive``, :88-89).
+
+    ``lower``/``upper`` are SQL interval strings, e.g. ``"2 seconds"`` with
+    sign conveyed by the reference semantics: between(-2s, 2s) ⇒
+    lower="-2 seconds", upper="2 seconds".
+
+    Physical plan: the equi-key dominates — Catalyst plans SMJ/shuffled-hash
+    on ``key`` with the band predicate as a post-join filter, so the
+    nested-loop is confined to same-key groups (exactly Flink's per-key
+    buffer probe). The streaming form is the same expression over two
+    watermarked streams (stream-stream join); see streaming/README in
+    streaming/__init__.py.
+    """
+    lo_op = ">" if lower_exclusive else ">="
+    hi_op = "<" if upper_exclusive else "<="
+    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    # Band condition lower < tL - tR < upper, expressed as timestamp
+    # comparisons (tL > tR + lower) so both sides stay interval-typed.
+    band_lo = F.expr(f"l_{left_ts} {lo_op} r_{right_ts} + interval '{lower}'")
+    band_hi = F.expr(f"l_{left_ts} {hi_op} r_{right_ts} + interval '{upper}'")
+    cond = (F.col(f"l_{key}") == F.col(f"r_{key}")) & band_lo & band_hi
+    return l.join(r, cond, "inner")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join (each left row matched to the LATEST right row at-or-before
+    its timestamp; optional tolerance). Not in the reference, but the natural
+    completion of its interval join for time-series enrichment.
+
+    Implementation: band-join candidates then keep rank-1 per left row —
+    equi-key shuffle + per-key sort, no global sort.
+    """
+    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]).withColumn(
+        "_l_id", F.monotonically_increasing_id()
+    )
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = (F.col(f"l_{key}") == F.col(f"r_{key}")) & (
+        F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}")
+    )
+    if tolerance:
+        cond = cond & F.expr(f"r_{right_ts} >= l_{left_ts} - interval '{tolerance}'")
+    joined = l.join(r, cond, "left")
+    w = Window.partitionBy("_l_id").orderBy(F.desc(f"r_{right_ts}"))
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_l_id")
+    )
+
+
+def connect_ratio(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_tag: str = "left",
+    right_tag: str = "right",
+    tiebreak: Sequence[str] = (),
+    ratio_alias: str = "ratio",
+) -> DataFrame:
+    """J4 ≙ connect + CoProcessFunction (MultipleStreams.scala:106-145): two
+    heterogeneous streams through one stateful operator keeping running
+    counts of each side and emitting their ratio per record.
+
+    Batch form: normalize both sides to (ts, side), union, then cumulative
+    counts over the event-time total order — the deterministic replay of the
+    reference's arrival-order state machine (the reference forces
+    parallelism 1, :115-116; a total order is the batch equivalent).
+
+    Scale note: a single global running ratio is inherently order-sequential
+    (exactly why the reference pins parallelism 1). The window here is
+    un-partitioned by necessity; for keyed variants partition the window by
+    key and it scales. Streaming true-arrival-order form:
+    streaming/stateful.py::connect_count_ratio_stream.
+    """
+    tb = [F.col(c) for c in tiebreak]
+    l = left.select(F.col(left_ts).alias("ts"), F.lit(left_tag).alias("side"), *tb)
+    r = right.select(F.col(right_ts).alias("ts"), F.lit(right_tag).alias("side"), *tb)
+    both = l.unionByName(r)
+    order = [F.col("ts")] + [F.col(c) for c in tiebreak] + [F.col("side")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted = both.withColumn(
+        "left_count", F.sum(F.when(F.col("side") == left_tag, 1).otherwise(0)).over(w)
+    ).withColumn(
+        "right_count", F.sum(F.when(F.col("side") == right_tag, 1).otherwise(0)).over(w)
+    )
+    return counted.withColumn(
+        ratio_alias,
+        F.when(F.col("right_count") > 0, F.col("left_count") / F.col("right_count")),
+    )

@@ -1,0 +1,120 @@
+"""Text analysis for LLM-data pipelines (SURVEY §2.10): tokenization,
+quality scoring, language-ID, document fingerprinting.
+
+Not in the reference (its scalar surface is inline lambdas, SURVEY §2.8) —
+these are the training-data operators the north-star requires, built purely
+from JVM-side Column expressions (split/transform/filter/aggregate higher-
+order functions), so they stay inside whole-stage codegen and scale linearly
+with no shuffle until the final aggregate. No Python UDFs anywhere.
+
+All functions are deterministic and have exact DuckDB-SQL twins (registered
+in __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories — enough for ratio features and a
+# stopword-overlap language heuristic (the real thing would be a fastText
+# model behind mapInPandas; heuristic keeps it dependency-free + oracle-able).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish marker tokens
+}
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization of lower-cased text → array<string>."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def bpe_ish_tokens_expr(text_col: str = "text") -> Column:
+    """BPE-ish sub-word proxy: split on whitespace AND intra-word boundaries
+    (letter/digit transitions), the regex half of a GPT-2-style pre-tokenizer.
+    Token *counting* with this is a cheap standalone estimator."""
+    cleaned = F.regexp_replace(
+        F.lower(F.col(text_col)), r"([a-z]+)(\d)", r"$1 $2"
+    )
+    cleaned = F.regexp_replace(cleaned, r"(\d)([a-z])", r"$1 $2")
+    return F.split(cleaned, r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") -> DataFrame:
+    return df.withColumn(alias, F.size(tokens_expr(text_col)))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, distinct tokens, char length, average
+    token length, stopword ratio — the standard quality-filter features."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(total_len / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_distinct / n_tokens, 6).alias("ttr"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + stopword presence (C4/Gopher-style rule features, made
+    deterministic & closed-form)."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    length_component = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    diversity = n_distinct / n_tokens
+    stop_presence = F.least(F.lit(1.0), stop_hits / F.lit(5.0))
+    score = 0.4 * length_component + 0.4 * diversity + 0.2 * stop_presence
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-overlap language-ID heuristic: score each language by
+    marker-token hits (set semantics), pick the argmax; deterministic
+    alphabetical tiebreak; 'und' (undetermined) when no marker hits."""
+    toks = F.array_distinct(tokens_expr(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    # argmax by (score desc, lang asc): max score, first lang holding it
+    max_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    detected = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        detected = F.when(F.col(f"score_{lang}") == max_score, F.lit(lang)).otherwise(detected)
+    detected = F.when(max_score > 0, detected).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), detected.alias("detected_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized (lower, single-space)
+    token stream — the exact-dedup key that ignores whitespace variance.
+    md5 is engine-portable (identical hex in Spark & DuckDB)."""
+    normalized = F.concat_ws(" ", tokens_expr(text_col))
+    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,139 @@
+"""Row-level transforms (SURVEY §2.2): map / flatMap / filter / keyBy / reduce.
+
+The reference expresses these as opaque Scala lambdas / function classes on
+``DataStream`` (Transformations.scala:15-56, DataStreams.scala:36-66). Our
+engine's design rule (SURVEY §4): every transform is a *Column expression*,
+never an opaque Python lambda — that is what makes predicate pushdown,
+projection collapse, constant folding, and whole-stage codegen apply. The
+map→filter→map chain the reference relies on Flink operator-chaining to fuse
+(DataStreams.scala:44-51) fuses here into ONE codegen stage with zero
+shuffles — verified in tests via explain().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- map (T1/T2: Transformations.scala:18,21-24) ---------------------------
+
+def map_columns(df: DataFrame, **exprs: Column) -> DataFrame:
+    """1→1 transform ≙ ``DataStream.map``. Each kwarg is an output column."""
+    return df.select(*[e.alias(name) for name, e in exprs.items()])
+
+
+def with_columns(df: DataFrame, **exprs: Column) -> DataFrame:
+    """map that keeps existing columns (the common enrich form)."""
+    return df.withColumns(dict(exprs))
+
+
+def fizzbuzz(df: DataFrame, n_col: str = "n") -> DataFrame:
+    """The reference's worked map example (DataStreams.scala:24-33,43-49).
+
+    Pattern-match map → CASE WHEN chain; stays fully inside codegen.
+    Output schema = FizzBuzzResult(n, output) (DataStreams.scala:34).
+    """
+    n = F.col(n_col)
+    output = (
+        F.when((n % 15) == 0, F.lit("fizzbuzz"))
+        .when((n % 3) == 0, F.lit("fizz"))
+        .when((n % 5) == 0, F.lit("buzz"))
+        .otherwise(F.lit(""))
+    )
+    return df.select(n.alias("n"), output.alias("output"))
+
+
+def fizzbuzz_pipeline(df: DataFrame, n_col: str = "n") -> DataFrame:
+    """Full reference pipeline map→filter→map (DataStreams.scala:43-51):
+    keep only the fizzbuzz numbers, project back to n."""
+    return (
+        fizzbuzz(df, n_col)
+        .filter(F.col("output") == "fizzbuzz")
+        .select(F.col("n"))
+    )
+
+
+# --- flatMap (T3/T4: Transformations.scala:27,30-37) -----------------------
+
+def flat_map_range(df: DataFrame, n_col: str = "n", out_col: str = "m") -> DataFrame:
+    """``flatMap(n => Range(1, n))`` ≙ explode(sequence(1, n-1)).
+
+    1→N expansion without leaving the JVM: ``sequence`` builds the array,
+    ``explode`` is a codegen'd generator — no Python, no shuffle.
+
+    Guard: Spark's ``sequence(a, b)`` with b < a generates a DESCENDING
+    sequence (not empty, unlike Scala's Range) — so n ≤ 1 must map to an
+    empty array explicitly to match ``Range.Long(1, n, 1)`` semantics.
+    """
+    n = F.col(n_col)
+    seq = F.when(n > 1, F.sequence(F.lit(1).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.select(n.alias(n_col), F.explode(seq).alias(out_col))
+
+
+def flat_map_array(df: DataFrame, array_expr: Column, out_col: str, keep: Sequence[str] = ()) -> DataFrame:
+    """General flatMap: any array-producing Column expression, exploded.
+
+    Covers the explicit-FlatMapFunction form (Transformations.scala:30-37):
+    imperative emit-loops become array constructors. For logic no Column
+    expression can build, callers fall back to a pandas-UDF returning an
+    array, then this same explode — the Arrow-batched escape hatch.
+    """
+    return df.select(*[F.col(c) for c in keep], F.explode(array_expr).alias(out_col))
+
+
+# --- filter (T5: DataStreams.scala:50, WindowFunctions.scala:218) ----------
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    """Predicate filter. Column-expression predicates reach the parquet scan
+    as PushedFilters (verified in tests); `isInstanceOf[PlayerRegistered]`
+    style type tests become discriminator-column equality (SURVEY §1.4)."""
+    return df.filter(predicate)
+
+
+def filter_event_type(df: DataFrame, event_type: str, col: str = "event_type") -> DataFrame:
+    """``filter(_.isInstanceOf[X])`` analog over the flattened ADT."""
+    return df.filter(F.col(col) == event_type)
+
+
+# --- keyBy + reduce (T7-T9: Transformations.scala:48-56) -------------------
+
+def key_by_reduce(df: DataFrame, key: Column | str, value: Column, agg_alias: str = "reduced", key_alias: str = "key") -> DataFrame:
+    """``keyBy(k).reduce(f)`` final-answer form.
+
+    Flink's streaming reduce emits a running value per input record; the
+    batch-complete answer is the per-key fold, i.e. groupBy().agg(). The
+    running-emission streaming form lives in streaming/stateful.py.
+
+    ``keyBy`` by a computed expression (parity keyBy, Transformations.scala:48)
+    works directly: pass ``(col("n") % 2 == 0)``. Physically this is one hash
+    Exchange on the key — Catalyst plans partial aggregation BEFORE the
+    shuffle (map-side combine), so at 100 TB the shuffle carries one row per
+    key per map task, not the raw stream.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return df.groupBy(k.alias(key_alias)).agg(value.alias(agg_alias))
+
+
+def running_reduce(df: DataFrame, key: Column | str, value: Column, order_by: Sequence[Column | str], agg_alias: str = "running") -> DataFrame:
+    """Per-key *running* reduce — the batch analog of Flink's per-record
+    emission (Transformations.scala:51 emits cumulative sums as records
+    arrive). Expressed as a cumulative window aggregate over event order.
+
+    Scale note: the window partitions by key, so state is bounded per key and
+    distributed; no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    k = F.col(key) if isinstance(key, str) else key
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = (
+        Window.partitionBy(k)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(agg_alias, value.over(w))

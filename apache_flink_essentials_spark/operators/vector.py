@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (SURVEY §2.10).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane) ANN as the scale path. Embeddings are ``array<float>`` columns;
+all arithmetic is cast to double and computed with JVM higher-order
+functions (``zip_with`` + ``aggregate``) — no Python in the hot path.
+
+Scale design: brute-force is O(|Q|·N·d) with Q broadcast — right when the
+query set is small. For all-pairs / big-Q, the hyperplane-LSH variant
+bucket-joins on sign-pattern prefixes so comparisons are confined to
+same-bucket vectors (Σ bucket² ≪ n²); recall is tunable via number of
+tables/planes. A cluster-scale IVF (k-means coarse quantizer) follows the
+same join shape and slots in here later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def knn_cosine_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast(queries) × embeddings → per-pair cosine →
+    per-query top-k via window rank. The broadcast eliminates any shuffle of
+    the big side; ranking is computed per query partition.
+
+    Cosine is rounded BEFORE ranking (ties broken by neighbor id) so results
+    are reproducible across engines and summation orders.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    pairs = e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    derived from md5-free integer mixing (splitmix64-style), identical on
+    every engine/run. Avoids RNG state entirely."""
+    comps = []
+    for j in range(dim):
+        z = (plane_idx * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        comps.append((z % 2_000_001) / 1_000_000.0 - 1.0)  # [-1, 1]
+    return comps
+
+
+def ann_lsh_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (Charikar '02 sign
+    sketches): bucket = sign bits against ``num_planes`` fixed hyperplanes;
+    candidates share the bucket; exact cosine re-ranks candidates.
+
+    This is the 100 TB path: the expensive comparison is an equi-join on
+    ``bucket`` (hash shuffle, bucket-local work), not a cross join. Recall
+    < 1.0 by construction — tune num_planes down / add multiple tables for
+    higher recall. Exactness is NOT claimed; no oracle (driver records
+    rows-only).
+    """
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(c) for c in plane])
+            d = dot_expr(vec, plane_col)
+            bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    cands = e.join(F.broadcast(q), on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs intent, LSH-bucketed
+    execution): same-bucket pairs with cosine ≥ threshold. Near-identical
+    vectors agree on every sign bit with overwhelming probability, so recall
+    at dedup thresholds (≥.99) is high while cost stays Σ bucket²."""
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(c) for c in plane])
+            d = dot_expr(vec, plane_col)
+            bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col)).alias("bucket")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

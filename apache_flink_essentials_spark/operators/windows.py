@@ -1,0 +1,175 @@
+"""Windowing (SURVEY §2.4) — the reference's core competency.
+
+Assigners (reference WindowFunctions.scala):
+  * tumbling  ≙ TumblingEventTimeWindows.of(3s)            (:54-55, :112)
+  * sliding   ≙ SlidingEventTimeWindows.of(3s, 1s)          (:147-158, :219)
+  * session   ≙ EventTimeSessionWindows.withGap(1s)         (:169-177)
+  * count     ≙ GlobalWindows + CountTrigger.of(10)         (:194-202)
+  * processing-time tumbling (TimeBasedTransformations.scala:42) — same
+    expression over an ingest-time column; see ``with_processing_time``.
+
+Window-function styles WF1-WF7 (:58-142, :187-226) all reduce to "aggregate
+the window contents with optional window metadata"; here the metadata is the
+``window_start``/``window_end`` columns every assigner exposes. The
+incremental AggregateFunction style (WF3, :87-103 — createAccumulator/add/
+merge) is *exactly* Spark's partial→final HashAggregate split, which Catalyst
+plans automatically for every agg below: at 100 TB the shuffle moves one
+partial accumulator per (key, window) per map task, never raw rows.
+
+All functions are batch/streaming-polymorphic: pass a streaming DataFrame
+(with ``withWatermark`` applied — see streaming/watermark.py) and the same
+expression runs incrementally under Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cols(keys: Sequence[Column | str]) -> list[Column]:
+    return [F.col(k) if isinstance(k, str) else k for k in keys]
+
+
+def _finish(df: DataFrame, aggs: Sequence[Column], keys: Sequence[Column | str], epoch_bounds: bool) -> DataFrame:
+    """Shared tail: group by (window [, keys]), aggregate, surface bounds.
+
+    ``epoch_bounds=True`` projects window bounds as epoch-second BIGINTs —
+    timezone-proof and byte-identical across engines (oracle parity).
+    """
+    grouped = df.groupBy(F.col("window"), *_cols(keys)).agg(*aggs)
+    if epoch_bounds:
+        bounds = [
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+        ]
+    else:
+        bounds = [
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+        ]
+    others = [c for c in grouped.columns if c != "window"]
+    return grouped.select(*bounds, *[F.col(c) for c in others])
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    aggs: Sequence[Column],
+    keys: Sequence[Column | str] = (),
+    epoch_bounds: bool = True,
+) -> DataFrame:
+    """Tumbling event-time window (W1).
+
+    Non-keyed ``windowAll`` (WindowFunctions.scala:54-55) = ``keys=()``:
+    unlike Flink's windowAll (single-subtask bottleneck, noted SURVEY §3.2),
+    Spark still computes partial aggregates on every partition before the
+    single-window-key exchange — the non-keyed form scales.
+    """
+    return _finish(df.withColumn("window", F.window(F.col(ts_col), size)), aggs, keys, epoch_bounds)
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    aggs: Sequence[Column],
+    keys: Sequence[Column | str] = (),
+    epoch_bounds: bool = True,
+) -> DataFrame:
+    """Sliding event-time window (W2, WindowFunctions.scala:147-158).
+
+    Spark's window() assigner replicates each row into size/slide windows
+    before the aggregation — same expansion Flink performs, but vectorized
+    and combined map-side."""
+    return _finish(df.withColumn("window", F.window(F.col(ts_col), size, slide)), aggs, keys, epoch_bounds)
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[Column | str] = (),
+    epoch_bounds: bool = True,
+) -> DataFrame:
+    """Gap-based session window (W3, WindowFunctions.scala:169-177), via the
+    native ``session_window`` (merging-window state under streaming).
+
+    Note: ``window_end`` follows Spark/Flink session semantics = last event
+    time + gap; ``window_start`` = first event time.
+    """
+    return _finish(df.withColumn("window", F.session_window(F.col(ts_col), gap)), aggs, keys, epoch_bounds)
+
+
+def count_window(
+    df: DataFrame,
+    size: int,
+    order_by: Sequence[Column | str],
+    aggs: Sequence[Column],
+    keys: Sequence[Column | str] = (),
+    bucket_alias: str = "window_id",
+) -> DataFrame:
+    """Count-based window (W4): GlobalWindows + CountTrigger.of(size)
+    (WindowFunctions.scala:194-202) — fire per `size` elements.
+
+    Spark has no count-window primitive; batch form assigns
+    ``window_id = floor(arrival_rank / size)`` via row_number over the
+    arrival order, then aggregates per bucket.
+
+    Scale note: a GLOBAL (non-keyed) count window needs a total order — an
+    inherently sequential construct (Flink runs it at parallelism 1 too).
+    Keyed count windows partition the rank by key and scale normally. When a
+    dense monotone id already exists (e.g. events.event_id), prefer
+    ``count_window_by_id`` which skips the sort entirely.
+    The streaming form (true per-arrival firing) is
+    streaming/stateful.py::count_window_stream.
+    """
+    order_cols = _cols(order_by)
+    key_cols = _cols(keys)
+    w = Window.orderBy(*order_cols) if not key_cols else Window.partitionBy(*key_cols).orderBy(*order_cols)
+    bucketed = df.withColumn(
+        bucket_alias,
+        F.floor((F.row_number().over(w) - 1) / size),
+    )
+    return bucketed.groupBy(*key_cols, F.col(bucket_alias)).agg(*aggs)
+
+
+def count_window_by_id(
+    df: DataFrame,
+    size: int,
+    id_col: str,
+    aggs: Sequence[Column],
+    keys: Sequence[Column | str] = (),
+    bucket_alias: str = "window_id",
+) -> DataFrame:
+    """Count window over a dense monotone id — the scale path: no global
+    sort, bucket id is a pure projection, aggregation shuffles once."""
+    bucketed = df.withColumn(bucket_alias, F.floor(F.col(id_col) / size))
+    return bucketed.groupBy(*_cols(keys), F.col(bucket_alias)).agg(*aggs)
+
+
+def top_k_windows(windowed: DataFrame, by: str, k: int = 1, tiebreak: Sequence[str] = ("window_start",)) -> DataFrame:
+    """WF7 (WindowFunctions.scala:211-226): 'which window had the most
+    registrations'. The reference collects to the driver and runs
+    ``maxBy`` locally (:222-223); we fold it into the plan: orderBy + limit
+    = TakeOrderedAndProject, a per-partition top-k + driver merge of k rows —
+    no full sort, no full collect, survives 100×.
+
+    Deterministic under ties via ``tiebreak`` columns.
+    """
+    order = [F.desc(by)] + [F.asc(c) for c in tiebreak]
+    return windowed.orderBy(*order).limit(k)
+
+
+def with_processing_time(df: DataFrame, col_name: str = "proc_time") -> DataFrame:
+    """Processing-time attribute (W5, TimeBasedTransformations.scala:42):
+    stamp arrival wall-clock. Results are non-deterministic across runs by
+    construction — the reference documents the same caveat
+    (TimeBasedTransformations.scala:38-40); excluded from oracle checks."""
+    return df.withColumn(col_name, F.current_timestamp())

@@ -1,0 +1,51 @@
+"""Plan-inspection utilities — the feedback loop for the scale requirement.
+
+The reference has no optimizer surface (SURVEY §4); ours is Catalyst, and
+these helpers make its decisions observable so tests can ASSERT on physical
+properties: filters pushed to the scan, columns pruned, joins broadcast,
+no stray shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (AQE final
+    plans may re-use; this counts planned exchanges — the upper bound)."""
+    return formatted_plan(df).count("Exchange")
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema column lists of every parquet scan — for asserting column
+    pruning (a 2-column projection must not read 11 columns)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            out.append(line)
+    return out
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")

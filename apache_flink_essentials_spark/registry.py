@@ -1,0 +1,800 @@
+"""Query registry — the driver contract's implementation.
+
+Each entry pairs a Spark DataFrame query (built from the operator library)
+with an ANSI-SQL oracle DuckDB runs on the same parquet tables. Names map to
+SURVEY §2 operator ids. Conventions for engine-portable results:
+
+  * timestamps surface as truncating epoch-second BIGINTs
+    (Spark ``cast(ts as long)`` ≡ DuckDB ``floor(epoch(ts))::BIGINT``)
+  * floating aggregates are ``round(x, dp)``-ed on BOTH sides; ranking
+    always happens on the rounded value with an id tiebreak
+  * every computed column is aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.io import from_sequence, load_table
+from apache_flink_essentials_spark.functions import json_int, revenue
+from apache_flink_essentials_spark.operators import dedup as D
+from apache_flink_essentials_spark.operators import joins as J
+from apache_flink_essentials_spark.operators import multimodal as M
+from apache_flink_essentials_spark.operators import text as X
+from apache_flink_essentials_spark.operators import transform as T
+from apache_flink_essentials_spark.operators import vector as V
+from apache_flink_essentials_spark.operators import windows as W
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+def _epoch(col: str):
+    return F.col(col).cast("long")
+
+
+# =========================================================================
+# §2.2 transforms (T1-T9)
+# =========================================================================
+
+_register(
+    "t1_map_double",
+    "SELECT range AS n, range * 2 AS doubled FROM range(1, 101)",
+)(lambda spark, sf: T.map_columns(
+    from_sequence(spark, 1, 100), n=F.col("n"), doubled=F.col("n") * 2
+))
+
+_register(
+    "t1_fizzbuzz",
+    """
+    SELECT range AS n,
+           CASE WHEN range % 15 = 0 THEN 'fizzbuzz'
+                WHEN range % 3 = 0 THEN 'fizz'
+                WHEN range % 5 = 0 THEN 'buzz'
+                ELSE '' END AS output
+    FROM range(1, 101)
+    """,
+)(lambda spark, sf: T.fizzbuzz(from_sequence(spark, 1, 100)))
+
+_register(
+    "t1_fizzbuzz_pipeline",
+    "SELECT range AS n FROM range(1, 101) WHERE range % 15 = 0",
+)(lambda spark, sf: T.fizzbuzz_pipeline(from_sequence(spark, 1, 100)))
+
+_register(
+    "t3_flatmap_range",
+    """
+    SELECT n, unnest(CASE WHEN n > 1 THEN range(1, n) ELSE [] END) AS m
+    FROM (SELECT range AS n FROM range(1, 11))
+    """,
+)(lambda spark, sf: T.flat_map_range(from_sequence(spark, 1, 10)))
+
+_register(
+    "t5_filter_signup",
+    """
+    SELECT event_id, floor(epoch(ts))::BIGINT AS ts_epoch, user_id, value
+    FROM events WHERE event_type = 'signup'
+    """,
+)(lambda spark, sf: T.filter_event_type(_events(spark, sf), "signup").select(
+    "event_id", _epoch("ts").alias("ts_epoch"), "user_id", "value"
+))
+
+_register(
+    "t7_keyby_parity_sum",
+    """
+    SELECT (range % 2 = 0) AS is_even, sum(range) AS total
+    FROM range(1, 101) GROUP BY 1
+    """,
+)(lambda spark, sf: T.key_by_reduce(
+    from_sequence(spark, 1, 100),
+    key=(F.col("n") % 2 == 0),
+    value=F.sum("n"),
+    key_alias="is_even",
+    agg_alias="total",
+))
+
+_register(
+    "t8_keyby_reduce_events",
+    """
+    SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)(lambda spark, sf: _events(spark, sf).groupBy("user_id").agg(
+    F.round(F.sum("value"), 4).alias("total_value"),
+    F.count("*").alias("n_events"),
+))
+
+_register(
+    "t6_running_reduce",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+    FROM events
+    """,
+)(lambda spark, sf: T.running_reduce(
+    _events(spark, sf),
+    key="user_id",
+    value=F.sum("value"),
+    order_by=["ts", "event_id"],
+    agg_alias="running_total",
+).select("event_id", "user_id", F.round("running_total", 4).alias("running_total")))
+
+
+# =========================================================================
+# §2.4 windows (W1-W4, WF1-WF7)
+# =========================================================================
+
+_TUMBLING_ORACLE = """
+    SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+           (floor(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS window_end,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+_register("w1_tumbling_hourly", _TUMBLING_ORACLE)(
+    lambda spark, sf: W.tumbling(
+        _events(spark, sf),
+        "ts",
+        "1 hour",
+        [
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+)
+
+_register(
+    "w1_tumbling_keyed",
+    """
+    SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+           (floor(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)(lambda spark, sf: W.tumbling(
+    _events(spark, sf),
+    "ts",
+    "1 hour",
+    [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ],
+    keys=["event_type"],
+))
+
+_register(
+    "w2_sliding_1h_30m",
+    """
+    SELECT ws::BIGINT AS window_start, (ws + 3600)::BIGINT AS window_end,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups
+    FROM (
+      SELECT unnest([floor(epoch(ts) / 1800) * 1800,
+                     floor(epoch(ts) / 1800) * 1800 - 1800]) AS ws,
+             event_type
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+)(lambda spark, sf: W.sliding(
+    _events(spark, sf),
+    "ts",
+    "1 hour",
+    "30 minutes",
+    [
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
+    ],
+))
+
+_register(
+    "w3_session_30m_user",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS window_start,
+           floor(epoch(max(ts) + INTERVAL '30 minutes'))::BIGINT AS window_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)(lambda spark, sf: W.session(
+    _events(spark, sf),
+    "ts",
+    "30 minutes",
+    [F.count("*").alias("n_events")],
+    keys=["user_id"],
+))
+
+_register(
+    "w4_count_window_10",
+    """
+    SELECT window_id, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT floor((row_number() OVER (ORDER BY event_id) - 1) / 10)::BIGINT AS window_id,
+             event_type, value
+      FROM events
+    ) GROUP BY 1
+    """,
+)(lambda spark, sf: W.count_window(
+    _events(spark, sf),
+    10,
+    order_by=["event_id"],
+    aggs=[
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ],
+))
+
+_register(
+    "wf7_top1_sliding_window",
+    """
+    SELECT ws::BIGINT AS window_start,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups
+    FROM (
+      SELECT unnest([floor(epoch(ts) / 1800) * 1800,
+                     floor(epoch(ts) / 1800) * 1800 - 1800]) AS ws,
+             event_type
+      FROM events
+    ) GROUP BY 1
+    ORDER BY signups DESC, window_start ASC LIMIT 1
+    """,
+)(lambda spark, sf: W.top_k_windows(
+    W.sliding(
+        _events(spark, sf),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [F.count(F.when(F.col("event_type") == "signup", True)).alias("signups")],
+    ).select("window_start", "signups"),
+    by="signups",
+    k=1,
+))
+
+
+# =========================================================================
+# §2.3 joins (J1-J4 + as-of)
+# =========================================================================
+
+_register(
+    "j1_union",
+    """
+    SELECT event_id, floor(epoch(ts))::BIGINT AS ts_epoch, user_id, event_type
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, floor(epoch(ts))::BIGINT, user_id, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+)(lambda spark, sf: J.union_streams(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+).select("event_id", _epoch("ts").alias("ts_epoch"), "user_id", "event_type"))
+
+_register(
+    "j2_window_join_1h",
+    """
+    SELECT c.user_id AS user_id,
+           (floor(epoch(c.ts) / 3600) * 3600)::BIGINT AS window_start,
+           c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND floor(epoch(c.ts) / 3600) = floor(epoch(p.ts) / 3600)
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)(lambda spark, sf: J.window_join(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+    key="user_id",
+    left_ts="ts",
+    right_ts="ts",
+    size="1 hour",
+    projection=[
+        F.col("user_id"),
+        F.col("window_start"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+    ],
+))
+
+_register(
+    "j3_interval_join_10m",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL '10 minutes'
+     AND c.ts < p.ts + INTERVAL '10 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)(lambda spark, sf: J.interval_join(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+    key="user_id",
+    left_ts="ts",
+    right_ts="ts",
+    lower="-10 minutes",
+    upper="10 minutes",
+).select(
+    F.col("l_user_id").alias("user_id"),
+    F.col("l_event_id").alias("click_id"),
+    F.col("r_event_id").alias("purchase_id"),
+))
+
+_register(
+    "j4_connect_ratio",
+    """
+    WITH u AS (
+      SELECT ts, event_id, 'left' AS side FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT ts, event_id, 'right' AS side FROM events WHERE event_type = 'purchase'
+    )
+    SELECT floor(epoch(ts))::BIGINT AS ts_epoch, event_id, side,
+           left_count, right_count,
+           CASE WHEN right_count > 0
+                THEN round(left_count::DOUBLE / right_count, 6) END AS ratio
+    FROM (
+      SELECT ts, event_id, side,
+             sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END) OVER w AS left_count,
+             sum(CASE WHEN side = 'right' THEN 1 ELSE 0 END) OVER w AS right_count
+      FROM u
+      WINDOW w AS (ORDER BY ts, event_id, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    """,
+)(lambda spark, sf: J.connect_ratio(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+    left_ts="ts",
+    right_ts="ts",
+    tiebreak=["event_id"],
+).select(
+    _epoch("ts").alias("ts_epoch"),
+    "event_id",
+    "side",
+    "left_count",
+    "right_count",
+    F.round("ratio", 6).alias("ratio"),
+))
+
+_register(
+    "j5_asof_join_1h",
+    """
+    SELECT user_id, click_id, purchase_id FROM (
+      SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rk
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL '1 hour'
+    ) WHERE rk = 1
+    """,
+)(lambda spark, sf: J.as_of_join(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+    key="user_id",
+    left_ts="ts",
+    right_ts="ts",
+    tolerance="1 hour",
+).select(
+    F.col("l_user_id").alias("user_id"),
+    F.col("l_event_id").alias("click_id"),
+    F.col("r_event_id").alias("purchase_id"),
+))
+
+
+# =========================================================================
+# Bench / TPC-H-style (Phase 6; fixture star schema)
+# =========================================================================
+
+_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)(lambda spark, sf: load_table(spark, "lineitem", sf)
+    .filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(revenue()), 2).alias("sum_disc_price"),
+        F.round(F.sum(revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    ))
+
+
+def _q3(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf).filter(
+        F.col("o_orderdate") < F.lit("1998-06-30 00:00:00").cast("timestamp")
+    )
+    lineitem = load_table(spark, "lineitem", sf).filter(
+        F.col("l_shipdate") > F.lit("1998-06-30 00:00:00").cast("timestamp")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("revenue"),
+            F.col("o_orderdate").cast("long").alias("o_orderdate_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)(_q3)
+
+
+def _q5(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, "region", sf).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf)
+    customer = load_table(spark, "customer", sf)
+    supplier = load_table(spark, "supplier", sf)
+    orders = load_table(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, "lineitem", sf)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+    )
+
+
+_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)(_q5)
+
+
+# =========================================================================
+# §2.8 scalar functions
+# =========================================================================
+
+_register(
+    "scalar_json_props",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+    """,
+)(lambda spark, sf: _events(spark, sf).select(
+    "event_id", json_int("props", "$.k").alias("k")
+))
+
+
+# =========================================================================
+# §2.10 north-star: dedup / text / vectors / multimodal
+# =========================================================================
+
+_register(
+    "dedup_exact",
+    r"""
+    SELECT md5(array_to_string(string_split_regex(lower(text), '\s+'), ' ')) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)(lambda spark, sf: D.exact_dedup(load_table(spark, "documents", sf)))
+
+_MINHASH_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS tok_set
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, tok_set,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM toks
+    ), mh AS (
+      SELECT doc_id, tok_set,
+             [list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min'),
+              list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min')] AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, tok_set,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([md5(mh[1] || '|' || mh[2]), md5(mh[3] || '|' || mh[4]),
+                     md5(mh[5] || '|' || mh[6]), md5(mh[7] || '|' || mh[8])]) AS band_hash
+      FROM mh
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+                 / len(list_distinct(ta.tok_set || tb.tok_set)), 6) AS jaccard
+    FROM pairs p
+    JOIN toks ta ON ta.doc_id = p.id_a
+    JOIN toks tb ON tb.doc_id = p.id_b
+    WHERE round(len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+                / len(list_distinct(ta.tok_set || tb.tok_set)), 6) >= 0.5
+"""
+
+_register("dedup_minhash_lsh", _MINHASH_ORACLE)(
+    lambda spark, sf: D.minhash_lsh_pairs(load_table(spark, "documents", sf))
+)
+
+_register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                / len(list_distinct(a.tok || b.tok)), 6) >= 0.5
+    """,
+)(lambda spark, sf: D.ngram_jaccard_pairs(
+    load_table(spark, "documents", sf), block_cols=["lang", "source"]
+))
+
+_STOPWORDS_SQL = "['" + "', '".join(X.STOPWORDS_EN) + "']"
+
+_register(
+    "text_stats",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           length(text) AS n_chars,
+           round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
+                 / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+    FROM t
+    """,
+)(lambda spark, sf: X.text_stats(load_table(spark, "documents", sf)))
+
+_register(
+    "text_quality",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                 + 0.2 * least(1.0, len(list_filter(toks,
+                       t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / 5.0),
+                 6) AS quality_score
+    FROM t
+    """,
+)(lambda spark, sf: X.quality_score(load_table(spark, "documents", sf)))
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(X.LANG_MARKERS.items()):
+        marker_sql = "['" + "', '".join(markers) + "']"
+        score_exprs.append(
+            f"len(list_intersect(toks, {marker_sql})) AS score_{lang}"
+        )
+    langs = sorted(X.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, {", ".join(score_exprs)} FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END AS detected_lang
+    FROM scored
+    """
+
+
+_register("text_lang_detect", _lang_oracle())(
+    lambda spark, sf: X.detect_language(load_table(spark, "documents", sf))
+)
+
+_register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(string_split_regex(lower(text), '\s+'), ' ')) AS fingerprint
+    FROM documents
+    """,
+)(lambda spark, sf: X.fingerprint(load_table(spark, "documents", sf)))
+
+_register(
+    "text_token_count",
+    r"""
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\s+')) AS n_tokens
+    FROM documents
+    """,
+)(lambda spark, sf: token_count_q(spark, sf))
+
+
+def token_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    return X.token_count(load_table(spark, "documents", sf)).select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+_register(
+    "vec_knn_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  round(
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')
+                    / (sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), 'sum'))
+                     * sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))),
+                  6) AS cosine
+           FROM q, e WHERE q.vec_id != e.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)(lambda spark, sf: V.knn_cosine_bruteforce(
+    load_table(spark, "embeddings", sf),
+    load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+))
+
+# LSH ANN + embedding dedup: approximate by design — registered WITHOUT an
+# oracle; driver records the weaker rows-only check (recall < 1 is intended).
+_register("vec_ann_lsh")(
+    lambda spark, sf: V.ann_lsh_cosine(
+        load_table(spark, "embeddings", sf),
+        load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+    )
+)
+
+_register("vec_embedding_dedup")(
+    lambda spark, sf: V.embedding_dedup_pairs(
+        load_table(spark, "embeddings", sf), threshold=0.9
+    )
+)
+
+_register("dedup_simhash")(
+    lambda spark, sf: D.simhash_dup_pairs(load_table(spark, "documents", sf))
+)
+
+_register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id, 'image' AS modality,
+           octet_length(text::BLOB) AS payload_bytes,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)(lambda spark, sf: M.media_metadata(
+    M.documents_as_media(load_table(spark, "documents", sf))
+))
+
+# Multimodal feature extraction runs the real mapInPandas plumbing with the
+# stubbed decoder — deterministic, so rows-only checkable.
+_register("multimodal_features")(
+    lambda spark, sf: M.extract_features(
+        M.documents_as_media(load_table(spark, "documents", sf))
+    ).select("media_id", "payload_bytes", "feature_dim")
+)
