@@ -23,8 +23,12 @@ def simple_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan (AQE final
-    plans may re-use; this counts planned exchanges — the upper bound)."""
-    return formatted_plan(df).count("Exchange")
+    plans may re-use; this counts planned exchanges — the upper bound).
+    Counts the '(n) Exchange' detail headers so tree + detail sections don't
+    double-count; broadcast exchanges are excluded (they're not shuffles)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
 
 
 def has_pushed_filters(df: DataFrame) -> bool:

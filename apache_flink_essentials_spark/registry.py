@@ -217,7 +217,7 @@ _register(
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL '30 minutes'
+                       > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -579,17 +579,22 @@ _MINHASH_ORACLE = r"""
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                   ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM toks
+    ), hashed AS (
+      SELECT doc_id, tok_set,
+             list_transform(shingles, s -> md5('0:' || s)) AS h0,
+             list_transform(shingles, s -> md5('1:' || s)) AS h1
+      FROM sh
     ), mh AS (
       SELECT doc_id, tok_set,
-             [list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min'),
-              list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min')] AS mh
-      FROM sh
+             [list_aggregate(list_transform(h0, h -> h[1:8]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[9:16]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[17:24]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[25:32]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[1:8]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[9:16]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[17:24]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[25:32]), 'min')] AS mh
+      FROM hashed
     ), banded AS (
       SELECT doc_id, tok_set,
              unnest([0, 1, 2, 3]) AS band_idx,

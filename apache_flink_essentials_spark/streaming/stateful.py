@@ -1,0 +1,193 @@
+"""Arbitrary stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2.4 W4/TR1/TR2, §2.3 J4 — the four constructs with no declarative
+Spark equivalent).
+
+Flink analogs:
+  * ``count_window_stream``   ≙ GlobalWindows + PurgingTrigger(CountTrigger(n))
+                                (Triggers.scala:31-40, WindowFunctions.scala:194-202)
+  * ``count_trigger_stream``  ≙ CountTrigger without purge — re-fires the
+                                growing window every n elements (Triggers.scala:19-28)
+  * ``connect_ratio_stream``  ≙ connect + CoProcessFunction running ratio
+                                (MultipleStreams.scala:106-145)
+
+State model: exactly Flink's keyed state — Spark partitions the stream by
+the grouping key and gives each key a GroupState cell, persisted in the
+state store across micro-batches. Scale: state is per-key and distributed;
+a constant key (the connect analog / global count windows) is the same
+parallelism-1 bottleneck the reference codifies with setParallelism(1)
+(MultipleStreams.scala:115-116).
+
+Ordering caveat (documented deviation): within a micro-batch, rows arrive in
+source order per partition; across keys Spark gives no total order — same as
+Flink's per-key (not global) ordering guarantee.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNT_WINDOW_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+_COUNT_WINDOW_STATE = T.StructType(
+    [
+        T.StructField("seen", T.LongType(), False),
+        T.StructField("windows_fired", T.LongType(), False),
+        T.StructField("partial_sum", T.DoubleType(), False),
+    ]
+)
+
+
+def count_window_stream(
+    df: DataFrame,
+    key_col: str,
+    size: int,
+    value_col: str | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Keyed count windows: fire (and purge) once per ``size`` elements.
+
+    Emits one row per completed window: (key, window_id, n_events=size,
+    sum_value of value_col within the window). Elements of an incomplete
+    window stay in state (never emitted) — Flink PurgingTrigger semantics.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seen, fired, partial = state.get
+        else:
+            seen, fired, partial = 0, 0, 0.0
+        out = []
+        for pdf in pdfs:
+            vals = (
+                pdf[value_col].astype(float).tolist()
+                if value_col is not None
+                else [0.0] * len(pdf)
+            )
+            for v in vals:
+                seen += 1
+                partial += v
+                if seen == size:
+                    out.append((str(key[0]), fired, size, round(partial, 6)))
+                    fired += 1
+                    seen, partial = 0, 0.0
+        state.update((seen, fired, partial))
+        yield pd.DataFrame(out, columns=["key", "window_id", "n_events", "sum_value"])
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=COUNT_WINDOW_OUTPUT,
+            stateStructType=_COUNT_WINDOW_STATE,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def count_trigger_stream(
+    df: DataFrame,
+    key_col: str,
+    every: int,
+    output_mode: str = "update",
+) -> DataFrame:
+    """CountTrigger WITHOUT purge (TR1): every ``every`` elements per key,
+    re-emit the still-growing total count — overlapping, growing aggregates
+    (the reference's 'window fires repeatedly as it grows')."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for _ in range(len(pdf)):
+                total += 1
+                if total % every == 0:
+                    out.append((str(key[0]), total))
+        state.update((total,))
+        yield pd.DataFrame(out, columns=["key", "running_count"])
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=T.StructType(
+                [
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField("running_count", T.LongType(), False),
+                ]
+            ),
+            stateStructType=T.StructType(
+                [T.StructField("total", T.LongType(), False)]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def connect_ratio_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    output_mode: str = "update",
+) -> DataFrame:
+    """connect + CoProcessFunction (J4): both streams through ONE stateful
+    operator keeping running per-side counts, emitting the ratio per input
+    row. Normalization: common (ts, side) schema + constant key — the
+    explicit parallelism-1 analog of MultipleStreams.scala:115-116."""
+    l = left.select(F.col(left_ts).alias("ts"), F.lit("left").alias("side"))
+    r = right.select(F.col(right_ts).alias("ts"), F.lit("right").alias("side"))
+    both = l.unionByName(r).withColumn("k", F.lit(1))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lc, rc = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            for side in pdf["side"]:
+                if side == "left":
+                    lc += 1
+                else:
+                    rc += 1
+                out.append((lc, rc, (lc / rc) if rc else None))
+        state.update((lc, rc))
+        yield pd.DataFrame(out, columns=["left_count", "right_count", "ratio"])
+
+    return both.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=T.StructType(
+            [
+                T.StructField("left_count", T.LongType(), False),
+                T.StructField("right_count", T.LongType(), False),
+                T.StructField("ratio", T.DoubleType(), True),
+            ]
+        ),
+        stateStructType=T.StructType(
+            [
+                T.StructField("left_count", T.LongType(), False),
+                T.StructField("right_count", T.LongType(), False),
+            ]
+        ),
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

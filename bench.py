@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: per-query wall time of plan + execute + count-style consume
+(collect capped results for top-k queries). One warm-up of the JVM/session
+via a trivial action so session startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_flink_essentials_spark import get_spark  # noqa: E402
+from apache_flink_essentials_spark import registry  # noqa: E402
+
+HEADLINE = [
+    # TPC-H-style core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # windowing core competency
+    "w1_tumbling_hourly",
+    "w2_sliding_1h_30m",
+    "w3_session_30m_user",
+    "wf7_top1_sliding_window",
+    # multi-stream
+    "j2_window_join_1h",
+    "j3_interval_join_10m",
+    "j5_asof_join_1h",
+    # north-star LLM-pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "vec_knn_bruteforce",
+    "vec_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # JVM warm-up; session startup not billed to q1
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

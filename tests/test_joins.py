@@ -1,0 +1,111 @@
+"""§2.3 joins: interval-join bound semantics, window join co-bucketing,
+as-of selection, connect running ratio — against the deterministic shopping
+generators (the reference's own input model, Shopping.scala)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import joins as J
+from apache_flink_essentials_spark.plans import uses_broadcast_join
+from apache_flink_essentials_spark.sources import (
+    catalog_events_batch,
+    shopping_cart_events_batch,
+)
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _ts(spark, rows, schema="user_id string, ts timestamp"):
+    return spark.createDataFrame(rows, schema)
+
+
+def sec(s):
+    return BASE + datetime.timedelta(seconds=s)
+
+
+def test_union_preserves_all_rows(spark):
+    carts = shopping_cart_events_batch(spark, 20, source_id="kafka")
+    files = shopping_cart_events_batch(spark, 10, source_id="files")
+    u = J.union_streams(carts, files)
+    assert u.count() == 30
+    assert u.select("source_id").distinct().count() == 2
+
+
+def test_window_join_same_bucket_only(spark):
+    left = _ts(spark, [("u1", sec(1)), ("u1", sec(7))])
+    right = _ts(spark, [("u1", sec(3)), ("u1", sec(11))])
+    out = J.window_join(left, right, "user_id", "ts", "ts", "5 seconds")
+    # windows [0,5) and [5,10): (1,3) co-bucketed; 7 pairs with nothing
+    assert [(r.l_ts.second, r.r_ts.second) for r in out.collect()] == [(1, 3)]
+
+
+def test_interval_join_exclusive_bounds(spark):
+    # between(-2s, +2s) EXCLUSIVE: |tL - tR| = 2 must NOT match
+    left = _ts(spark, [("u1", sec(10))])
+    right = _ts(
+        spark, [("u1", sec(8)), ("u1", sec(12)), ("u1", sec(9)), ("u1", sec(11))]
+    )
+    out = J.interval_join(
+        left, right, "user_id", "ts", "ts", "-2 seconds", "2 seconds"
+    )
+    assert sorted(r.r_ts.second for r in out.collect()) == [9, 11]
+
+
+def test_interval_join_inclusive_bounds(spark):
+    left = _ts(spark, [("u1", sec(10))])
+    right = _ts(spark, [("u1", sec(8)), ("u1", sec(12))])
+    out = J.interval_join(
+        left,
+        right,
+        "user_id",
+        "ts",
+        "ts",
+        "-2 seconds",
+        "2 seconds",
+        lower_exclusive=False,
+        upper_exclusive=False,
+    )
+    assert sorted(r.r_ts.second for r in out.collect()) == [8, 12]
+
+
+def test_interval_join_is_keyed(spark):
+    left = _ts(spark, [("u1", sec(10))])
+    right = _ts(spark, [("u2", sec(10))])
+    out = J.interval_join(
+        left, right, "user_id", "ts", "ts", "-2 seconds", "2 seconds"
+    )
+    assert out.count() == 0
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = _ts(spark, [("u1", sec(10))])
+    right = _ts(spark, [("u1", sec(4)), ("u1", sec(9)), ("u1", sec(11))])
+    out = J.as_of_join(left, right, "user_id", "ts", "ts")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].r_ts.second == 9
+
+
+def test_asof_tolerance_yields_null(spark):
+    left = _ts(spark, [("u1", sec(100))])
+    right = _ts(spark, [("u1", sec(4))])
+    out = J.as_of_join(left, right, "user_id", "ts", "ts", tolerance="10 seconds")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].r_ts is None
+
+
+def test_connect_ratio_running_counts(spark):
+    carts = shopping_cart_events_batch(spark, 6)       # times 0..5s
+    catalog = catalog_events_batch(spark, 3)           # times 0..2s
+    out = J.connect_ratio(carts, catalog, "time", "time").orderBy("ts", "side")
+    last = out.collect()[-1]
+    assert (last.left_count, last.right_count) == (6, 3)
+    assert abs(last.ratio - 2.0) < 1e-9
+
+
+def test_windowed_equi_join_uses_hash_join_with_broadcastable_side(spark):
+    # small dimension side should broadcast (scale assertion)
+    left = shopping_cart_events_batch(spark, 1000)
+    right = F.broadcast(catalog_events_batch(spark, 10))
+    out = J.window_join(left, right, "user_id", "time", "time", "5 seconds")
+    assert uses_broadcast_join(out)

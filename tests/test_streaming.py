@@ -1,0 +1,169 @@
+"""Streaming layer: streaming ≡ batch equivalence (SURVEY §5 test 4), the
+stateful operators (W4/TR1/TR2/J4 streaming forms), watermark late-data
+drop, and generator determinism."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import windows as W
+from apache_flink_essentials_spark.sources import (
+    catalog_events_batch,
+    shopping_cart_events_batch,
+)
+from apache_flink_essentials_spark.streaming import stateful
+from apache_flink_essentials_spark.streaming.replay import (
+    replay_as_stream,
+    run_stream_to_df,
+)
+from apache_flink_essentials_spark.streaming.watermark import with_event_time
+
+
+def _max_epoch(events):
+    return events.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+
+
+def test_streaming_tumbling_equals_batch(spark, events):
+    aggs = lambda df: [  # noqa: E731
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
+    ]
+    batch = W.tumbling(events, "ts", "1 hour", aggs(events))
+    stream_in = with_event_time(
+        replay_as_stream(events, num_files=4, order_by="ts", flush_sentinel_col="ts"),
+        "ts",
+        "10 minutes",
+    )
+    streamed = run_stream_to_df(
+        W.tumbling(stream_in, "ts", "1 hour", aggs(stream_in)), output_mode="append"
+    )
+    max_epoch = _max_epoch(events)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(
+        tuple(r) for r in streamed.collect() if r.window_start <= max_epoch
+    )
+    assert b == s
+
+
+def test_streaming_session_window_equals_batch(spark, events):
+    batch = W.session(
+        events, "ts", "30 minutes", [F.count("*").alias("n")], keys=["user_id"]
+    )
+    stream_in = with_event_time(
+        replay_as_stream(events, num_files=3, order_by="ts", flush_sentinel_col="ts"),
+        "ts",
+        "10 minutes",
+    )
+    streamed = run_stream_to_df(
+        W.session(stream_in, "ts", "30 minutes", [F.count("*").alias("n")], keys=["user_id"]),
+        output_mode="append",
+    )
+    max_epoch = _max_epoch(events)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(
+        tuple(r) for r in streamed.collect() if r.window_start <= max_epoch
+    )
+    assert b == s
+
+
+def test_count_window_stream_fires_per_size(spark):
+    carts = shopping_cart_events_batch(spark, 50)
+    stream = replay_as_stream(carts, num_files=2, order_by="time")
+    out = run_stream_to_df(
+        stateful.count_window_stream(stream, key_col="user_id", size=3, value_col="quantity"),
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert all(r.n_events == 3 for r in rows)
+    per_key_total = (
+        carts.groupBy("user_id").count().collect()
+    )
+    expected_fires = sum(c["count"] // 3 for c in per_key_total)
+    assert len(rows) == expected_fires
+
+
+def test_count_trigger_stream_emits_growing_counts(spark):
+    carts = shopping_cart_events_batch(spark, 40)
+    stream = replay_as_stream(carts, num_files=1)
+    out = run_stream_to_df(
+        stateful.count_trigger_stream(stream, key_col="user_id", every=2),
+        output_mode="update",
+    )
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.key, []).append(r.running_count)
+    for counts in by_key.values():
+        assert sorted(counts) == counts and all(c % 2 == 0 for c in counts)
+
+
+def test_connect_ratio_stream_final_counts(spark):
+    carts = shopping_cart_events_batch(spark, 12)
+    catalog = catalog_events_batch(spark, 6)
+    ls = replay_as_stream(carts, num_files=1)
+    rs = replay_as_stream(catalog, num_files=1)
+    out = run_stream_to_df(
+        stateful.connect_ratio_stream(ls, rs, "time", "time"), output_mode="update"
+    )
+    rows = out.collect()
+    assert len(rows) == 18
+    last = max(rows, key=lambda r: (r.left_count + r.right_count))
+    assert (last.left_count, last.right_count) == (12, 6)
+
+
+def test_watermark_drops_late_rows(spark):
+    # E6 drop semantics: a row arriving after the watermark evicted its
+    # window's state is discarded. Eviction happens at END of the batch where
+    # the watermark passes window end, so the late row needs one intervening
+    # batch (same as Flink: drop requires the window already fired+purged).
+    base = datetime.datetime(2024, 1, 1)
+    import glob
+    import os
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp(prefix="late_")
+    schema = "user_id int, ts timestamp"
+    files = [
+        [(1, base), (1, base + datetime.timedelta(seconds=10))],   # window W0
+        [(1, base + datetime.timedelta(hours=10))],                # wm → 10h
+        [(1, base + datetime.timedelta(hours=11))],                # evicts W0
+        [(1, base + datetime.timedelta(seconds=20))],              # too late
+    ]
+    for i, rows in enumerate(files, start=1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 1 else "append"
+        ).parquet(f"{d}/f={i}")
+    # pin mtimes so the file source replays f=1 → f=2 → f=3 → f=4 exactly
+    now = time.time()
+    for i in range(1, 5):
+        for f in glob.glob(f"{d}/f={i}/*.parquet"):
+            os.utime(f, (now + 30 * i, now + 30 * i))
+    stream = (
+        spark.readStream.schema(schema + ", f int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = W.tumbling(
+        with_event_time(stream, "ts", "1 second"),
+        "ts",
+        "1 minute",
+        [F.count("*").alias("n")],
+    )
+    res = run_stream_to_df(agg, output_mode="append")
+    got = {r.window_start: r.n for r in res.collect()}
+    base_epoch = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # first-minute window closed with ONLY the 2 on-time rows; late row dropped
+    assert got[base_epoch] == 2
+    # the 10h window was evicted too; 11h window never closed → absent
+    assert got.get(base_epoch + 36000) == 1 and len(got) == 2
+
+
+def test_generators_are_deterministic(spark):
+    a = shopping_cart_events_batch(spark, 30, with_removed=True).collect()
+    b = shopping_cart_events_batch(spark, 30, with_removed=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    users = {r.user_id for r in a}
+    assert users <= {"Bob", "Alice", "Sam", "Tom", "Diana"}
+    assert {r.event_type for r in a} == {"add", "removed"}
+    assert all(0 <= r.quantity < 10 for r in a)

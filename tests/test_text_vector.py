@@ -1,0 +1,130 @@
+"""North-star operators (§2.10): dedup finds planted duplicates, similarity
+search ranks correctly, text stats are exact on hand-computable inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import dedup as D
+from apache_flink_essentials_spark.operators import multimodal as M
+from apache_flink_essentials_spark.operators import text as X
+from apache_flink_essentials_spark.operators import vector as V
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank yesterday"
+    far = "completely different words about spark engines and distributed query planning"
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, base, "en", "src0", len(base)),          # exact dup of 0
+        (2, near, "en", "src0", len(near)),          # near dup of 0
+        (3, far, "en", "src0", len(far)),
+        (4, "short text", "en", "src1", 10),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = D.exact_dedup(docs)
+    groups = {r.keep_id: r.n_dups for r in out.collect()}
+    assert groups[0] == 2 and groups[2] == 1 and len(groups) == 4
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs          # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs   # near dup caught
+    assert not any(3 in p for p in pairs)       # unrelated doc excluded
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"]).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+
+
+def test_simhash_exact_dup_zero_hamming(spark, docs):
+    out = {(r.id_a, r.id_b): r.hamming for r in D.simhash_dup_pairs(docs).collect()}
+    assert out.get((0, 1)) == 0
+
+
+def test_text_stats_exact(spark, docs):
+    r = X.text_stats(docs).filter(F.col("doc_id") == 4).collect()[0]
+    assert (r.n_tokens, r.n_distinct_tokens, r.n_chars) == (2, 2, 10)
+    assert r.stopword_ratio == 0.0 and r.ttr == 1.0
+
+
+def test_lang_detect_heuristic(spark):
+    rows = [
+        (0, "the cat and the dog is here", "x", "s", 1),
+        (1, "el perro y la casa de que y", "x", "s", 1),
+        (2, "xyzzy qwerty plugh", "x", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r.detected_lang for r in X.detect_language(df).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "und"
+
+
+def test_knn_excludes_self_and_ranks(spark):
+    import random
+
+    random.seed(7)
+    dim = 64
+    base = [random.uniform(-1, 1) for _ in range(dim)]
+    near = [x + random.uniform(-0.01, 0.01) for x in base]
+    rows = [(0, base, 0), (1, near, 0)] + [
+        (i, [random.uniform(-1, 1) for _ in range(dim)], 1) for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = V.knn_cosine_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert all(r.neighbor_id != 0 for r in rows)
+    assert rows[0].neighbor_id == 1 and rows[0].cosine > 0.99
+    assert rows[0].cosine >= rows[1].cosine >= rows[2].cosine
+
+
+def test_embedding_dedup_finds_planted_duplicate(spark):
+    import random
+
+    random.seed(9)
+    dim = 64
+    base = [random.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, base, 0), (1, list(base), 0)] + [
+        (i, [random.uniform(-1, 1) for _ in range(dim)], 1) for i in range(2, 20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in V.embedding_dedup_pairs(emb, threshold=0.99).collect()}
+    assert pairs.get((0, 1)) == 1.0
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    feats = M.extract_features(M.documents_as_media(docs), dim=8).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].features == by_id[1].features          # same payload → same features
+    assert all(len(r.features) == 8 for r in feats)
+    assert abs(sum(by_id[0].features) - 1.0) < 0.01        # L1-normalized
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    media = M.documents_as_media(docs)
+    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
+        M.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", bytearray(b"xx"), ("video/mp4", None, None, 3500, None))]
+    from apache_flink_essentials_spark.schemas import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = M.frame_sample_plan(media, every_ms=1000)
+    assert [r.sample_ms for r in out.collect()] == [0, 1000, 2000, 3000]

@@ -1,0 +1,70 @@
+"""§2.2 transforms: closed-form checks from the reference's worked examples
+(DataStreams.scala fizzbuzz, Transformations.scala) + physical-plan
+assertions (the scale contract: no stray shuffles, filters pushed down)."""
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.io import from_sequence, load_table
+from apache_flink_essentials_spark.operators import transform as T
+from apache_flink_essentials_spark.plans import (
+    count_exchanges,
+    has_pushed_filters,
+    scan_read_schema,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_fizzbuzz_closed_form(spark):
+    # DataStreams.scala:24-33: multiples of 15 in 1..100
+    out = T.fizzbuzz_pipeline(from_sequence(spark, 1, 100))
+    assert sorted(r.n for r in out.collect()) == [15, 30, 45, 60, 75, 90]
+
+
+def test_fizzbuzz_no_shuffle(spark):
+    # map→filter→map chain must fuse into a single shuffle-free stage
+    out = T.fizzbuzz_pipeline(from_sequence(spark, 1, 100))
+    assert count_exchanges(out) == 0
+
+
+def test_flatmap_range_semantics(spark):
+    # flatMap(n => Range(1, n)): n=1 contributes nothing (descending-sequence guard)
+    out = T.flat_map_range(from_sequence(spark, 1, 4))
+    rows = sorted((r.n, r.m) for r in out.collect())
+    assert rows == [(2, 1), (3, 1), (3, 2), (4, 1), (4, 2), (4, 3)]
+
+
+def test_filter_pushdown_reaches_scan(spark, events):
+    out = T.filter_event_type(events, "signup").select("event_id")
+    assert has_pushed_filters(out)
+
+
+def test_column_pruning(spark):
+    # 2-column projection must not read all 11 lineitem columns
+    li = load_table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(li)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+
+
+def test_keyby_reduce_parity(spark):
+    out = T.key_by_reduce(
+        from_sequence(spark, 1, 100),
+        key=(F.col("n") % 2 == 0),
+        value=F.sum("n"),
+        key_alias="is_even",
+        agg_alias="total",
+    )
+    res = {r.is_even: r.total for r in out.collect()}
+    assert res == {True: 2550, False: 2500}
+
+
+def test_running_reduce_is_cumulative(spark, events):
+    out = T.running_reduce(
+        events, key="user_id", value=F.sum("value"), order_by=["ts", "event_id"]
+    )
+    one_user = (
+        out.filter(F.col("user_id") == 0).orderBy("ts", "event_id").collect()
+    )
+    acc = 0.0
+    for r in one_user:
+        acc += r.value
+        assert abs(r.running - acc) < 1e-6

@@ -1,0 +1,59 @@
+"""§2.4 window semantics edge cases."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import windows as W
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts timestamp")
+
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def sec(s, us=0):
+    return BASE + datetime.timedelta(seconds=s, microseconds=us)
+
+
+def test_tumbling_boundary_goes_to_next_window(spark):
+    # [start, end): an event exactly at a boundary belongs to the NEXT window
+    df = _df(spark, [(1, sec(0)), (1, sec(10)), (1, sec(19, 999999)), (1, sec(20))])
+    out = W.tumbling(df, "ts", "10 seconds", [F.count("*").alias("n")])
+    got = sorted((r.window_start % 100, r.n) for r in out.collect())
+    assert got == [(0, 1), (10, 2), (20, 1)]
+
+
+def test_session_exact_gap_merges(spark):
+    # Spark merges sessions when the gap is EXACTLY the threshold (touching
+    # intervals); the oracle SQL uses the same > rule — pin it here
+    df = _df(spark, [(1, sec(0)), (1, sec(10)), (2, sec(0)), (2, sec(10, 1))])
+    out = W.session(df, "ts", "10 seconds", [F.count("*").alias("n")], keys=["user_id"])
+    got = {r.user_id: [] for r in out.collect()}
+    for r in out.collect():
+        got[r.user_id].append(r.n)
+    assert sorted(got[1]) == [2]       # exactly 10s apart → merged
+    assert sorted(got[2]) == [1, 1]    # 10s + 1µs → separate sessions
+
+
+def test_sliding_replication_count(spark):
+    # size 10 / slide 5 ⇒ every event appears in exactly 2 windows
+    df = _df(spark, [(1, sec(3)), (1, sec(7)), (1, sec(12))])
+    out = W.sliding(df, "ts", "10 seconds", "5 seconds", [F.count("*").alias("n")])
+    assert sum(r.n for r in out.collect()) == 6
+
+
+def test_session_window_end_is_last_plus_gap(spark):
+    df = _df(spark, [(1, sec(0)), (1, sec(4))])
+    out = W.session(df, "ts", "10 seconds", [F.count("*").alias("n")])
+    r = out.collect()[0]
+    assert r.window_end - r.window_start == 14
+
+
+def test_count_window_by_id_matches_row_number_form(spark, events):
+    aggs = lambda: [F.count("*").alias("n")]  # noqa: E731
+    a = W.count_window(events, 10, order_by=["event_id"], aggs=aggs())
+    b = W.count_window_by_id(events, 10, id_col="event_id", aggs=aggs())
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
