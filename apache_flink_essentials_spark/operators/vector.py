@@ -74,6 +74,37 @@ def knn_cosine_bruteforce(
     )
 
 
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold within a blocking key (e.g. a cluster
+    id / label from an upstream coarse quantizer). This is the exact-within-
+    block half of an IVF index: the quadratic step is confined to one block,
+    cost Σ block² — the join shuffles once on the block key."""
+    a = embeddings.select(
+        F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            block_col,
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), round_dp).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j is
     derived from md5-free integer mixing (splitmix64-style), identical on

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from apache_flink_essentials_spark.io import from_sequence, load_table
 from apache_flink_essentials_spark.functions import json_int, revenue
+from apache_flink_essentials_spark.functions.udf import geo_mean_expr
+from apache_flink_essentials_spark.operators import window_functions as WF
 from apache_flink_essentials_spark.operators import dedup as D
 from apache_flink_essentials_spark.operators import joins as J
 from apache_flink_essentials_spark.operators import multimodal as M
@@ -763,6 +765,72 @@ _register(
 )(lambda spark, sf: V.knn_cosine_bruteforce(
     load_table(spark, "embeddings", sf),
     load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+))
+
+_COS = """round(
+      list_aggregate(list_transform(range(1, 65),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, 65),
+          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(range(1, 65),
+          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))),
+    6)"""
+
+_register(
+    "vec_cosine_pairs_blocked",
+    f"""
+    SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.3
+    """,
+)(lambda spark, sf: V.cosine_pairs_blocked(
+    load_table(spark, "embeddings", sf), block_col="label", threshold=0.3
+))
+
+_register(
+    "wf1_formatted_window",
+    """
+    SELECT window_start, window_end, cnt,
+           'Window [' || window_start::VARCHAR || ' - ' || window_end::VARCHAR
+               || '] ' || cnt::VARCHAR AS formatted
+    FROM (
+      SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+             (floor(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS window_end,
+             count(*) FILTER (WHERE event_type = 'signup') AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    """,
+)(lambda spark, sf: WF.count_by_window_all(
+    _events(spark, sf), "ts", "1 hour", F.col("event_type") == "signup"
+))
+
+_register(
+    "udaf_geomean",
+    """
+    SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)(lambda spark, sf: _events(spark, sf)
+    .filter(F.col("value") > 0)
+    .groupBy("event_type")
+    .agg(F.round(geo_mean_expr("value"), 6).alias("geo_mean")))
+
+_register(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(
+               regexp_replace(
+                   regexp_replace(lower(text), '([a-z]+)(\d)', '\1 \2', 'g'),
+                   '(\d)([a-z])', '\1 \2', 'g'),
+               '\s+')) AS n_bpe_tokens
+    FROM documents
+    """,
+)(lambda spark, sf: load_table(spark, "documents", sf).select(
+    "doc_id",
+    F.size(X.bpe_ish_tokens_expr("text")).alias("n_bpe_tokens"),
 ))
 
 # LSH ANN + embedding dedup: approximate by design — registered WITHOUT an
