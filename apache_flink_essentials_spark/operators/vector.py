@@ -54,17 +54,27 @@ def knn_cosine_bruteforce(
     Cosine is rounded BEFORE ranking (ties broken by neighbor id) so results
     are reproducible across engines and summation orders.
     """
+    # norms precomputed per ROW (not per pair): the pairwise stage then does
+    # ONE dot product per pair instead of three — same values bit-for-bit
+    # (identical fold), ~3× less compute at the quadratic stage
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("q_norm"),
     )
     e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(F.col(vec_col)).alias("n_norm"),
     )
     pairs = e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            round_dp,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -86,11 +96,25 @@ def cosine_pairs_blocked(
     id / label from an upstream coarse quantizer). This is the exact-within-
     block half of an IVF index: the quadratic step is confined to one block,
     cost Σ block² — the join shuffles once on the block key."""
-    a = embeddings.select(
-        F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    base = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(block_col),
+        F.col(id_col),
+        F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("norm"),  # per-row, before the join
     )
-    b = embeddings.select(
-        F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    a = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
     )
     return (
         a.join(b, on=block_col)
@@ -99,7 +123,10 @@ def cosine_pairs_blocked(
             block_col,
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), round_dp).alias("cosine"),
+            F.round(
+                dot_expr(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+                round_dp,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -90,6 +90,7 @@ def shopping_cart_events_stream(
     base_instant: str = DEFAULT_BASE_INSTANT,
     source_id: str | None = None,
     with_removed: bool = False,
+    micro_batch_rows: int | None = None,
 ) -> DataFrame:
     """Unbounded cart-event stream ≙ SourceFunction with sleep pacing
     (Shopping.scala:128-137): rate source keyed by ``value`` with the SAME
@@ -99,12 +100,23 @@ def shopping_cart_events_stream(
     Event time = base_instant + id seconds (deterministic), NOT the rate
     source's wall-clock timestamp — mirroring the reference, where event
     time is scripted while emission is paced (Shopping.scala:61,134).
+
+    ``micro_batch_rows``: use the ``rate-micro-batch`` source instead —
+    exactly N rows per micro-batch, reproducible batch boundaries (the
+    deterministic-replay twin of the wall-clock-paced form).
     """
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", str(events_per_second))
-        .load()
-    )
+    if micro_batch_rows is not None:
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(micro_batch_rows))
+            .load()
+        )
+    else:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(events_per_second))
+            .load()
+        )
     return rate.select(*_cart_columns(F.col("value"), base_instant, source_id, with_removed))
 
 

@@ -34,12 +34,15 @@ HEADLINE = [
     "j2_window_join_1h",
     "j3_interval_join_10m",
     "j5_asof_join_1h",
+    "j4_connect_ratio",
     # north-star LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_stats",
+    "text_lang_detect",
     "vec_knn_bruteforce",
     "vec_ann_lsh",
+    "vec_cosine_pairs_blocked",
 ]
 
 

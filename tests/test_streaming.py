@@ -167,3 +167,67 @@ def test_generators_are_deterministic(spark):
     assert users <= {"Bob", "Alice", "Sam", "Tom", "Diana"}
     assert {r.event_type for r in a} == {"add", "removed"}
     assert all(0 <= r.quantity < 10 for r in a)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    # J3 streaming form: the SAME interval_join expression over two
+    # watermarked streams (stream-stream join with time-band condition)
+    from apache_flink_essentials_spark.operators.joins import interval_join
+
+    carts = shopping_cart_events_batch(spark, 40)
+    catalog = catalog_events_batch(spark, 30)
+    batch = interval_join(
+        carts, catalog, "user_id", "time", "time", "-2 seconds", "2 seconds"
+    )
+    ls = with_event_time(
+        replay_as_stream(carts, 2, "time", flush_sentinel_col="time"), "time", "2 seconds"
+    )
+    rs = with_event_time(
+        replay_as_stream(catalog, 2, "time", flush_sentinel_col="time"), "time", "2 seconds"
+    )
+    streamed = run_stream_to_df(
+        interval_join(ls, rs, "user_id", "time", "time", "-2 seconds", "2 seconds"),
+        output_mode="append",
+    )
+    b = sorted((r.l_user_id, r.l_time, r.r_time) for r in batch.collect())
+    s = sorted(
+        (r.l_user_id, r.l_time, r.r_time)
+        for r in streamed.collect()
+        if r.l_time.year < 2025 and r.r_time.year < 2025  # exclude sentinels
+    )
+    assert b == s
+
+
+def test_rate_source_generator_matches_batch_derivation(spark):
+    # S4-S7: the streaming generator derives the SAME rows as the batch
+    # replay for the same ids (rate-micro-batch → deterministic batches)
+    import time as _time
+
+    from apache_flink_essentials_spark.sources import shopping_cart_events_stream
+
+    stream = shopping_cart_events_stream(
+        spark, with_removed=True, micro_batch_rows=25
+    )
+    name = "rate_gen_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline and spark.table(name).count() < 25:
+        _time.sleep(0.5)
+    q.stop()
+    got = {
+        (r.user_id, r.sku, r.quantity, r.event_type, r.time)
+        for r in spark.table(name).collect()
+    }
+    assert len(got) >= 25
+    batch = shopping_cart_events_batch(spark, len(got), with_removed=True)
+    expected = {
+        (r.user_id, r.sku, r.quantity, r.event_type, r.time)
+        for r in batch.limit(len(got)).collect()
+    }
+    assert expected <= got or got <= expected
