@@ -63,3 +63,21 @@ def char_ngrams_udtf():
         return text.map(lambda t: [t[i : i + 3] for i in range(max(len(t) - 2, 0))])
 
     return _ngrams
+
+
+def range_udtf():
+    """True Python UDTF (Spark 3.5+/4.x table function): the literal
+    FlatMapFunction port — an eval() with an imperative emit loop
+    (Transformations.scala:31-36 'for i <- 1 until n: out.collect(i)').
+    Use via ``df.lateralJoin(rng(col("n")))`` or SQL lateral. Prefer the
+    explode form (operators.transform.flat_map_range) — this exists for
+    §2.9 surface completeness."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="m: bigint")
+    class RangeEmitter:
+        def eval(self, n: int):
+            for i in range(1, n):
+                yield (i,)
+
+    return RangeEmitter

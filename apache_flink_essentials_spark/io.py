@@ -106,6 +106,30 @@ def write_files(
     writer.format(fmt).save(path)
 
 
+def write_stream_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger: dict | None = None,
+    partition_by: list[str] | None = None,
+):
+    """Streaming file sink ≙ StreamingFileSink.forRowFormat
+    (DataStreams.scala:57-62), with exactly-once via checkpointing (the
+    reference's sink is also its durable output). Returns the query handle.
+    """
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str, streaming: bool = True) -> DataFrame:
     """Kafka source parity (reference build.sbt:21 flink-connector-kafka)."""
     reader = (spark.readStream if streaming else spark.read).format("kafka")

@@ -848,7 +848,45 @@ _register("vec_embedding_dedup")(
     )
 )
 
-_register("dedup_simhash")(
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """Generate the DuckDB twin of operators.dedup.simhash_dup_pairs: same
+    md5-hex-digit-parity construction bit for bit."""
+    odd = "('1','3','5','7','9','b','d','f')"
+    contribs = ", ".join(
+        f"list_aggregate(list_transform(hashed, h -> CASE WHEN substr(h, {j + 1}, 1) "
+        f"IN {odd} THEN 1 ELSE -1 END), 'sum') AS c{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN c{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(bits))
+    half = 2 ** (bits // 2)
+    return rf"""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split_regex(lower(text), '\s+')),
+                            t -> md5(t)) AS hashed
+      FROM documents
+    ), contrib AS (
+      SELECT doc_id, {contribs} FROM hashed
+    ), fp AS (
+      SELECT doc_id, ({fp}) AS simhash FROM contrib
+    ), keyed AS (
+      SELECT doc_id, simhash, simhash % {half} AS lo,
+             floor(simhash / {half})::BIGINT AS hi
+      FROM fp
+    ), cands AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+_register("dedup_simhash", _simhash_oracle())(
     lambda spark, sf: D.simhash_dup_pairs(load_table(spark, "documents", sf))
 )
 

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): structural invariants that must hold
+for ANY input — the replay-stability metamorphic property the reference
+states (TimeBasedTransformations.scala:52) plus window-partition laws.
+
+max_examples kept small: each example runs real Spark jobs.
+"""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import joins as J
+from apache_flink_essentials_spark.operators import windows as W
+
+BASE = datetime.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=600),        # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    data = [
+        (u, BASE + datetime.timedelta(seconds=s), float(i))
+        for i, (u, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "user_id int, ts timestamp, v double")
+
+
+@given(rows=events_strategy, size=st.sampled_from([3, 7, 10, 60]))
+@settings(**SETTINGS)
+def test_tumbling_windows_partition_rows(spark, rows, size):
+    # tumbling windows are a partition of the input: counts sum to |rows|
+    # and every row's value is accounted for exactly once
+    df = _df(spark, rows)
+    out = W.tumbling(
+        df, "ts", f"{size} seconds", [F.count("*").alias("n"), F.sum("v").alias("sv")]
+    ).collect()
+    assert sum(r.n for r in out) == len(rows)
+    assert abs(sum(r.sv for r in out) - sum(float(i) for i in range(len(rows)))) < 1e-6
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_session_windows_cover_all_rows_without_overlap(spark, rows):
+    df = _df(spark, rows)
+    out = W.session(
+        df, "ts", "30 seconds", [F.count("*").alias("n")], keys=["user_id"]
+    ).collect()
+    assert sum(r.n for r in out) == len(rows)
+    # per user, sessions are disjoint and ordered: start >= previous end
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.window_start)):
+        prev = by_user.get(r.user_id)
+        assert prev is None or r.window_start >= prev
+        by_user[r.user_id] = r.window_end
+
+
+@given(rows=events_strategy, parts=st.sampled_from([1, 3, 13]))
+@settings(**SETTINGS)
+def test_replay_stability_under_repartition(spark, rows, parts):
+    # the reference's event-time invariant: arrival order / partitioning
+    # never changes event-time results
+    df = _df(spark, rows)
+    shuffled = df.repartition(parts)
+    a = W.tumbling(df, "ts", "7 seconds", [F.sum("v").alias("sv")])
+    b = W.tumbling(shuffled, "ts", "7 seconds", [F.sum("v").alias("sv")])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_interval_join_mirror_symmetry(spark, rows):
+    # l ⋈[-a,b] r ≡ r ⋈[-b,a] l with sides swapped (band condition mirrors)
+    df = _df(spark, rows)
+    left = df.filter(F.col("user_id") % 2 == 0)
+    right = df.filter(F.col("user_id") % 2 == 1)
+    ab = J.interval_join(left, right, "user_id", "ts", "ts", "-5 seconds", "9 seconds")
+    ba = J.interval_join(right, left, "user_id", "ts", "ts", "-9 seconds", "5 seconds")
+    a = sorted((r.l_v, r.r_v) for r in ab.collect())
+    b = sorted((r.r_v, r.l_v) for r in ba.collect())
+    assert a == b

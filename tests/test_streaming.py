@@ -231,3 +231,16 @@ def test_rate_source_generator_matches_batch_derivation(spark):
         for r in batch.limit(len(got)).collect()
     }
     assert expected <= got or got <= expected
+
+
+def test_streaming_file_sink(spark, events):
+    # K2: streaming file sink with checkpointing; rows written == rows read
+    import tempfile
+
+    from apache_flink_essentials_spark.io import write_stream_files
+
+    stream = replay_as_stream(events.select("event_id", "ts", "user_id"), num_files=2)
+    out, ckpt = tempfile.mkdtemp(prefix="sink_"), tempfile.mkdtemp(prefix="ckpt_")
+    q = write_stream_files(stream, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == events.count()

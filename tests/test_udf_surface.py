@@ -41,3 +41,15 @@ def test_window_function_formatted_output(spark, events):
         events, "ts", "1 hour", F.col("event_type") == "signup"
     ).collect()[0]
     assert r.formatted == f"Window [{r.window_start} - {r.window_end}] {r.cnt}"
+
+
+def test_python_udtf_range(spark):
+    from apache_flink_essentials_spark.functions.udf import range_udtf
+
+    Rng = range_udtf()
+    spark.udtf.register("range_emitter", Rng)
+    out = spark.sql(
+        "SELECT t.n, r.m FROM VALUES (3), (1) AS t(n), LATERAL range_emitter(t.n) r"
+    )
+    got = sorted((r.n, r.m) for r in out.collect())
+    assert got == [(3, 1), (3, 2)]  # n=1 emits nothing
