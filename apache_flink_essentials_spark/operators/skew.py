@@ -1,0 +1,66 @@
+"""Skew mitigation utilities.
+
+First line of defense is AQE (enabled in session.py): skewed shuffle/join
+partitions are split at runtime from map-output statistics. These helpers
+cover the cases AQE can't fix:
+
+  * ``salted_agg`` — a single hot GROUP BY key (AQE can split a partition,
+    but one key still lands in one reducer): two-phase aggregation through a
+    deterministic salt.
+  * ``replicate_join_skewed`` — hot join keys with a non-broadcastable but
+    bounded right side: salt the left, replicate the right per salt.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, tuple[str, Column]],
+    salt_from: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for hot keys: groupBy(keys + salt) computes
+    partials across n_salts reducers, then a cheap second agg merges per key.
+
+    ``partials``: out_name → (merge_op in {sum, min, max}, partial_expr).
+    counts are expressed as sum-merged count partials. ``salt_from`` must be
+    deterministic (hash of some non-key column) so results are replayable.
+    """
+    salt = F.pmod(F.xxhash64(salt_from), F.lit(n_salts)).alias("_salt")
+    first = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        *[expr.alias(f"_p_{name}") for name, (_op, expr) in partials.items()]
+    )
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    second = first.groupBy(*[F.col(k) for k in keys]).agg(
+        *[
+            merge_fns[op](f"_p_{name}").alias(name)
+            for name, (op, _expr) in partials.items()
+        ]
+    )
+    return second
+
+
+def replicate_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_from: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with a salted key: left rows scatter across n_salts
+    sub-partitions per key; right rows replicate n_salts× (explode) so every
+    (key, salt) pair finds its match. Correct for inner equi-joins; use when
+    the hot key's left side overwhelms one reducer and the right side is too
+    big to broadcast but small enough to replicate n× ."""
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")))
+    )
+    return l.join(r, on=[key, "_salt"], how="inner").drop("_salt")

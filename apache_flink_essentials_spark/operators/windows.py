@@ -90,6 +90,69 @@ def sliding(
     return _finish(df.withColumn("window", F.window(F.col(ts_col), size, slide)), aggs, keys, epoch_bounds)
 
 
+def sliding_paned(
+    df: DataFrame,
+    ts_col: str,
+    size_seconds: int,
+    slide_seconds: int,
+    measures: dict[str, tuple[str, Column | None]],
+    keys: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Two-level (pane-based) sliding window for ALGEBRAIC aggregates —
+    the scale path for large size/slide ratios.
+
+    ``sliding()`` replicates every ROW into size/slide windows before
+    aggregating; this variant aggregates rows once into slide-sized PANES,
+    then replicates only the panes (one row each) and merges. At 100 TB with
+    k = size/slide overlap the shuffled volume drops from k·rows to
+    rows + k·panes. Identical results for decomposable aggs (count/sum/
+    min/max — avg as sum/count); arbitrary aggs need ``sliding()``.
+
+    ``measures``: out_name → (op, column) with op ∈ {count, sum, min, max};
+    column may be a filtered expression (e.g. when(cond, 1)).
+    Output matches ``sliding()``'s shape: window_start/window_end epochs +
+    keys + measures.
+    """
+    assert size_seconds % slide_seconds == 0, "size must be a multiple of slide"
+    assert all(isinstance(k_, str) for k_ in keys), "paned variant takes key names"
+    k = size_seconds // slide_seconds
+    key_cols = _cols(keys)
+    pane = (F.floor(F.col(ts_col).cast("long") / slide_seconds) * slide_seconds).alias(
+        "pane_start"
+    )
+    pane_aggs, merges = [], []
+    for name, (op, col) in measures.items():
+        c = F.lit(1) if col is None else col
+        if op == "count":
+            pane_aggs.append(F.count(c).alias(f"_p_{name}"))
+            merges.append(F.sum(f"_p_{name}").alias(name))
+        elif op == "sum":
+            pane_aggs.append(F.sum(c).alias(f"_p_{name}"))
+            merges.append(F.sum(f"_p_{name}").alias(name))
+        elif op == "min":
+            pane_aggs.append(F.min(c).alias(f"_p_{name}"))
+            merges.append(F.min(f"_p_{name}").alias(name))
+        elif op == "max":
+            pane_aggs.append(F.max(c).alias(f"_p_{name}"))
+            merges.append(F.max(f"_p_{name}").alias(name))
+        else:
+            raise ValueError(f"non-decomposable op {op!r}; use sliding()")
+    panes = df.groupBy(pane, *key_cols).agg(*pane_aggs)
+    # each pane [p, p+slide) belongs to windows starting at p - i*slide
+    exploded = panes.select(
+        F.explode(
+            F.array(*[F.col("pane_start") - i * slide_seconds for i in range(k)])
+        ).alias("window_start"),
+        *[c for c in panes.columns if c != "pane_start"],
+    )
+    out = exploded.groupBy("window_start", *[F.col(k_) for k_ in keys]).agg(*merges)
+    return out.select(
+        F.col("window_start"),
+        (F.col("window_start") + size_seconds).alias("window_end"),
+        *[c for c in out.columns if c != "window_start"],
+    )
+
+
 def session(
     df: DataFrame,
     ts_col: str,

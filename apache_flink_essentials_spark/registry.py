@@ -213,6 +213,33 @@ _register(
     ],
 ))
 
+_SLIDING_ORACLE = """
+    SELECT ws::BIGINT AS window_start, (ws + 3600)::BIGINT AS window_end,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups
+    FROM (
+      SELECT unnest([floor(epoch(ts) / 1800) * 1800,
+                     floor(epoch(ts) / 1800) * 1800 - 1800]) AS ws,
+             event_type
+      FROM events
+    ) GROUP BY 1, 2
+"""
+
+# same semantics (and oracle) as w2_sliding_1h_30m, different physical plan:
+# pane-based two-level aggregation — the scale path for big size/slide ratios
+_register("w2_sliding_paned", _SLIDING_ORACLE)(
+    lambda spark, sf: W.sliding_paned(
+        _events(spark, sf),
+        "ts",
+        3600,
+        1800,
+        {
+            "n_events": ("count", None),
+            "signups": ("count", F.when(F.col("event_type") == "signup", True)),
+        },
+    )
+)
+
 _register(
     "w3_session_30m_user",
     """

@@ -57,6 +57,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():

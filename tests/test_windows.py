@@ -57,3 +57,43 @@ def test_count_window_by_id_matches_row_number_form(spark, events):
     a = W.count_window(events, 10, order_by=["event_id"], aggs=aggs())
     b = W.count_window_by_id(events, 10, id_col="event_id", aggs=aggs())
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sliding_paned_matches_sliding(spark, events):
+    from pyspark.sql import functions as F2
+
+    a = W.sliding(
+        events,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [
+            F2.count("*").alias("n_events"),
+            F2.sum("value").alias("sum_value"),
+            F2.min("value").alias("min_value"),
+            F2.max("value").alias("max_value"),
+        ],
+        keys=["event_type"],
+    )
+    b = W.sliding_paned(
+        events,
+        "ts",
+        3600,
+        1800,
+        {
+            "n_events": ("count", None),
+            "sum_value": ("sum", F2.col("value")),
+            "min_value": ("min", F2.col("value")),
+            "max_value": ("max", F2.col("value")),
+        },
+        keys=["event_type"],
+    )
+    ra = sorted(
+        (r.window_start, r.event_type, r.n_events, round(r.sum_value, 4), r.min_value, r.max_value)
+        for r in a.collect()
+    )
+    rb = sorted(
+        (r.window_start, r.event_type, r.n_events, round(r.sum_value, 4), r.min_value, r.max_value)
+        for r in b.collect()
+    )
+    assert ra == rb
