@@ -52,4 +52,16 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Whole-stage-codegen stages in the EXECUTED plan. Runs the query:
+    under AQE the final plan (where codegen stages materialize) only exists
+    after execution. Diagnostic helper — don't call in hot paths."""
+    import re
+
+    # collect() (not count()) — count() builds a NEW plan; we need THIS
+    # DataFrame's queryExecution to reach its AQE final plan
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    stages = set(re.findall(r"\*\((\d+)\)", plan))
+    return len(stages)

@@ -568,6 +568,113 @@ _register(
 )(_q5)
 
 
+_register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)(lambda spark, sf: load_table(spark, "lineitem", sf)
+    .filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")))
+
+
+def _q10(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf).filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, "orders", sf)
+    customer = load_table(spark, "customer", sf)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, orders, customer
+    WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)(_q10)
+
+
+def _funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("interval 7 days"))
+    )
+    joined = signups.join(purchases, cond, "left")
+    return joined.groupBy("signup_id", "user_id", "signup_ts").agg(
+        (F.min(F.col("p_ts").cast("long")) - F.col("signup_ts").cast("long")).alias(
+            "secs_to_first_purchase"
+        )
+    ).select("signup_id", "user_id", "secs_to_first_purchase")
+
+
+_register(
+    "funnel_signup_to_purchase",
+    """
+    SELECT s.event_id AS signup_id, s.user_id AS user_id,
+           min(floor(epoch(p.ts))::BIGINT) - floor(epoch(s.ts))::BIGINT
+               AS secs_to_first_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL '7 days'
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)(_funnel)
+
+_register(
+    "events_daily_rollup",
+    """
+    SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)(lambda spark, sf: _events(spark, sf)
+    .groupBy(
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400).alias("day_start"),
+        F.col("event_type"),
+    )
+    .agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ))
+
+
 # =========================================================================
 # §2.8 scalar functions
 # =========================================================================

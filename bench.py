@@ -25,6 +25,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # event analytics
+    "funnel_signup_to_purchase",
+    "events_daily_rollup",
     # windowing core competency
     "w1_tumbling_hourly",
     "w2_sliding_1h_30m",

@@ -53,3 +53,12 @@ def test_no_python_udf_in_oracle_queries(spark):
 def test_knn_broadcasts_queries(spark):
     df = E.queries()["vec_knn_bruteforce"](spark, SF_SMOKE)
     assert uses_broadcast_join(df)
+
+
+def test_q1_fully_codegen(spark):
+    # the whole q1 pipeline (scan→partial agg→final agg) must run inside
+    # whole-stage codegen spans — no interpreted operators in the hot path
+    from apache_flink_essentials_spark.plans import codegen_stage_count
+
+    df = E.queries()["q1_pricing_summary"](spark, SF_SMOKE)
+    assert codegen_stage_count(df) >= 2
