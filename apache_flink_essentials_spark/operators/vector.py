@@ -204,6 +204,143 @@ def ann_lsh_cosine(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-batch-free Lloyd's k-means over a DataFrame of
+    vectors — the IVF coarse quantizer.
+
+    Deterministic by construction: init = the k lowest-id vectors (no RNG);
+    each iteration assigns via broadcast centroids and recomputes per-
+    dimension means with a posexplode → groupBy(cluster, dim) aggregation
+    (fully distributed — never collects the data, only the k×d centroids).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+    ]
+    # single-file inputs otherwise serialize the assignment stage on one core
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).cache()
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        per_dim = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        )
+        rows = per_dim.collect()
+        new_centroids = {c: [0.0] * dim for c in range(len(centroids))}
+        seen = set()
+        for r in rows:
+            new_centroids[r.cluster_id][r.pos] = r.mean
+            seen.add(r.cluster_id)
+        # empty clusters keep their previous centroid
+        centroids = [
+            new_centroids[c] if c in seen else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, broadcast
+    centroid literals — a narrow map, no shuffle). Adds ``cluster_id``."""
+
+    def sq_dist(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[sq_dist(F.col(vec_col), c) for c in centroids])
+    # argmin with deterministic low-index tiebreak
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return embeddings.withColumn("cluster_id", best.cast("int"))
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest clusters per
+    query, exact cosine re-rank within them.
+
+    Scale shape: the index side is partitioned BY cluster (one equi-join on
+    cluster_id); each query touches nprobe/k of the data. Recall grows with
+    nprobe (nprobe = #centroids ⇒ exact brute force).
+    """
+
+    def sq_dist(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    indexed = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(F.col(vec_col)).alias("n_norm"),
+        "cluster_id",
+    )
+    dists = F.array(
+        *[
+            F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_expr(F.col(vec_col)).alias("q_norm"),
+            F.slice(F.array_sort(dists), 1, nprobe).alias("probes"),
+        )
+        .withColumn("probe", F.explode(F.col("probes.c")))
+        .drop("probes")
+    )
+    cands = indexed.join(
+        F.broadcast(probed), indexed.cluster_id == probed.probe
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            round_dp,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

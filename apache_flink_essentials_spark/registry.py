@@ -293,6 +293,50 @@ _register(
     ],
 ))
 
+# same count-window semantics via the no-sort dense-id path (scale variant)
+_register(
+    "w4_count_window_by_id",
+    """
+    SELECT floor(event_id / 10)::BIGINT AS window_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)(lambda spark, sf: W.count_window_by_id(
+    _events(spark, sf),
+    10,
+    id_col="event_id",
+    aggs=[
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ],
+))
+
+_register(
+    "w3_session_global",
+    """
+    WITH flagged AS (
+      SELECT ts,
+             CASE WHEN ts - lag(ts) OVER (ORDER BY ts, event_id)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT ts,
+             sum(new_session) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT floor(epoch(min(ts)))::BIGINT AS window_start,
+           floor(epoch(max(ts) + INTERVAL '10 minutes'))::BIGINT AS window_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY session_id
+    """,
+)(lambda spark, sf: W.session(
+    _events(spark, sf), "ts", "10 minutes", [F.count("*").alias("n_events")]
+))
+
 _register(
     "wf7_top1_sliding_window",
     """
@@ -969,6 +1013,16 @@ _register(
 
 # LSH ANN + embedding dedup: approximate by design — registered WITHOUT an
 # oracle; driver records the weaker rows-only check (recall < 1 is intended).
+def _ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    centroids = V.kmeans_fit(emb, k=8, iters=2)
+    return V.ivf_search(
+        emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=3
+    )
+
+
+_register("vec_ivf_search")(_ivf)
+
 _register("vec_ann_lsh")(
     lambda spark, sf: V.ann_lsh_cosine(
         load_table(spark, "embeddings", sf),

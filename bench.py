@@ -47,6 +47,7 @@ HEADLINE = [
     "text_lang_detect",
     "vec_knn_bruteforce",
     "vec_ann_lsh",
+    "vec_ivf_search",
     "vec_cosine_pairs_blocked",
 ]
 

@@ -128,3 +128,25 @@ def test_frame_sample_plan(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = M.frame_sample_plan(media, every_ms=1000)
     assert [r.sample_ms for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_search_recall_and_exactness_at_full_probe(spark):
+    import random
+
+    random.seed(11)
+    dim = 64
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") < 4)
+    cents = V.kmeans_fit(emb, k=4, iters=2)
+    exact = {(r.query_id, r.neighbor_id) for r in V.knn_cosine_bruteforce(emb, q, k=3).collect()}
+    # full probe (nprobe = k clusters) must equal brute force exactly
+    full = {(r.query_id, r.neighbor_id) for r in V.ivf_search(emb, q, cents, k=3, nprobe=4).collect()}
+    assert full == exact
+    # partial probe: valid top-k subset behavior (recall may be < 1)
+    part = V.ivf_search(emb, q, cents, k=3, nprobe=2)
+    by_q = {}
+    for r in part.collect():
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
