@@ -1014,8 +1014,11 @@ _register(
 # LSH ANN + embedding dedup: approximate by design — registered WITHOUT an
 # oracle; driver records the weaker rows-only check (recall < 1 is intended).
 def _ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # one Lloyd iteration: the registered query re-fits on every call, and a
+    # production deployment fits once and persists the centroids — keep the
+    # per-call fit cost representative of search, not training
     emb = load_table(spark, "embeddings", sf)
-    centroids = V.kmeans_fit(emb, k=8, iters=2)
+    centroids = V.kmeans_fit(emb, k=8, iters=1)
     return V.ivf_search(
         emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=3
     )
