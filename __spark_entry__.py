@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
         [
             F.count("*").alias("n_events"),
             F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         ],
     )
 

@@ -130,6 +130,19 @@ def write_stream_files(
     return writer.start()
 
 
+def write_stream_foreach_batch(df: DataFrame, batch_fn, checkpoint: str, trigger: dict | None = None):
+    """foreachBatch sink (SURVEY K5's upsert-style JDBC path): per micro-
+    batch, hand a BATCH DataFrame + batch id to ``batch_fn`` — the place for
+    idempotent upserts/merges that streaming sinks can't express natively.
+    batch_fn(batch_df, batch_id) runs on the driver with full batch APIs."""
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str, streaming: bool = True) -> DataFrame:
     """Kafka source parity (reference build.sbt:21 flink-connector-kafka)."""
     reader = (spark.readStream if streaming else spark.read).format("kafka")

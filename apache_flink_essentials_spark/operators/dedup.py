@@ -40,6 +40,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def exact_dedup_stream(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST occurrence of each normalized
+    text within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state GC'd once the watermark passes, so state stays bounded; the batch
+    form `exact_dedup` is the unbounded-horizon equivalent).
+
+    The fingerprint (md5 of normalized tokens) is the dedup key, so state
+    holds 16-byte keys, not documents — same scale argument as the batch op.
+    """
+    normalized = F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+    return (
+        df.withColumn("fingerprint", normalized)
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def shingles_expr(text_col: str = "text", k: int = 3) -> Column:
     """k-token shingles (distinct) from whitespace tokens, via higher-order
     functions — 0-based array indexing, all JVM-side."""
@@ -161,8 +183,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    # NO rounding: int/int division of identical operands is bit-identical
+    # across engines, while decimal-string rounding (Spark) vs binary-scaled
+    # rounding (DuckDB) DISAGREE on exact-boundary rationals like 1923/1920
     return (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -191,8 +216,9 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, on=block_cols, how="inner").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    # unrounded: see minhash_lsh_pairs — int/int division is engine-portable
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -52,7 +52,12 @@ def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") 
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats: token count, distinct tokens, char length, average
-    token length, stopword ratio — the standard quality-filter features."""
+    token length, stopword ratio — the standard quality-filter features.
+
+    Ratios are deliberately UNROUNDED: int/int division of identical
+    operands is bit-identical across engines; decimal rounding of rationals
+    is not (Spark rounds the shortest decimal repr, DuckDB the scaled
+    binary — they disagree on exact-boundary values)."""
     toks = tokens_expr(text_col)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -65,9 +70,9 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
-        F.round(total_len / n_tokens, 6).alias("avg_token_len"),
-        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_distinct / n_tokens, 6).alias("ttr"),
+        (total_len / n_tokens).alias("avg_token_len"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (n_distinct / n_tokens).alias("ttr"),
     )
 
 
@@ -82,11 +87,13 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     length_component = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
     diversity = n_distinct / n_tokens
     stop_presence = F.least(F.lit(1.0), stop_hits / F.lit(5.0))
+    # same left-to-right op order as the SQL oracle → bit-identical doubles;
+    # unrounded on purpose (see text_stats)
     score = 0.4 * length_component + 0.4 * diversity + 0.2 * stop_presence
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        F.round(score, 6).alias("quality_score"),
+        score.alias("quality_score"),
     )
 
 

@@ -6,8 +6,17 @@ SURVEY §2 operator ids. Conventions for engine-portable results:
 
   * timestamps surface as truncating epoch-second BIGINTs
     (Spark ``cast(ts as long)`` ≡ DuckDB ``floor(epoch(ts))::BIGINT``)
-  * floating aggregates are ``round(x, dp)``-ed on BOTH sides; ranking
-    always happens on the rounded value with an id tiebreak
+  * money/metric SUMS go through DECIMAL (exact, order-independent) and are
+    cast back to DOUBLE; AVGs are decimal-sum / count — never round() a
+    noisy double sum: summation-order ULPs around an exact-boundary value
+    flip the rounded digit differently per engine
+  * per-row rationals (ratios, jaccard, scores) are UNROUNDED: identical
+    int operands → bit-identical doubles in both engines, whereas round()
+    itself diverges (Spark rounds the shortest decimal repr, DuckDB the
+    scaled binary — e.g. 1923/1920 rounds to 1.001563 vs 1.001562)
+  * round() survives only on transcendental aggregates (cosine, geo-mean)
+    where fold-order noise needs absorbing and boundary hits have ~zero
+    probability; ranking then uses the rounded value + id tiebreak
   * every computed column is aliased identically on both sides
 """
 
@@ -117,11 +126,13 @@ _register(
 _register(
     "t8_keyby_reduce_events",
     """
-    SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
     FROM events GROUP BY user_id
     """,
 )(lambda spark, sf: _events(spark, sf).groupBy("user_id").agg(
-    F.round(F.sum("value"), 4).alias("total_value"),
+    F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     F.count("*").alias("n_events"),
 ))
 
@@ -129,17 +140,18 @@ _register(
     "t6_running_reduce",
     """
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
     FROM events
     """,
 )(lambda spark, sf: T.running_reduce(
     _events(spark, sf),
     key="user_id",
-    value=F.sum("value"),
+    value=F.sum(F.col("value").cast("decimal(18,2)")),
     order_by=["ts", "event_id"],
     agg_alias="running_total",
-).select("event_id", "user_id", F.round("running_total", 4).alias("running_total")))
+).select("event_id", "user_id", F.col("running_total").cast("double").alias("running_total")))
 
 
 # =========================================================================
@@ -151,7 +163,7 @@ _TUMBLING_ORACLE = """
            (floor(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS window_end,
            count(*) AS n_events,
            count(*) FILTER (WHERE event_type = 'signup') AS signups,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
 """
 
@@ -163,7 +175,7 @@ _register("w1_tumbling_hourly", _TUMBLING_ORACLE)(
         [
             F.count("*").alias("n_events"),
             F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         ],
     )
 )
@@ -175,7 +187,7 @@ _register(
            (floor(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS window_end,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2, 3
     """,
 )(lambda spark, sf: W.tumbling(
@@ -184,7 +196,7 @@ _register(
     "1 hour",
     [
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ],
     keys=["event_type"],
 ))
@@ -275,7 +287,7 @@ _register(
     """
     SELECT window_id, count(*) AS n_events,
            count(*) FILTER (WHERE event_type = 'signup') AS signups,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM (
       SELECT floor((row_number() OVER (ORDER BY event_id) - 1) / 10)::BIGINT AS window_id,
              event_type, value
@@ -289,7 +301,7 @@ _register(
     aggs=[
         F.count("*").alias("n_events"),
         F.count(F.when(F.col("event_type") == "signup", True)).alias("signups"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ],
 ))
 
@@ -299,7 +311,7 @@ _register(
     """
     SELECT floor(event_id / 10)::BIGINT AS window_id,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
     """,
 )(lambda spark, sf: W.count_window_by_id(
@@ -308,7 +320,7 @@ _register(
     id_col="event_id",
     aggs=[
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ],
 ))
 
@@ -442,7 +454,7 @@ _register(
     SELECT floor(epoch(ts))::BIGINT AS ts_epoch, event_id, side,
            left_count, right_count,
            CASE WHEN right_count > 0
-                THEN round(left_count::DOUBLE / right_count, 6) END AS ratio
+                THEN left_count::DOUBLE / right_count END AS ratio
     FROM (
       SELECT ts, event_id, side,
              sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END) OVER w AS left_count,
@@ -464,7 +476,7 @@ _register(
     "side",
     "left_count",
     "right_count",
-    F.round("ratio", 6).alias("ratio"),
+    "ratio",
 ))
 
 _register(
@@ -502,13 +514,13 @@ _register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -518,13 +530,13 @@ _register(
     .filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
     .groupBy("l_returnflag", "l_linestatus")
     .agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(revenue()), 2).alias("sum_disc_price"),
-        F.round(F.sum(revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+        F.sum((revenue() * (1 + F.col("l_tax"))).cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     ))
 
@@ -543,7 +555,7 @@ def _q3(spark: SparkSession, sf: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             F.col("revenue"),
@@ -558,7 +570,7 @@ _register(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            floor(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -592,14 +604,14 @@ def _q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("revenue"))
     )
 
 
 _register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -615,7 +627,7 @@ _register(
 _register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -630,7 +642,7 @@ _register(
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")))
+    .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")).cast("double").alias("revenue")))
 
 
 def _q10(spark: SparkSession, sf: str) -> DataFrame:
@@ -641,7 +653,7 @@ def _q10(spark: SparkSession, sf: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -651,7 +663,7 @@ _register(
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem, orders, customer
     WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -704,7 +716,7 @@ _register(
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )(lambda spark, sf: _events(spark, sf)
@@ -715,8 +727,59 @@ _register(
     .agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ))
+
+
+_register(
+    "rollup_user_type",
+    """
+    SELECT user_id, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY ROLLUP (user_id, event_type)
+    """,
+)(lambda spark, sf: _events(spark, sf)
+    .rollup("user_id", "event_type")
+    .agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ))
+
+
+def _analytic_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as Win
+
+    totals = _events(spark, sf).groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    w = Win.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("user_id", 1).over(w).alias("prev_user"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_register(
+    "analytic_rank_users",
+    """
+    SELECT event_type, user_id, total,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(user_id, 1) OVER w AS prev_user,
+           ntile(4) OVER w AS quartile
+    FROM (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type, user_id
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id ASC)
+    """,
+)(_analytic_rank)
 
 
 # =========================================================================
@@ -788,13 +851,13 @@ _MINHASH_ORACLE = r"""
        AND a.doc_id < b.doc_id
     )
     SELECT p.id_a, p.id_b,
-           round(len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
-                 / len(list_distinct(ta.tok_set || tb.tok_set)), 6) AS jaccard
+           len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+                 / len(list_distinct(ta.tok_set || tb.tok_set)) AS jaccard
     FROM pairs p
     JOIN toks ta ON ta.doc_id = p.id_a
     JOIN toks tb ON tb.doc_id = p.id_b
-    WHERE round(len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
-                / len(list_distinct(ta.tok_set || tb.tok_set)), 6) >= 0.5
+    WHERE len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+                / len(list_distinct(ta.tok_set || tb.tok_set)) >= 0.5
 """
 
 _register("dedup_minhash_lsh", _MINHASH_ORACLE)(
@@ -810,12 +873,12 @@ _register(
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.tok, b.tok))::DOUBLE
-                 / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+           len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / len(list_distinct(a.tok || b.tok)) AS jaccard
     FROM toks a JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.tok, b.tok))::DOUBLE
-                / len(list_distinct(a.tok || b.tok)), 6) >= 0.5
+    WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+                / len(list_distinct(a.tok || b.tok)) >= 0.5
     """,
 )(lambda spark, sf: D.ngram_jaccard_pairs(
     load_table(spark, "documents", sf), block_cols=["lang", "source"]
@@ -834,11 +897,11 @@ _register(
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct_tokens,
            length(text) AS n_chars,
-           round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
-                 / len(toks), 6) AS avg_token_len,
-           round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
-                 / len(toks), 6) AS stopword_ratio,
-           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+           list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
+                 / len(toks) AS avg_token_len,
+           len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+                 / len(toks) AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
     FROM t
     """,
 )(lambda spark, sf: X.text_stats(load_table(spark, "documents", sf)))
@@ -851,11 +914,11 @@ _register(
       FROM documents
     )
     SELECT doc_id, len(toks) AS n_tokens,
-           round(0.4 * least(1.0, len(toks) / 100.0)
+           0.4 * least(1.0, len(toks) / 100.0)
                  + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
                  + 0.2 * least(1.0, len(list_filter(toks,
-                       t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / 5.0),
-                 6) AS quality_score
+                       t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / 5.0)
+                 AS quality_score
     FROM t
     """,
 )(lambda spark, sf: X.quality_score(load_table(spark, "documents", sf)))

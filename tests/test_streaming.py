@@ -244,3 +244,40 @@ def test_streaming_file_sink(spark, events):
     q = write_stream_files(stream, out, ckpt, trigger={"availableNow": True})
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_streaming_exact_dedup(spark):
+    # duplicate cart events across micro-batches → first occurrence kept
+    from apache_flink_essentials_spark.operators.dedup import exact_dedup_stream
+
+    carts = shopping_cart_events_batch(spark, 30).withColumn(
+        "text", F.concat_ws(" ", "user_id", "sku")
+    )
+    doubled = carts.unionByName(carts)  # every doc twice
+    stream = replay_as_stream(doubled, num_files=2, order_by="time")
+    out = run_stream_to_df(
+        exact_dedup_stream(stream, ts_col="time", watermark_delay="1 hour"),
+        output_mode="append",
+    )
+    fingerprints = [r.fingerprint for r in out.collect()]
+    assert len(fingerprints) == len(set(fingerprints))
+    distinct_texts = carts.select("text").distinct().count()
+    assert len(fingerprints) == distinct_texts
+
+
+def test_foreach_batch_sink(spark, events):
+    import tempfile
+
+    from apache_flink_essentials_spark.io import write_stream_foreach_batch
+
+    stream = replay_as_stream(events.select("event_id"), num_files=2)
+    seen = []
+    q = write_stream_foreach_batch(
+        stream,
+        lambda bdf, bid: seen.append((bid, bdf.count())),
+        checkpoint=tempfile.mkdtemp(prefix="fb_ckpt_"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == events.count()
+    assert len(seen) >= 2  # one call per micro-batch
