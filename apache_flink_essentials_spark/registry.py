@@ -746,6 +746,26 @@ _register(
     ))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_register(
+    "pivot_user_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)(lambda spark, sf: _events(spark, sf)
+    .groupBy("user_id")
+    .pivot("event_type", _EVENT_TYPES)
+    .count()
+    .na.fill(0, _EVENT_TYPES))
+
+
 def _analytic_rank(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as Win
 

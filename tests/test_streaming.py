@@ -281,3 +281,25 @@ def test_foreach_batch_sink(spark, events):
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == events.count()
     assert len(seen) >= 2  # one call per micro-batch
+
+
+def test_chained_windowed_aggregation_stream_equals_batch(spark, events):
+    # window-on-window (hourly count → daily max of hourly counts): the
+    # streaming output-watermark chain (Spark 3.4+ window_time) matches batch
+    hourly = events.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+    daily = hourly.groupBy(F.window(F.window_time("window"), "1 day")).agg(
+        F.max("n").alias("max_hourly")
+    )
+    want = {(r["window"].start, r.max_hourly) for r in daily.collect()}
+    s = with_event_time(
+        replay_as_stream(events, 3, "ts", flush_sentinel_col="ts"), "ts", "10 minutes"
+    )
+    sh = s.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+    sd = sh.groupBy(F.window(F.window_time("window"), "1 day")).agg(
+        F.max("n").alias("max_hourly")
+    )
+    got = {
+        (r["window"].start, r.max_hourly)
+        for r in run_stream_to_df(sd, output_mode="append").collect()
+    }
+    assert got == want
