@@ -35,9 +35,15 @@ def window_join(
     size: str,
     projection: Sequence[Column] | None = None,
     epoch_bounds: bool = True,
+    keep_event_times: bool = True,
 ) -> DataFrame:
     """J2 ≙ windowed equi-join (MultipleStreams.scala:36-57): pairs with equal
     key whose timestamps fall in the same tumbling window.
+
+    ``keep_event_times=False`` drops the raw timestamp columns from the join
+    inputs — REQUIRED for the streaming form: Structured Streaming allows at
+    most one event-time column per stream side, and the window column
+    already carries it.
 
     Idiomatic Spark: assign the window column on BOTH sides, then equi-join
     on (key, window). Because both join keys are equi-keys, Catalyst plans a
@@ -51,12 +57,14 @@ def window_join(
     """
     lw = left.withColumn("window", F.window(F.col(left_ts), size))
     rw = right.withColumn("window", F.window(F.col(right_ts), size))
+    l_cols = [c for c in left.columns if c != key and (keep_event_times or c != left_ts)]
+    r_cols = [c for c in right.columns if c != key and (keep_event_times or c != right_ts)]
     # disambiguate all non-key columns
     lsel = [F.col(key).alias(key), F.col("window").alias("window")] + [
-        F.col(c).alias(f"l_{c}") for c in left.columns if c != key
+        F.col(c).alias(f"l_{c}") for c in l_cols
     ]
     rsel = [F.col(key).alias(key), F.col("window").alias("window")] + [
-        F.col(c).alias(f"r_{c}") for c in right.columns if c != key
+        F.col(c).alias(f"r_{c}") for c in r_cols
     ]
     joined = lw.select(*lsel).join(rw.select(*rsel), on=[key, "window"], how="inner")
     start = F.col("window.start").cast("long") if epoch_bounds else F.col("window.start")
@@ -102,6 +110,63 @@ def interval_join(
     band_hi = F.expr(f"l_{left_ts} {hi_op} r_{right_ts} + interval '{upper}'")
     cond = (F.col(f"l_{key}") == F.col(f"r_{key}")) & band_lo & band_hi
     return l.join(r, cond, "inner")
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    lower_exclusive: bool = True,
+    upper_exclusive: bool = True,
+) -> DataFrame:
+    """J3 with a bucketed-time physical strategy — identical semantics to
+    ``interval_join``, different plan shape for scale.
+
+    ``interval_join`` plans equi-join-on-key + band filter: fine when keys
+    are selective, quadratic inside a hot key. This variant adds a coarse
+    time bucket (size = band width) to the join key: left rows join on
+    (key, bucket(t_l)); right rows replicate into the ≤2 buckets their match
+    window can span. The join is then a pure hash equi-join on
+    (key, bucket) — per-bucket work is bounded by bucket occupancy, not key
+    cardinality — with the exact band predicate as a residual filter.
+
+    This is the SCALING.md §joins 'bucketed-time co-partition' optimization;
+    equivalence with interval_join is pinned by tests.
+    """
+    width_us = int(round((upper_seconds - lower_seconds) * 1_000_000))
+    assert width_us > 0, "upper must exceed lower"
+    lo_op = ">" if lower_exclusive else ">="
+    hi_op = "<" if upper_exclusive else "<="
+    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]).withColumn(
+        "_l_bucket", F.floor(F.unix_micros(F.col(f"l_{left_ts}")) / width_us)
+    )
+    lower_us = int(round(lower_seconds * 1_000_000))
+    r_base = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    # left matches lie in (t_r + lower, t_r + upper): width = bucket size ⇒
+    # the window spans at most 2 buckets starting at bucket(t_r + lower)
+    start_bucket = F.floor(
+        (F.unix_micros(F.col(f"r_{right_ts}")) + F.lit(lower_us)) / width_us
+    )
+    r = r_base.withColumn(
+        "_r_bucket", F.explode(F.array(start_bucket, start_bucket + 1))
+    )
+    band_lo = F.expr(
+        f"l_{left_ts} {lo_op} r_{right_ts} + interval '{lower_seconds} seconds'"
+    )
+    band_hi = F.expr(
+        f"l_{left_ts} {hi_op} r_{right_ts} + interval '{upper_seconds} seconds'"
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col("_l_bucket") == F.col("_r_bucket"))  # both become equi-keys
+        & band_lo
+        & band_hi
+    )
+    return l.join(r, cond, "inner").drop("_l_bucket", "_r_bucket")
 
 
 def as_of_join(

@@ -109,3 +109,26 @@ def test_windowed_equi_join_uses_hash_join_with_broadcastable_side(spark):
     right = F.broadcast(catalog_events_batch(spark, 10))
     out = J.window_join(left, right, "user_id", "time", "time", "5 seconds")
     assert uses_broadcast_join(out)
+
+
+def test_bucketed_interval_join_matches_plain(spark):
+    carts = shopping_cart_events_batch(spark, 200)
+    catalog = catalog_events_batch(spark, 150)
+    plain = J.interval_join(
+        carts, catalog, "user_id", "time", "time", "-3 seconds", "3 seconds"
+    )
+    bucketed = J.interval_join_bucketed(
+        carts, catalog, "user_id", "time", "time", -3, 3
+    )
+    a = sorted((r.l_time, r.r_time, r.l_user_id) for r in plain.collect())
+    b = sorted((r.l_time, r.r_time, r.l_user_id) for r in bucketed.collect())
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_interval_join_exclusive_bounds(spark):
+    left = _ts(spark, [("u1", sec(10))])
+    right = _ts(
+        spark, [("u1", sec(8)), ("u1", sec(12)), ("u1", sec(9)), ("u1", sec(11))]
+    )
+    out = J.interval_join_bucketed(left, right, "user_id", "ts", "ts", -2, 2)
+    assert sorted(r.r_ts.second for r in out.collect()) == [9, 11]

@@ -303,3 +303,36 @@ def test_chained_windowed_aggregation_stream_equals_batch(spark, events):
         for r in run_stream_to_df(sd, output_mode="append").collect()
     }
     assert got == want
+
+
+def test_stream_stream_window_join_equals_batch(spark):
+    # J2 streaming form: window column on both sides + equi-join under
+    # watermarks (the reference's processing-time window join, run on
+    # deterministic event time)
+    from apache_flink_essentials_spark.operators.joins import window_join
+
+    carts = shopping_cart_events_batch(spark, 40)
+    catalog = catalog_events_batch(spark, 30)
+    batch = window_join(
+        carts, catalog, "user_id", "time", "time", "5 seconds", keep_event_times=False
+    )
+    ls = with_event_time(
+        replay_as_stream(carts, 2, "time", flush_sentinel_col="time"), "time", "2 seconds"
+    )
+    rs = with_event_time(
+        replay_as_stream(catalog, 2, "time", flush_sentinel_col="time"), "time", "2 seconds"
+    )
+    streamed = run_stream_to_df(
+        window_join(
+            ls, rs, "user_id", "time", "time", "5 seconds", keep_event_times=False
+        ),
+        output_mode="append",
+    )
+    max_epoch = carts.agg(F.max(F.col("time").cast("long"))).collect()[0][0]
+    b = sorted((r.user_id, r.window_start, r.l_sku, r.r_product_id) for r in batch.collect())
+    s = sorted(
+        (r.user_id, r.window_start, r.l_sku, r.r_product_id)
+        for r in streamed.collect()
+        if r.window_start <= max_epoch
+    )
+    assert b == s
