@@ -336,3 +336,39 @@ def test_stream_stream_window_join_equals_batch(spark):
         if r.window_start <= max_epoch
     )
     assert b == s
+
+
+def test_checkpoint_restart_exactly_once(spark, events):
+    # stop a file-sink query, append more input, restart from the SAME
+    # checkpoint: every input row lands exactly once (no dupes, no loss)
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from apache_flink_essentials_spark.io import write_stream_files
+
+    src = tempfile.mkdtemp(prefix="eo_src_")
+    out = tempfile.mkdtemp(prefix="eo_out_")
+    ckpt = tempfile.mkdtemp(prefix="eo_ckpt_")
+    first = events.filter(F.col("event_id") < 500).select("event_id")
+    second = events.filter(F.col("event_id") >= 500).select("event_id")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long").parquet(src)
+        q = write_stream_files(stream, out, ckpt, trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    second.coalesce(1).write.mode("append").parquet(src)
+    # ensure distinct mtime so the restarted query sees the new file
+    now = time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (now, now))
+    run_once()  # restart from same checkpoint
+    result = spark.read.parquet(out)
+    assert result.count() == events.count()           # no loss, no dupes
+    assert result.select("event_id").distinct().count() == events.count()
