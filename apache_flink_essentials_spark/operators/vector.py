@@ -150,46 +150,62 @@ def ann_lsh_cosine(
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     round_dp: int = 6,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (Charikar '02 sign
-    sketches): bucket = sign bits against ``num_planes`` fixed hyperplanes;
-    candidates share the bucket; exact cosine re-ranks candidates.
+    sketches): per table, bucket = sign bits against ``num_planes`` fixed
+    hyperplanes; candidates share a bucket in ANY table; exact cosine
+    re-ranks candidates.
+
+    Recall/cost dial: P(candidate) ≈ 1 − (1 − p^planes)^tables with
+    p = 1 − θ/π. Few planes + several tables → high recall, bigger buckets;
+    many planes + one table → tiny buckets, recall only for near-identical
+    vectors (the dedup regime). For weakly-similar neighbors (random
+    embeddings, cosine ≈ 0.3) use ~4 planes × 8 tables.
 
     This is the 100 TB path: the expensive comparison is an equi-join on
-    ``bucket`` (hash shuffle, bucket-local work), not a cross join. Recall
-    < 1.0 by construction — tune num_planes down / add multiple tables for
-    higher recall. Exactness is NOT claimed; no oracle (driver records
-    rows-only).
+    (table, bucket) — hash shuffle, bucket-local work — not a cross join.
+    Exactness is NOT claimed; no oracle (driver records rows-only).
     """
-    planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
-    def bucket_expr(vec: Column) -> Column:
-        bits = []
-        for p_idx, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(c) for c in plane])
-            d = dot_expr(vec, plane_col)
-            bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
+    def table_bucket_exprs(vec: Column) -> list[Column]:
+        out = []
+        for t in range(num_tables):
+            bits = []
+            for p_idx in range(num_planes):
+                plane = _hyperplane(dim, t * num_planes + p_idx)
+                plane_col = F.array(*[F.lit(c) for c in plane])
+                d = dot_expr(vec, plane_col)
+                bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+            bucket = bits[0]
+            for b in bits[1:]:
+                bucket = bucket + b
+            out.append(bucket)
         return out
 
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
-    cands = e.join(F.broadcast(q), on="bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    def with_table_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        )
+        return base.select(
+            id_alias,
+            vec_alias,
+            F.posexplode(F.array(*table_bucket_exprs(F.col(vec_alias)))).alias(
+                "table_id", "bucket"
+            ),
+        )
+
+    e = with_table_buckets(embeddings, "neighbor_id", "n_vec")
+    q = with_table_buckets(queries, "query_id", "q_vec")
+    cands = (
+        e.join(F.broadcast(q), on=["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",

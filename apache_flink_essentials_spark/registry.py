@@ -807,6 +807,64 @@ _register(
 # =========================================================================
 
 _register(
+    "scalar_time_funcs",
+    """
+    SELECT event_id,
+           year(ts)::INT AS y, month(ts)::INT AS mo, day(ts)::INT AS d,
+           hour(ts)::INT AS h, minute(ts)::INT AS mi,
+           (dayofweek(ts) + 1)::INT AS dow_sunday1,
+           floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch
+    FROM events
+    """,
+)(lambda spark, sf: _events(spark, sf).select(
+    "event_id",
+    F.year("ts").alias("y"),
+    F.month("ts").alias("mo"),
+    F.dayofmonth("ts").alias("d"),
+    F.hour("ts").alias("h"),
+    F.minute("ts").alias("mi"),
+    F.dayofweek("ts").alias("dow_sunday1"),  # Spark: 1=Sunday; DuckDB dow 0=Sunday
+    F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+))
+
+_register(
+    "scalar_string_funcs",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_upper,
+           replace(lang, 'e', '3') AS lang_l33t,
+           translate(source, 'src', 'SRC') AS source_translated,
+           levenshtein(lang, 'en')::INT AS lev_to_en,
+           length(concat(lang, '/', source)) AS tag_len
+    FROM documents
+    """,
+)(lambda spark, sf: load_table(spark, "documents", sf).select(
+    "doc_id",
+    F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+    F.regexp_replace("lang", "e", "3").alias("lang_l33t"),
+    F.translate("source", "src", "SRC").alias("source_translated"),
+    F.levenshtein("lang", F.lit("en")).alias("lev_to_en"),
+    F.length(F.concat(F.col("lang"), F.lit("/"), F.col("source"))).alias("tag_len"),
+))
+
+_register(
+    "cube_user_type",
+    """
+    SELECT user_id, event_type,
+           grouping(user_id)::INT AS g_user, grouping(event_type)::INT AS g_type,
+           count(*) AS n_events
+    FROM events GROUP BY CUBE (user_id, event_type)
+    """,
+)(lambda spark, sf: _events(spark, sf)
+    .cube("user_id", "event_type")
+    .agg(
+        F.grouping("user_id").cast("int").alias("g_user"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.count("*").alias("n_events"),
+    )
+    .select("user_id", "event_type", "g_user", "g_type", "n_events"))
+
+_register(
     "scalar_json_props",
     """
     SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
@@ -1113,6 +1171,8 @@ _register("vec_ann_lsh")(
     lambda spark, sf: V.ann_lsh_cosine(
         load_table(spark, "embeddings", sf),
         load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+        num_planes=4,
+        num_tables=8,
     )
 )
 
