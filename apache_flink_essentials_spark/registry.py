@@ -112,7 +112,7 @@ _register(
 _register(
     "t7_keyby_parity_sum",
     """
-    SELECT (range % 2 = 0) AS is_even, sum(range) AS total
+    SELECT (range % 2 = 0) AS is_even, sum(range)::BIGINT AS total
     FROM range(1, 101) GROUP BY 1
     """,
 )(lambda spark, sf: T.key_by_reduce(
@@ -452,7 +452,7 @@ _register(
       SELECT ts, event_id, 'right' AS side FROM events WHERE event_type = 'purchase'
     )
     SELECT floor(epoch(ts))::BIGINT AS ts_epoch, event_id, side,
-           left_count, right_count,
+           left_count::BIGINT AS left_count, right_count::BIGINT AS right_count,
            CASE WHEN right_count > 0
                 THEN left_count::DOUBLE / right_count END AS ratio
     FROM (
@@ -788,10 +788,10 @@ _register(
     "analytic_rank_users",
     """
     SELECT event_type, user_id, total,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
+           rank() OVER w::INT AS rnk,
+           dense_rank() OVER w::INT AS drnk,
            lag(user_id, 1) OVER w AS prev_user,
-           ntile(4) OVER w AS quartile
+           ntile(4) OVER w::INT AS quartile
     FROM (
       SELECT event_type, user_id,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -835,7 +835,7 @@ _register(
            replace(lang, 'e', '3') AS lang_l33t,
            translate(source, 'src', 'SRC') AS source_translated,
            levenshtein(lang, 'en')::INT AS lev_to_en,
-           length(concat(lang, '/', source)) AS tag_len
+           length(concat(lang, '/', source))::INT AS tag_len
     FROM documents
     """,
 )(lambda spark, sf: load_table(spark, "documents", sf).select(
@@ -972,9 +972,9 @@ _register(
       FROM documents
     )
     SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct_tokens,
-           length(text) AS n_chars,
+           len(toks)::INT AS n_tokens,
+           len(list_distinct(toks))::INT AS n_distinct_tokens,
+           length(text)::INT AS n_chars,
            list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
                  / len(toks) AS avg_token_len,
            len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
@@ -991,7 +991,7 @@ _register(
       SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
       FROM documents
     )
-    SELECT doc_id, len(toks) AS n_tokens,
+    SELECT doc_id, len(toks)::INT AS n_tokens,
            0.4 * least(1.0, len(toks) / 100.0)
                  + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
                  + 0.2 * least(1.0, len(list_filter(toks,
@@ -1045,7 +1045,7 @@ _register(
     "text_token_count",
     r"""
     SELECT doc_id, lang,
-           len(string_split_regex(lower(text), '\s+')) AS n_tokens
+           len(string_split_regex(lower(text), '\s+'))::INT AS n_tokens
     FROM documents
     """,
 )(lambda spark, sf: token_count_q(spark, sf))
@@ -1077,7 +1077,7 @@ _register(
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                                ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -1144,7 +1144,7 @@ _register(
                regexp_replace(
                    regexp_replace(lower(text), '([a-z]+)(\d)', '\1 \2', 'g'),
                    '(\d)([a-z])', '\1 \2', 'g'),
-               '\s+')) AS n_bpe_tokens
+               '\s+'))::INT AS n_bpe_tokens
     FROM documents
     """,
 )(lambda spark, sf: load_table(spark, "documents", sf).select(
@@ -1228,7 +1228,7 @@ _register(
     "multimodal_metadata",
     """
     SELECT doc_id AS media_id, 'image' AS modality,
-           octet_length(text::BLOB) AS payload_bytes,
+           octet_length(text::BLOB)::INT AS payload_bytes,
            'application/octet-stream' AS mime
     FROM documents
     """,
