@@ -241,4 +241,9 @@ def connect_ratio(
     return counted.withColumn(
         ratio_alias,
         F.when(F.col("right_count") > 0, F.col("left_count") / F.col("right_count")),
+    ).withColumn(
+        # the reference's exact output formula (MultipleStreams.scala:129):
+        # left share as a percentage of all events seen so far
+        "left_pct",
+        F.col("left_count") * 100.0 / (F.col("left_count") + F.col("right_count")),
     )

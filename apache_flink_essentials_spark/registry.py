@@ -454,7 +454,8 @@ _register(
     SELECT floor(epoch(ts))::BIGINT AS ts_epoch, event_id, side,
            left_count::BIGINT AS left_count, right_count::BIGINT AS right_count,
            CASE WHEN right_count > 0
-                THEN left_count::DOUBLE / right_count END AS ratio
+                THEN left_count::DOUBLE / right_count END AS ratio,
+           left_count * 100.0 / (left_count + right_count) AS left_pct
     FROM (
       SELECT ts, event_id, side,
              sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END) OVER w AS left_count,
@@ -477,6 +478,7 @@ _register(
     "left_count",
     "right_count",
     "ratio",
+    "left_pct",
 ))
 
 _register(
@@ -1173,6 +1175,7 @@ _register("vec_ann_lsh")(
         load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
         num_planes=4,
         num_tables=8,
+        use_arrow=True,  # numpy matmul bucket assignment; 5× the HOF form
     )
 )
 

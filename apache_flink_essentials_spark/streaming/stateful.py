@@ -169,9 +169,13 @@ def connect_ratio_stream(
                     lc += 1
                 else:
                     rc += 1
-                out.append((lc, rc, (lc / rc) if rc else None))
+                # left_pct = the reference's exact emitted value
+                # (MultipleStreams.scala:129)
+                out.append((lc, rc, (lc / rc) if rc else None, lc * 100.0 / (lc + rc)))
         state.update((lc, rc))
-        yield pd.DataFrame(out, columns=["left_count", "right_count", "ratio"])
+        yield pd.DataFrame(
+            out, columns=["left_count", "right_count", "ratio", "left_pct"]
+        )
 
     return both.groupBy("k").applyInPandasWithState(
         fn,
@@ -180,6 +184,7 @@ def connect_ratio_stream(
                 T.StructField("left_count", T.LongType(), False),
                 T.StructField("right_count", T.LongType(), False),
                 T.StructField("ratio", T.DoubleType(), True),
+                T.StructField("left_pct", T.DoubleType(), False),
             ]
         ),
         stateStructType=T.StructType(

@@ -150,3 +150,17 @@ def test_ivf_search_recall_and_exactness_at_full_probe(spark):
         by_q.setdefault(r.query_id, []).append(r.cosine)
     for scores in by_q.values():
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_arrow_matches_expression_form(spark):
+    import random
+
+    random.seed(21)
+    dim = 64
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)], 0) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") < 5)
+    kwargs = dict(k=4, num_planes=4, num_tables=6)
+    a = sorted(map(tuple, V.ann_lsh_cosine(emb, q, **kwargs).collect()))
+    b = sorted(map(tuple, V.ann_lsh_cosine(emb, q, use_arrow=True, **kwargs).collect()))
+    assert a == b

@@ -97,3 +97,31 @@ def test_sliding_paned_matches_sliding(spark, events):
         for r in b.collect()
     )
     assert ra == rb
+
+
+def test_count_window_keyed(spark, events):
+    # keyed count windows: per-key ranks partition independently (the
+    # scalable form — Flink's keyed GlobalWindows)
+    out = W.count_window(
+        events,
+        5,
+        order_by=["ts", "event_id"],
+        aggs=[F.count("*").alias("n")],
+        keys=["user_id"],
+    )
+    rows = out.collect()
+    per_user = events.groupBy("user_id").count().collect()
+    expected = {r.user_id: (r["count"] + 4) // 5 for r in per_user}
+    got = {}
+    for r in rows:
+        got[r.user_id] = got.get(r.user_id, 0) + 1
+    assert got == expected
+    # all but the final window per key hold exactly 5 elements
+    for r in rows:
+        assert r.n == 5 or r.window_id == max(x.window_id for x in rows if x.user_id == r.user_id)
+
+
+def test_processing_time_attribute(spark, events):
+    out = W.with_processing_time(events.limit(10), "proc_time")
+    rows = out.select("proc_time").collect()
+    assert all(r.proc_time is not None for r in rows)
