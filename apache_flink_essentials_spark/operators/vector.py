@@ -278,9 +278,33 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, broadcast
-    centroid literals — a narrow map, no shuffle). Adds ``cluster_id``."""
+    centroids — a narrow map, no shuffle). Adds ``cluster_id``.
+
+    Default path is an Arrow-batched numpy argmin (one matmul per batch);
+    ``use_arrow=False`` keeps the pure-expression form (same result,
+    interpreted per element — the equality is pinned in tests)."""
+    if use_arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array(centroids, dtype=np.float64)  # (k, dim)
+        c_sq = (C * C).sum(axis=1)
+
+        @pandas_udf("int")
+        def nearest(vecs):
+            import pandas as pd
+
+            V = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+            # ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row
+            d = c_sq[None, :] - 2.0 * (V @ C.T)
+            # numpy argmin takes the lowest index on ties — same tiebreak as
+            # the expression form's array_position(min)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        return embeddings.withColumn("cluster_id", nearest(F.col(vec_col)))
 
     def sq_dist(vec: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(float(x)) for x in center])

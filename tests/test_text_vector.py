@@ -164,3 +164,16 @@ def test_ann_lsh_arrow_matches_expression_form(spark):
     a = sorted(map(tuple, V.ann_lsh_cosine(emb, q, **kwargs).collect()))
     b = sorted(map(tuple, V.ann_lsh_cosine(emb, q, use_arrow=True, **kwargs).collect()))
     assert a == b
+
+
+def test_ivf_assign_arrow_matches_expression_form(spark):
+    import random
+
+    random.seed(33)
+    dim = 64
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)], 0) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(6).collect()]
+    a = {r.vec_id: r.cluster_id for r in V.ivf_assign(emb, cents, use_arrow=False).collect()}
+    b = {r.vec_id: r.cluster_id for r in V.ivf_assign(emb, cents, use_arrow=True).collect()}
+    assert a == b
