@@ -674,6 +674,346 @@ _register(
 )(_q10)
 
 
+# --- TPC-H-pattern breadth: each query below exercises a distinct relational
+# operator class the engine must support at scale (semi/anti joins plan as
+# broadcast/shuffled semi joins — no row explosion; correlated aggregates are
+# expressed as join-with-agg, the shape Catalyst plans best; disjunctive
+# predicates still reach the parquet scan as pushed filters). Adapted to the
+# fixture schema (no partsupp/shipmode/commitdate columns).
+
+
+def _q4(spark: SparkSession, sf: str) -> DataFrame:
+    # EXISTS → left_semi join: orders with at least one returned lineitem
+    orders = load_table(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    returned = load_table(spark, "lineitem", sf).filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_register(
+    "q4_priority_semijoin",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)(_q4)
+
+
+def _q7(spark: SparkSession, sf: str) -> DataFrame:
+    # nation-pair trade volume by year: two independent dimension paths to
+    # nation (via supplier and via customer), both broadcast
+    n1 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    lineitem = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(load_table(spark, "supplier", sf)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(load_table(spark, "orders", sf), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(load_table(spark, "customer", sf)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("volume"))
+    )
+
+
+_register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::INT AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem, supplier, orders, customer, nation n1, nation n2
+      WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)(_q7)
+
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    # conditional-aggregation share: promo revenue % of total for one month
+    lineitem = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    joined = lineitem.join(
+        F.broadcast(load_table(spark, "part", sf)),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0.0)).cast("decimal(18,4)")
+    ).cast("double")
+    total = F.sum(revenue().cast("decimal(18,4)")).cast("double")
+    return joined.agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
+
+
+_register(
+    "q14_promo_share",
+    """
+    SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)(_q14)
+
+
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    # argmax via scalar subquery: supplier(s) with the max quarterly revenue.
+    # Equality join on the DECIMAL total (exact, order-independent) — the
+    # double cast happens only at the output boundary.
+    rev = (
+        load_table(spark, "lineitem", sf)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue().cast("decimal(18,4)")).alias("total_dec"))
+    )
+    mx = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_dec") == F.col("max_dec"))
+        .join(
+            F.broadcast(load_table(spark, "supplier", sf)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+    FROM rev, supplier
+    WHERE l_suppkey = s_suppkey
+      AND total_dec = (SELECT max(total_dec) FROM rev)
+    """,
+)(_q15)
+
+
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    # correlated scalar aggregate → join-with-agg: lineitems far below the
+    # part's average order quantity. Portable because l_quantity is integral
+    # (exact double sums ⇒ identical avg in any fold order on any engine).
+    lineitem = load_table(spark, "lineitem", sf)
+    part = load_table(spark, "part", sf).filter(F.col("p_brand") == "Brand#23")
+    half_avg = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(half_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("small_qty_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_register(
+    "q17_small_quantity",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)(_q17)
+
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    # HAVING on a grouped sum, then join the survivors back to their header
+    # rows — the aggregate runs FIRST so only qualifying orderkeys re-join
+    big = (
+        load_table(spark, "lineitem", sf)
+        .groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        load_table(spark, "orders", sf)
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(
+            F.broadcast(load_table(spark, "customer", sf)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("o_orderdate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_register(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           floor(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch,
+           o_totalprice, sum_qty
+    FROM orders, customer,
+         (SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+    WHERE o_orderkey = big_orderkey AND o_custkey = c_custkey
+    """,
+)(_q18)
+
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    # disjunctive multi-attribute predicate across the join: Catalyst splits
+    # the OR into per-side pushed filters (brand/size to the part scan,
+    # quantity to the lineitem scan) before evaluating the residual
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        load_table(spark, "lineitem", sf)
+        .join(
+            F.broadcast(load_table(spark, "part", sf)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(cond)
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+
+
+_register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+    """,
+)(_q19)
+
+
+def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    # anti-join + scalar subquery: above-average-balance customers with NO
+    # recent orders, per nation. The average comparison is done as an exact
+    # DECIMAL cross-multiply (bal * n > total) — dividing first would compare
+    # against an engine-dependent rounded quotient.
+    customer = load_table(spark, "customer", sf)
+    pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("total_pos"),
+    )
+    recent = load_table(spark, "orders", sf).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        customer.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(18,4)") * F.col("n_pos") > F.col("total_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(load_table(spark, "nation", sf)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_dormant"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+_register(
+    "q22_dormant_customers",
+    """
+    WITH pos AS (
+      SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, count(*) AS n_dormant,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer, nation, pos
+    WHERE c_nationkey = n_nationkey
+      AND CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)(_q22)
+
+
 def _funnel(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     signups = ev.filter(F.col("event_type") == "signup").select(

@@ -32,6 +32,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q4_priority_semijoin",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
     # event analytics
     "funnel_signup_to_purchase",
     "events_daily_rollup",

@@ -62,3 +62,34 @@ def test_q1_fully_codegen(spark):
 
     df = E.queries()["q1_pricing_summary"](spark, SF_SMOKE)
     assert codegen_stage_count(df) >= 2
+
+
+def test_q4_plans_semi_join(spark):
+    # EXISTS must become a semi join (no row multiplication from multiple
+    # matching lineitems), with the date filter pushed to the orders scan
+    df = E.queries()["q4_priority_semijoin"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert has_pushed_filters(df)
+
+
+def test_q22_plans_anti_join(spark):
+    # NOT EXISTS must become an anti join; the recent-orders date filter
+    # shrinks the anti side before the join
+    df = E.queries()["q22_dormant_customers"](spark, SF_SMOKE)
+    assert "LeftAnti" in formatted_plan(df)
+
+
+def test_q19_disjunction_pushed_to_scans(spark):
+    # Catalyst factors the OR-of-conjunctions into per-side pushed filters
+    # (brand/size → part scan, quantity → lineitem scan)
+    df = E.queries()["q19_disjunctive_predicates"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("PushedFilters: [") >= 1 and "Or(" in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    # supplier, customer, nation ×2 all ride broadcasts: the only shuffle
+    # touches the two fact tables
+    df = E.queries()["q7_nation_volume"](spark, SF_SMOKE)
+    assert formatted_plan(df).count("BroadcastHashJoin") >= 4
