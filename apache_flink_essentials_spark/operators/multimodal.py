@@ -101,6 +101,64 @@ def extract_features(
     return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize image rows via ``mapInPandas`` (Arrow-batched), same contract
+    as extract_features: the codec call is stubbed (deterministic payload
+    passthrough + target dims recorded) or raises where the real
+    decode→resize→re-encode belongs. Non-image rows are filtered out
+    JVM-side BEFORE the Python boundary so only image payloads cross Arrow.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                # >>> real codec call goes here (PIL.Image.open(payload)
+                # .resize((width, height)).tobytes()) <<<
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "run with decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def spread_media(media: DataFrame, num_partitions: int, id_col: str = "media_id") -> DataFrame:
+    """Row-level repartition before a decode stage: media files arrive
+    packed by source (all videos of one crawl in one input split), so
+    file-granularity partitions straggle. Hashing on the media id spreads
+    rows uniformly; combined with bounded Arrow batches
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) this keeps decode
+    tasks CPU-bound and executor memory flat at 100 TB."""
+    return media.repartition(num_partitions, F.col(id_col))
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata projection over media rows — pure column expressions (no
     decode): payload size + declared meta. This is the oracle-checkable

@@ -130,6 +130,37 @@ def test_frame_sample_plan(spark):
     assert [r.sample_ms for r in out.collect()] == [0, 1000, 2000, 3000]
 
 
+def test_resize_images_plumbing(spark, docs):
+    media = M.documents_as_media(docs)
+    out = M.resize_images(media, 224, 224).collect()
+    assert len(out) == 5                                   # all rows are 'image'
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    # stub passes payload through unchanged (deterministic)
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(bytes(r.payload) == orig[r.media_id] for r in out)
+
+
+def test_resize_filters_non_images_before_python(spark):
+    from apache_flink_essentials_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (1, "video", bytearray(b"vv"), ("video/mp4", None, None, 3500, None)),
+        (2, "image", bytearray(b"ii"), ("image/png", 8, 8, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = M.resize_images(media, 64, 64)
+    # the modality filter sits below the Python boundary in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 1
+    assert "image" in plan
+
+
+def test_spread_media_partitioning(spark, docs):
+    media = M.spread_media(M.documents_as_media(docs), 4)
+    assert media.rdd.getNumPartitions() == 4
+    assert media.count() == 5
+
+
 def test_ivf_search_recall_and_exactness_at_full_probe(spark):
     import random
 
