@@ -232,6 +232,7 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic mini-batch-free Lloyd's k-means over a DataFrame of
     vectors — the IVF coarse quantizer.
@@ -240,8 +241,12 @@ def kmeans_fit(
     each iteration assigns via broadcast centroids and recomputes per-
     dimension means with a posexplode → groupBy(cluster, dim) aggregation
     (fully distributed — never collects the data, only the k×d centroids).
+
+    Pass ``dim`` when known (array element counts aren't in the schema) to
+    skip a probe job.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     centroids = [
         [float(x) for x in r[0]]
         for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
@@ -320,6 +325,24 @@ def ivf_assign(
     return embeddings.withColumn("cluster_id", best.cast("int"))
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build an IVF index in one pass: fit the coarse quantizer, then
+    return (centroids, embeddings+cluster_id). The returned DataFrame is
+    what a production deployment PERSISTS (written out partitioned by
+    cluster_id); searches then read only the probed clusters — the
+    assignment never re-runs per query. Pass the result to
+    ``ivf_search(..., pre_assigned=indexed)``."""
+    centroids = kmeans_fit(embeddings, k, iters, id_col, vec_col, dim)
+    return centroids, ivf_assign(embeddings, centroids, id_col, vec_col)
+
+
 def ivf_search(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -329,13 +352,16 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    pre_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest clusters per
     query, exact cosine re-rank within them.
 
     Scale shape: the index side is partitioned BY cluster (one equi-join on
     cluster_id); each query touches nprobe/k of the data. Recall grows with
-    nprobe (nprobe = #centroids ⇒ exact brute force).
+    nprobe (nprobe = #centroids ⇒ exact brute force). Pass ``pre_assigned``
+    (from ``ivf_index``) to search an already-built index instead of
+    re-assigning per call.
     """
 
     def sq_dist(vec: Column, center: list[float]) -> Column:
@@ -346,7 +372,12 @@ def ivf_search(
             lambda acc, v: acc + v,
         )
 
-    indexed = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+    assigned = (
+        pre_assigned
+        if pre_assigned is not None
+        else ivf_assign(embeddings, centroids, id_col, vec_col)
+    )
+    indexed = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         norm_expr(F.col(vec_col)).alias("n_norm"),

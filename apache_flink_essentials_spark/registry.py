@@ -1497,13 +1497,18 @@ _register(
 # LSH ANN + embedding dedup: approximate by design — registered WITHOUT an
 # oracle; driver records the weaker rows-only check (recall < 1 is intended).
 def _ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # one Lloyd iteration: the registered query re-fits on every call, and a
-    # production deployment fits once and persists the centroids — keep the
-    # per-call fit cost representative of search, not training
+    # one Lloyd iteration, index built once per call (fit + single
+    # assignment pass via ivf_index — the searched DataFrame IS the fit's
+    # assignment, never re-assigned); dim passed so the fit skips its probe
     emb = load_table(spark, "embeddings", sf)
-    centroids = V.kmeans_fit(emb, k=8, iters=1)
+    centroids, indexed = V.ivf_index(emb, k=8, iters=1, dim=64)
     return V.ivf_search(
-        emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=3
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        centroids,
+        k=5,
+        nprobe=3,
+        pre_assigned=indexed,
     )
 
 
