@@ -1014,6 +1014,75 @@ _register(
 )(_q22)
 
 
+def _cohort(spark: SparkSession, sf: str) -> DataFrame:
+    # classic event-analytics cohort retention: users grouped by signup
+    # week, activity counted per whole-week offset. Weeks are Monday-
+    # aligned midnights in both engines, so day-diffs are exact multiples
+    # of 7 and the offset division is portable.
+    ev = _events(spark, sf)
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    return (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("activity_week"))
+        .join(cohorts, on="user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week_epoch"),
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+_register(
+    "cohort_retention_weekly",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT floor(epoch(cohort_week))::BIGINT AS cohort_week_epoch,
+           (date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7)::INT
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e, cohorts c
+    WHERE e.user_id = c.user_id
+      AND date_trunc('week', e.ts) >= cohort_week
+    GROUP BY 1, 2
+    """,
+)(_cohort)
+
+
+_register(
+    "percentile_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)(lambda spark, sf: load_table(spark, "lineitem", sf)
+    .groupBy("l_returnflag")
+    .agg(
+        # ordered statistics are portable here because l_quantity is
+        # integral and the interpolation fractions are powers of two:
+        # every term ((1-h)·lo + h·hi, h ∈ {.25,.5,.75}) is exact, so both
+        # engines' formulas produce the same double bit-for-bit
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count("*").alias("n"),
+    ))
+
+
 def _funnel(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     signups = ev.filter(F.col("event_type") == "signup").select(

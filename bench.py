@@ -39,6 +39,7 @@ HEADLINE = [
     # event analytics
     "funnel_signup_to_purchase",
     "events_daily_rollup",
+    "cohort_retention_weekly",
     # windowing core competency
     "w1_tumbling_hourly",
     "w2_sliding_1h_30m",
