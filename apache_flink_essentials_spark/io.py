@@ -106,6 +106,39 @@ def write_files(
     writer.format(fmt).save(path)
 
 
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a dataset into ~``target_mb`` files.
+
+    Streaming sinks and fine-grained ingest leave thousands of tiny files;
+    at 100 TB that means metadata-bound planning and per-file open overhead
+    dominating scans. Compaction sizes partitions from the dataset's actual
+    on-disk bytes (Hadoop FS content summary — works on any cluster
+    filesystem, not just local) and rewrites once. ``sort_by`` additionally
+    sorts within output files so parquet row-group min/max stats become
+    selective (data skipping on the sort key). Writes to ``dst_path`` —
+    never in place (readers of ``src_path`` are unaffected; swap is the
+    caller's atomic rename). Returns the output file count.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))  # ceil div
+    out = df.repartition(int(n))
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").format(fmt).save(dst_path)
+    return int(n)
+
+
 def write_stream_files(
     df: DataFrame,
     path: str,
