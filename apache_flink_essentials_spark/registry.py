@@ -1014,6 +1014,100 @@ _register(
 )(_q22)
 
 
+def _q8(spark: SparkSession, sf: str) -> DataFrame:
+    # market-share: one nation's suppliers' slice of a region's PROMO
+    # market per order-year — conditional share over a 6-table star join,
+    # every dimension broadcast, division deferred to exact decimal sums
+    n_cust = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, "region", sf).filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, "part", sf).filter(F.col("p_type") == "PROMO")
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", revenue())
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,4)")
+    ).cast("double")
+    share_den = F.sum(revenue().cast("decimal(18,4)")).cast("double")
+    return (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(load_table(spark, "orders", sf), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(load_table(spark, "customer", sf)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(load_table(spark, "supplier", sf)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((share_num / share_den).alias("mkt_share"))
+    )
+
+
+_register(
+    "q8_market_share",
+    """
+    SELECT year(o_orderdate)::INT AS o_year,
+           CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+    WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND s_nationkey = n2.n_nationkey
+      AND r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY year(o_orderdate)
+    """,
+)(_q8)
+
+
+def _q9(spark: SparkSession, sf: str) -> DataFrame:
+    # profit rollup by supplier nation × order year over a part-name
+    # substring filter (LIKE stays a pushed scan filter)
+    part = load_table(spark, "part", sf).filter(F.col("p_name").contains("widget"))
+    return (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(load_table(spark, "supplier", sf)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, "nation", sf)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(load_table(spark, "orders", sf), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(revenue().cast("decimal(18,4)")).cast("double").alias("profit"))
+    )
+
+
+_register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem, part, supplier, nation, orders
+    WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+      AND p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)(_q9)
+
+
 def _cohort(spark: SparkSession, sf: str) -> DataFrame:
     # classic event-analytics cohort retention: users grouped by signup
     # week, activity counted per whole-week offset. Weeks are Monday-

@@ -34,6 +34,7 @@ HEADLINE = [
     "q10_returned_items",
     "q4_priority_semijoin",
     "q7_nation_volume",
+    "q8_market_share",
     "q18_large_orders",
     "q19_disjunctive_predicates",
     # event analytics
