@@ -1693,6 +1693,78 @@ _register("vec_embedding_dedup")(
     )
 )
 
+def _curation(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end training-data curation: language gate → quality gate →
+    # exact dedup (min-id representative per fingerprint) → per-source
+    # yield stats. Every stage is a JVM-side expression over ONE scan of
+    # documents (the three derived frames share the scan; dedup adds the
+    # only extra shuffle on the 16-byte fingerprint).
+    docs = load_table(spark, "documents", sf)
+    lang = X.detect_language(docs)
+    qual = X.quality_score(docs)
+    fp = X.fingerprint(docs)
+    kept = (
+        docs.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(fp, "doc_id")
+        .filter(
+            (F.col("detected_lang") == "en")
+            & (F.col("quality_score") >= 0.7)
+            & (F.col("n_tokens") >= 10)
+        )
+    )
+    rep = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    survivors = kept.join(rep, F.col("doc_id") == F.col("keep_id"), "left_semi")
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _curation_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(X.LANG_MARKERS.items()):
+        marker_sql = "['" + "', '".join(markers) + "']"
+        score_exprs.append(
+            f"len(list_intersect(dtoks, {marker_sql})) AS score_{lang}"
+        )
+    langs = sorted(X.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS toks,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS dtoks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, toks, {", ".join(score_exprs)} FROM t
+    ), kept AS (
+      SELECT doc_id, source,
+             len(toks)::INT AS n_tokens,
+             md5(array_to_string(toks, ' ')) AS fingerprint
+      FROM scored
+      WHERE (CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END) = 'en'
+        AND 0.4 * least(1.0, len(toks) / 100.0)
+            + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.2 * least(1.0, len(list_filter(toks,
+                  t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / 5.0) >= 0.7
+        AND len(toks) >= 10
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM kept
+    WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY fingerprint)
+    GROUP BY source
+    """
+
+
+_register("curation_pipeline", _curation_oracle())(_curation)
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     """Generate the DuckDB twin of operators.dedup.simhash_dup_pairs: same
     md5-hex-digit-parity construction bit for bit."""

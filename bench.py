@@ -54,6 +54,7 @@ HEADLINE = [
     # north-star LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "text_stats",
     "text_lang_detect",
     "vec_knn_bruteforce",
