@@ -76,10 +76,9 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1]: length saturation + lexical
-    diversity + stopword presence (C4/Gopher-style rule features, made
-    deterministic & closed-form)."""
+def quality_score_expr(text_col: str = "text") -> Column:
+    """Expression form of the composite quality score (reusable inside a
+    wider single-scan projection — see registry curation_pipeline)."""
     toks = tokens_expr(text_col)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -89,39 +88,54 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     stop_presence = F.least(F.lit(1.0), stop_hits / F.lit(5.0))
     # same left-to-right op order as the SQL oracle → bit-identical doubles;
     # unrounded on purpose (see text_stats)
-    score = 0.4 * length_component + 0.4 * diversity + 0.2 * stop_presence
+    return 0.4 * length_component + 0.4 * diversity + 0.2 * stop_presence
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + stopword presence (C4/Gopher-style rule features, made
+    deterministic & closed-form)."""
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        score.alias("quality_score"),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        quality_score_expr(text_col).alias("quality_score"),
     )
+
+
+def detected_lang_expr(text_col: str = "text") -> Column:
+    """Expression form of the language-ID argmax (reusable inside a wider
+    single-scan projection). Inlines the per-language scores, so use the
+    DataFrame form when the scores themselves are wanted."""
+    toks = F.array_distinct(tokens_expr(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(LANG_MARKERS)
+    # argmax by (score desc, lang asc): max score, first lang holding it
+    max_score = F.greatest(*[scores[lang] for lang in langs])
+    detected = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        detected = F.when(scores[lang] == max_score, F.lit(lang)).otherwise(detected)
+    return F.when(max_score > 0, detected).otherwise(F.lit("und"))
 
 
 def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram/stopword-overlap language-ID heuristic: score each language by
     marker-token hits (set semantics), pick the argmax; deterministic
     alphabetical tiebreak; 'und' (undetermined) when no marker hits."""
-    toks = F.array_distinct(tokens_expr(text_col))
-    scores = [
-        F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))).alias(
-            f"score_{lang}"
-        )
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
-    langs = sorted(LANG_MARKERS)
-    # argmax by (score desc, lang asc): max score, first lang holding it
-    max_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    detected = F.lit(None).cast("string")
-    for lang in reversed(langs):
-        detected = F.when(F.col(f"score_{lang}") == max_score, F.lit(lang)).otherwise(detected)
-    detected = F.when(max_score > 0, detected).otherwise(F.lit("und"))
-    return scored.select(F.col(id_col), detected.alias("detected_lang"))
+    return df.select(
+        F.col(id_col), detected_lang_expr(text_col).alias("detected_lang")
+    )
+
+
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """Expression form of the document fingerprint."""
+    return F.md5(F.concat_ws(" ", tokens_expr(text_col)))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized (lower, single-space)
     token stream — the exact-dedup key that ignores whitespace variance.
     md5 is engine-portable (identical hex in Spark & DuckDB)."""
-    normalized = F.concat_ws(" ", tokens_expr(text_col))
-    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+    return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))

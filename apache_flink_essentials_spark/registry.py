@@ -1696,26 +1696,32 @@ _register("vec_embedding_dedup")(
 def _curation(spark: SparkSession, sf: str) -> DataFrame:
     # end-to-end training-data curation: language gate → quality gate →
     # exact dedup (min-id representative per fingerprint) → per-source
-    # yield stats. Every stage is a JVM-side expression over ONE scan of
-    # documents (the three derived frames share the scan; dedup adds the
-    # only extra shuffle on the 16-byte fingerprint).
-    docs = load_table(spark, "documents", sf)
-    lang = X.detect_language(docs)
-    qual = X.quality_score(docs)
-    fp = X.fingerprint(docs)
+    # yield stats. The text operators compose as EXPRESSIONS into one
+    # single-scan projection (no self-joins of documents); dedup's
+    # fingerprint hash-agg is the only shuffle before the final rollup.
     kept = (
-        docs.select("doc_id", "source")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(fp, "doc_id")
+        load_table(spark, "documents", sf)
+        .select(
+            "doc_id",
+            "source",
+            X.detected_lang_expr().alias("detected_lang"),
+            F.size(X.tokens_expr()).alias("n_tokens"),
+            X.quality_score_expr().alias("quality_score"),
+            X.fingerprint_expr().alias("fingerprint"),
+        )
         .filter(
             (F.col("detected_lang") == "en")
             & (F.col("quality_score") >= 0.7)
             & (F.col("n_tokens") >= 10)
         )
     )
-    rep = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
-    survivors = kept.join(rep, F.col("doc_id") == F.col("keep_id"), "left_semi")
+    # dedup representative via window-min on the fingerprint partition: no
+    # self-join, so the document scan happens exactly ONCE in the plan
+    from pyspark.sql.window import Window as _W
+
+    survivors = kept.withColumn(
+        "keep_id", F.min("doc_id").over(_W.partitionBy("fingerprint"))
+    ).filter(F.col("doc_id") == F.col("keep_id"))
     return survivors.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
