@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from apache_flink_essentials_spark import get_spark  # noqa: E402
 from apache_flink_essentials_spark.plans import (  # noqa: E402
+    codegen_stage_count,
     count_exchanges,
     formatted_plan,
 )
@@ -30,7 +31,9 @@ def main() -> None:
             df = fn(spark, sf)
             plan = formatted_plan(df)
             exch = count_exchanges(df)
-            codegen = plan.count("WholeStageCodegen")
+            # executed-plan counter (formatted explain of the pre-execution
+            # AQE plan doesn't show codegen stages)
+            codegen = codegen_stage_count(df)
             python = ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan) or (
                 "MapInPandas" in plan) or ("FlatMapGroupsInPandas" in plan)
             cartesian = "CartesianProduct" in plan
