@@ -207,16 +207,30 @@ def ann_lsh_cosine(
 
     e = with_table_buckets(embeddings, "neighbor_id", "n_vec")
     q = with_table_buckets(queries, "query_id", "q_vec")
+    # dedup multi-table collisions on BARE ID PAIRS (16-byte rows through
+    # the distinct shuffle, not ~4·dim-byte vectors); vectors join back in
+    # only for the surviving candidates' exact re-rank
     cands = (
-        e.join(F.broadcast(q), on=["table_id", "bucket"])
+        e.drop("n_vec")
+        .join(F.broadcast(q.drop("q_vec")), on=["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    n_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        cands.join(F.broadcast(q_vecs), on="query_id")
+        .join(n_vecs, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -468,16 +482,30 @@ def _ann_lsh_cosine_arrow(
 
     e = with_table_buckets(embeddings, "neighbor_id", "n_vec")
     q = with_table_buckets(queries, "query_id", "q_vec")
+    # id-pairs-only dedup + late vector re-join: same shape as the HOF
+    # variant (see ann_lsh_cosine) — the distinct shuffle never carries
+    # vectors
     cands = (
-        e.join(F.broadcast(q), on=["table_id", "bucket"])
+        e.drop("n_vec")
+        .join(F.broadcast(q.drop("q_vec")), on=["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    n_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        cands.join(F.broadcast(q_vecs), on="query_id")
+        .join(n_vecs, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("n_vec")), round_dp).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
