@@ -93,3 +93,55 @@ def test_interval_join_mirror_symmetry(spark, rows):
     a = sorted((r.l_v, r.r_v) for r in ab.collect())
     b = sorted((r.r_v, r.l_v) for r in ba.collect())
     assert a == b
+
+
+# -- dedup soundness ---------------------------------------------------------
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(token_lists=docs_strategy)
+@settings(**SETTINGS)
+def test_minhash_pairs_are_sound(spark, token_lists):
+    # every pair the pipeline RETURNS must truly meet the jaccard threshold
+    # (LSH banding may MISS pairs — approximate recall is by design — but a
+    # returned pair is exact-verified, so false positives are a bug)
+    from apache_flink_essentials_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    for r in pairs:
+        a, b = sets[r.id_a], sets[r.id_b]
+        exact = len(a & b) / len(a | b)
+        assert r.jaccard >= 0.5
+        assert abs(r.jaccard - exact) < 1e-12, (r.id_a, r.id_b, r.jaccard, exact)
+
+
+@given(token_lists=docs_strategy)
+@settings(**SETTINGS)
+def test_exact_dedup_counts_partition_corpus(spark, token_lists):
+    # dedup groups partition the corpus: group sizes sum to the doc count
+    # and each keep_id is the minimum member id of its group
+    from apache_flink_essentials_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup(df).collect()
+    assert sum(g.n_dups for g in groups) == len(token_lists)
+    normalized = {}
+    for i, toks in enumerate(token_lists):
+        normalized.setdefault(" ".join(toks), []).append(i)
+    expected_keeps = {min(ids) for ids in normalized.values()}
+    assert {g.keep_id for g in groups} == expected_keeps
