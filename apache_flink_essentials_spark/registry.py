@@ -1108,6 +1108,111 @@ _register(
 )(_q9)
 
 
+def _q16(spark: SparkSession, sf: str) -> DataFrame:
+    # NOT IN (null-free key) → broadcast anti join; distinct-count grid
+    bad_suppliers = load_table(spark, "supplier", sf).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load_table(spark, "part", sf).filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_register(
+    "q16_supplier_part_grid",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#45'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)(_q16)
+
+
+def _q21(spark: SparkSession, sf: str) -> DataFrame:
+    # chained EXISTS / NOT EXISTS with non-equi correlation: suppliers in
+    # one nation who returned items on multi-supplier finished orders where
+    # NO other supplier returned — a semi join then an anti join, both on
+    # (orderkey, suppkey≠) compound conditions
+    lineitem = load_table(spark, "lineitem", sf)
+    orders = load_table(spark, "orders", sf).filter(F.col("o_orderstatus") == "F")
+    nation = load_table(spark, "nation", sf).filter(F.col("n_name") == "NATION_3")
+    supplier = load_table(spark, "supplier", sf)
+    l1 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    waiting = (
+        l1.join(orders, F.col("o_key") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("o_key") == F.col("l2_orderkey"))
+            & (F.col("s_key") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o_key") == F.col("l3_orderkey"))
+            & (F.col("s_key") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                    "left_semi",
+                )
+            ),
+            F.col("s_key") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_register(
+    "q21_sole_returning_supplier",
+    """
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM lineitem l1, supplier, nation
+    WHERE l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_suppkey, s_name
+    """,
+)(_q21)
+
+
 def _cohort(spark: SparkSession, sf: str) -> DataFrame:
     # classic event-analytics cohort retention: users grouped by signup
     # week, activity counted per whole-week offset. Weeks are Monday-
