@@ -1213,6 +1213,240 @@ _register(
 )(_q21)
 
 
+def _q13(spark: SparkSession, sf: str) -> DataFrame:
+    # outer-join histogram (TPC-H Q13 pattern): orders-per-customer
+    # distribution. The LEFT join keeps zero-order customers and
+    # count(o_orderkey) counts only matched rows; pre-filtering the right
+    # side is equivalent to the ON-clause predicate for an outer join.
+    orders = load_table(spark, "orders", sf).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        load_table(spark, "customer", sf)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)(_q13)
+
+
+def _q2(spark: SparkSession, sf: str) -> DataFrame:
+    # correlated per-group MIN subquery (TPC-H Q2 pattern, adapted: no
+    # partsupp table — the supply relation is the distinct (part, supplier)
+    # pairs observed in lineitem). For each sized part, keep the region's
+    # supplier(s) with the minimum account balance among those who shipped
+    # it. The min-comparison is on a raw stored double (no arithmetic), so
+    # it is engine-exact without decimal detours.
+    region = load_table(spark, "region", sf).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    )
+    supplier = load_table(spark, "supplier", sf).join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    part = load_table(spark, "part", sf).filter(F.col("p_size") == 15)
+    supply = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_bal = supply.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_bal),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+_register(
+    "q2_min_balance_supplier",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey, s_suppkey, s_name, s_acctbal
+      FROM lineitem, supplier, nation, region, part
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND l_partkey = p_partkey AND p_size = 15
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+    FROM supply, part
+    WHERE l_partkey = p_partkey
+      AND s_acctbal = (SELECT min(s_acctbal) FROM supply s2
+                       WHERE s2.l_partkey = supply.l_partkey)
+    """,
+)(_q2)
+
+
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    # HAVING against a scalar-fraction subquery (TPC-H Q11 pattern): parts
+    # whose inventory value from one nation's suppliers exceeds 0.1% of
+    # that nation's total. The fraction compare is cross-multiplied to
+    # part_value * 1000 > total (exact DECIMALs) — no engine-dependent
+    # quotient decides group membership.
+    nation = load_table(spark, "nation", sf).filter(F.col("n_name") == "NATION_7")
+    supplier = load_table(spark, "supplier", sf).join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    value = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    )
+    per_part = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(supplier.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(value.alias("part_value_dec"))
+    )
+    total = per_part.agg(F.sum("part_value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_dec") * 1000 > F.col("total_dec"))
+        .select(
+            "l_partkey",
+            F.col("part_value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+_register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS part_value_dec
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE part_value_dec * 1000 > (SELECT sum(part_value_dec) FROM pv)
+    """,
+)(_q11)
+
+
+def _q12(spark: SparkSession, sf: str) -> DataFrame:
+    # two-level conditional counting after a join (TPC-H Q12 pattern,
+    # adapted to this schema: line-status plays ship-mode, order priority
+    # is bucketed high/low): per status, how many shipped lines in one
+    # year belong to urgent-ish orders vs not.
+    li = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            load_table(spark, "orders", sf),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_register(
+    "q12_priority_line_counts",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)(_q12)
+
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    # nested semi-join chain (TPC-H Q20 pattern, adapted): suppliers in one
+    # nation who are the TOP shipper (by total quantity) of some PROMO part.
+    # A fixed share threshold (TPC-H's 0.5*sum) empties as supplier count
+    # grows with SF; the per-part argmax is scale-invariant. The max
+    # comparison is an exact DECIMAL-sum equality; ties keep all maximal
+    # suppliers identically in both engines.
+    part = load_table(spark, "part", sf).filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, "lineitem", sf).join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty")
+    )
+    per_part_max = per_pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.max("supp_qty").alias("max_qty")
+    )
+    top_shippers = (
+        per_pair.join(
+            F.broadcast(per_part_max),
+            (F.col("l_partkey") == F.col("t_partkey"))
+            & (F.col("supp_qty") == F.col("max_qty")),
+        )
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, "nation", sf).filter(F.col("n_name") == "NATION_2")
+    return (
+        load_table(spark, "supplier", sf)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(top_shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+_register(
+    "q20_top_part_supplier",
+    """
+    WITH li AS (
+      SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,4)) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    ),
+    pair AS (SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty
+             FROM li GROUP BY l_partkey, l_suppkey),
+    mx AS (SELECT l_partkey AS t_partkey, max(supp_qty) AS max_qty
+           FROM pair GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      AND s_suppkey IN (SELECT l_suppkey FROM pair, mx
+                        WHERE l_partkey = t_partkey AND supp_qty = max_qty)
+    """,
+)(_q20)
+
+
 def _cohort(spark: SparkSession, sf: str) -> DataFrame:
     # classic event-analytics cohort retention: users grouped by signup
     # week, activity counted per whole-week offset. Weeks are Monday-
