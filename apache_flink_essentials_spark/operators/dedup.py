@@ -288,3 +288,115 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Returns ``(node, component)`` where
+    ``component`` is the minimum node id in the node's component; every node
+    that appears in any edge gets a row (components of size 1 never appear
+    in an edge list, so they are their own trivial component by definition).
+
+    Scale design: each round is one groupBy-min shuffle plus one equi-join on
+    the node id — no all-pairs step anywhere, and edge count never grows
+    beyond the input (both star ops only re-point edges toward smaller ids).
+    Convergence is O(log n) rounds, so a 100 TB pair list converges in a
+    handful of shuffles; ``localCheckpoint`` truncates the iterative lineage
+    so Catalyst never sees an exponentially nested plan.
+
+    Flink analog: this is the batch form of what the reference would express
+    as an iterative keyed dataflow; the reference has no graph operators, so
+    this lives in the north-star extension tier (SURVEY §2.10) serving
+    near-dup cluster canonicalization.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("v"),
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+        )
+        .filter(F.col("v") != F.col("u"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(d: DataFrame):
+        # decimal(38,0) sum of 64-bit hashes: exact, never overflows under
+        # ANSI mode regardless of id magnitude or edge count
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    sig = signature(e)
+    for _ in range(max_iterations):
+        # large-star: for every node, attach its strictly-larger neighbors to
+        # the minimum of its neighborhood (including itself).
+        und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = und.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+        large = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("v"), F.col("b").alias("u"))
+        )
+        # small-star: orient edges high→low, point every low neighbor (and
+        # the high node itself) at the neighborhood minimum.
+        o = large.select("u", "v").distinct()
+        smins = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("v"), F.col("v").alias("u"))
+            .unionAll(smins.select(F.col("m").alias("v"), F.col("u").alias("u")))
+        )
+        e = (
+            small.select(
+                F.least(F.col("v"), F.col("u")).alias("v"),
+                F.greatest(F.col("v"), F.col("u")).alias("u"),
+            )
+            .filter(F.col("v") != F.col("u"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged edge set is a star per component: (min, member) pairs.
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Canonical near-dup clusters: MinHash+LSH pairs → connected components
+    → one representative (min doc id) per cluster. Returns
+    ``(doc_id, rep_id)`` for every document that has at least one near-dup;
+    keep-set = all docs NOT in this result plus the rows where
+    ``doc_id = rep_id``.
+
+    This closes the near-dedup story end to end: pairwise LSH alone leaves
+    A~B, B~C ambiguous (drop B twice? keep A and C?); transitive clustering
+    gives the standard keep-one-per-cluster semantics used by LLM-corpus
+    pipelines (e.g. the RefinedWeb / SlimPajama dedup stages).
+    """
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("rep_id")
+    )

@@ -2171,3 +2171,28 @@ _register("multimodal_features")(
         M.documents_as_media(load_table(spark, "documents", sf))
     ).select("media_id", "payload_bytes", "feature_dim")
 )
+
+# -- near-dup cluster canonicalization (connected components over LSH pairs) --
+# Oracle: transitive closure via recursive CTE over the SAME pair list the
+# dedup_minhash_lsh oracle produces — exact component minimum per doc.
+_CC_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _MINHASH_ORACLE
+    + """
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, least(a, min(b))::BIGINT AS rep_id
+    FROM reach GROUP BY a
+    """
+)
+
+_register("dedup_cc_canonical", _CC_ORACLE)(
+    lambda spark, sf: D.dedup_clusters(load_table(spark, "documents", sf))
+)

@@ -208,3 +208,30 @@ def test_ivf_assign_arrow_matches_expression_form(spark):
     a = {r.vec_id: r.cluster_id for r in V.ivf_assign(emb, cents, use_arrow=False).collect()}
     b = {r.vec_id: r.cluster_id for r in V.ivf_assign(emb, cents, use_arrow=True).collect()}
     assert a == b
+
+
+def test_connected_components_planted_graph(spark):
+    # chain 1-2-3-4 (incl. a cycle edge), pair 10-11, star 20-{21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    rows = sorted((r.node, r.component) for r in D.connected_components(edges).collect())
+    assert rows == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(edges).count() == 0
+
+
+def test_dedup_clusters_transitive_chain(spark, docs):
+    # docs 0 (base), 1 (exact dup), 2 (near dup): LSH pairs (0,1),(0,2),(1,2)
+    # must collapse into ONE cluster with rep 0 — pairwise output alone
+    # can't express that; the cluster op must.
+    out = {r.doc_id: r.rep_id for r in D.dedup_clusters(docs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}
