@@ -1,0 +1,153 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY §2.10
+north-star tier): deterministic stratified sampling (domain mixing) and
+fixed-token-budget sequence packing.
+
+Scale design:
+  * stratified_sample is a pure narrow filter — no shuffle, no state. The
+    keep/drop decision is a deterministic md5 of (seed, id), so the sample
+    is reproducible run-to-run, stable under repartitioning, and can be
+    recomputed engine-independently (the DuckDB oracle runs the identical
+    arithmetic). At 100 TB this is the only sane shape: sampling must not
+    cost a shuffle, and re-runs must select the same rows so downstream
+    incremental stages stay consistent.
+  * pack_sequences shuffles once on a hash-derived group key, then packs
+    greedily WITHIN each group via applyInPandas — packing is embarrassingly
+    parallel across groups, state per task is one running counter, and group
+    count scales with the cluster (no global sort, no driver loop).
+
+The reference has no curation surface (it is a Flink DataStream essentials
+repo); these extend it per the BASELINE.json north-star contract, the way
+RefinedWeb/SlimPajama-style corpus pipelines compose sampling and packing
+after dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_DENOM = float(2**32)
+
+
+def uniform_hash_expr(id_col: str, seed: int = 0) -> Column:
+    """Deterministic uniform(0,1) from md5(seed:id): first 8 hex chars are a
+    uniform 32-bit integer (md5 bits are uniform), divided by 2^32.
+    Engine-portable — DuckDB computes the identical value via
+    ``('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT / 2^32``."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (domain mixing): keep a row iff
+    uniform_hash(seed, id) < rate(stratum). Rates are compiled into a
+    literal CASE chain, so the whole operator is one codegen'd projection +
+    filter — zero shuffle, pushdown-friendly, reproducible.
+
+    This is the "mix 30% web, 100% books, 5% logs" knob of a training-data
+    pipeline. Statistical note: using a hash of the id (not rand()) makes
+    the sample a consistent hash-sample — the same id is kept at rate 0.3
+    iff it is also kept at any rate ≥ 0.3, so mixes can be re-weighted
+    incrementally without churning previously selected rows.
+    """
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(uniform_hash_expr(id_col, seed) < rate)
+
+
+def stratified_sample_oracle_sql(
+    strata_col: str,
+    rates: Mapping[str, float],
+    select: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB SQL computing the identical sample (same md5 arithmetic)."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN {float(r)!r}" for v, r in sorted(rates.items())
+    )
+    return f"""
+    SELECT {select} FROM {table}
+    WHERE ('0x' || substr(md5('{seed}:' || {id_col}), 1, 8))::BIGINT
+            / 4294967296.0
+          < (CASE {strata_col} {cases} ELSE {float(default_rate)!r} END)
+    """
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    budget: int = 512,
+    num_groups: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a fixed-token-budget
+    training sequence (``pack_id``) such that each pack's total token count
+    stays ≤ budget (a document alone larger than the budget gets its own
+    pack and is flagged ``oversize``).
+
+    Shape: one shuffle on a deterministic hash-group key, then next-fit
+    packing in id order inside each group via ``applyInPandas``. Packing is
+    partition-local by design — global optimal bin packing is NP-hard and
+    needs a global sort; next-fit within hash groups wastes at most one
+    partially-filled pack per group, negligible when groups hold thousands
+    of docs. ``pack_id = group * 2^40 + local_index`` is globally unique and
+    deterministic, so re-runs produce identical packs (required for
+    resumable tokenization jobs).
+    """
+    import pandas as pd
+
+    grouped = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(f"g{seed}"), F.col(id_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % num_groups
+        ).alias("pack_group"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        group = int(pdf["pack_group"].iloc[0])
+        pack_ids, oversize = [], []
+        local, acc = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc > 0 and acc + n > budget:
+                local += 1
+                acc = 0
+            pack_ids.append(group * (1 << 40) + local)
+            oversize.append(n > budget)
+            acc += n
+            if acc >= budget:
+                local += 1
+                acc = 0
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf[["doc_id", "n_tokens", "pack_group", "pack_id", "oversize"]]
+
+    return grouped.groupBy("pack_group").applyInPandas(
+        pack,
+        schema="doc_id long, n_tokens long, pack_group long, pack_id long, oversize boolean",
+    )

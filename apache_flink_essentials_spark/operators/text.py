@@ -139,3 +139,39 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     token stream — the exact-dedup key that ignores whitespace variance.
     md5 is engine-portable (identical hex in Spark & DuckDB)."""
     return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1
+    quality heuristics): per doc, the share of the most frequent token bigram
+    and the fraction of bigram occurrences that are repeats. High values mark
+    boilerplate / degenerate text a training pipeline should drop.
+
+    Shape: explode bigrams → two hash-agg shuffles keyed by (doc, bigram)
+    then doc — cost linear in corpus token count, no self-joins; partial
+    aggregation makes the first shuffle carry only distinct (doc, bigram)
+    counts. Docs with < 2 tokens have no bigrams and drop out (same semantics
+    in the DuckDB oracle, where unnest of an empty list emits no row).
+    """
+    toks = tokens_expr(text_col)
+    # guard: sequence(1, 0) would step DOWNWARD in Spark, so gate on size >= 2
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_share"),
+        (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias(
+            "dup_bigram_fraction"
+        ),
+    )

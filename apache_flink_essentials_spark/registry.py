@@ -2196,3 +2196,51 @@ _CC_ORACLE = (
 _register("dedup_cc_canonical", _CC_ORACLE)(
     lambda spark, sf: D.dedup_clusters(load_table(spark, "documents", sf))
 )
+
+# ---- corpus curation: domain mixing + repetition quality + packing ----
+from apache_flink_essentials_spark.operators import curation as CU  # noqa: E402
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+_register(
+    "curation_stratified_sample",
+    CU.stratified_sample_oracle_sql(
+        "source", _MIX_RATES, select="doc_id, source, n_chars", default_rate=0.05
+    ),
+)(lambda spark, sf: CU.stratified_sample(
+    load_table(spark, "documents", sf), "source", _MIX_RATES, default_rate=0.05
+).select("doc_id", "source", "n_chars"))
+
+_register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM toks
+    ), cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           max(c)::DOUBLE / sum(c) AS top_bigram_share,
+           1.0 - count(*)::DOUBLE / sum(c) AS dup_bigram_fraction
+    FROM cnt GROUP BY doc_id
+    """,
+)(lambda spark, sf: X.repetition_stats(load_table(spark, "documents", sf)))
+
+# Sequence packing: next-fit fold inside hash groups — the reset-on-overflow
+# accumulator is a non-associative sequential fold, not expressible as plain
+# SQL window functions, so the driver records the rows-only check; pytest
+# pins the invariants (each doc exactly once, pack sums ≤ budget, oversize
+# flagged, deterministic pack ids).
+_register("curation_pack_sequences")(
+    lambda spark, sf: CU.pack_sequences(
+        X.token_count(load_table(spark, "documents", sf)),
+        token_count_col="n_tokens",
+        budget=512,
+    )
+)

@@ -1,0 +1,83 @@
+"""Curation operators: deterministic stratified sampling (domain mixing),
+repetition-ratio quality, and fixed-budget sequence packing."""
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import curation as CU
+from apache_flink_essentials_spark.operators import text as X
+
+
+def _docs(spark):
+    rows = [(i, f"doc {i} body", "en", f"src{i % 4}", 10) for i in range(400)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = CU.stratified_sample(docs, "source", rates, default_rate=0.25)
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    assert by_src.get("src0") == 100          # rate 1.0 keeps everything
+    assert "src2" not in by_src               # rate 0.0 keeps nothing
+    assert 25 <= by_src.get("src1", 0) <= 75  # ~50 of 100 (exact hash sample)
+    assert 5 <= by_src.get("src3", 0) <= 50   # default 0.25 of 100
+    # deterministic: identical selection on re-run
+    again = {r.doc_id for r in CU.stratified_sample(
+        docs, "source", rates, default_rate=0.25).select("doc_id").collect()}
+    assert again == {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_stratified_sample_is_consistent_hash_sample(spark):
+    # keep-set at rate r is a SUBSET of keep-set at rate r' > r — the
+    # property that lets mixes be re-weighted without churning rows
+    docs = _docs(spark)
+    low = {r.doc_id for r in CU.stratified_sample(
+        docs, "source", {}, default_rate=0.3).select("doc_id").collect()}
+    high = {r.doc_id for r in CU.stratified_sample(
+        docs, "source", {}, default_rate=0.6).select("doc_id").collect()}
+    assert low <= high
+    assert len(low) < len(high)
+
+
+def test_repetition_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z"), (3, "w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    # doc 1 bigrams: "a b","b a","a b" → top share 2/3, dup fraction 1/3
+    assert abs(out[1].top_bigram_share - 2 / 3) < 1e-12
+    assert abs(out[1].dup_bigram_fraction - 1 / 3) < 1e-12
+    # doc 2: all distinct → top share 1/2, dup 0
+    assert abs(out[2].top_bigram_share - 0.5) < 1e-12
+    assert out[2].dup_bigram_fraction == 0.0
+    assert 3 not in out                        # single token → no bigrams
+
+
+def test_pack_sequences_invariants(spark):
+    docs = X.token_count(_docs(spark))
+    out = CU.pack_sequences(docs, "n_tokens", budget=7, num_groups=8).collect()
+    # every doc exactly once
+    assert sorted(r.doc_id for r in out) == list(range(400))
+    # per-pack token sums respect the budget (no oversize docs here: 3 tokens)
+    sums = {}
+    for r in out:
+        assert not r.oversize
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_tokens
+    assert all(s <= 7 for s in sums.values())
+    assert max(sums.values()) > 3              # packs actually combine docs
+
+
+def test_pack_sequences_oversize_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 5), (4, 6)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in CU.pack_sequences(
+        df, "n_tokens", budget=10, num_groups=2).collect()}
+    assert out[2].oversize and not out[1].oversize
+    # deterministic pack ids across runs and input partitioning
+    again = {r.doc_id: r.pack_id for r in CU.pack_sequences(
+        df.repartition(7), "n_tokens", budget=10, num_groups=2).collect()}
+    assert again == {d: r.pack_id for d, r in out.items()}
