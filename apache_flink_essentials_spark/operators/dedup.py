@@ -400,3 +400,29 @@ def dedup_clusters(
     return cc.select(
         F.col("node").alias(id_col), F.col("component").alias("rep_id")
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``new_df`` whose normalized-text
+    fingerprint already exists in ``corpus_df`` (the standard "dedup the new
+    crawl against the existing corpus" stage of an incremental pipeline).
+
+    Shape: LEFT ANTI join on a 16-byte md5 key — both sides reduce to
+    (fingerprint) before the join, so the shuffle carries hashes, never
+    documents; at 100 TB the corpus side is a distinct-fingerprint set that
+    Spark shuffle-partitions by hash (or broadcasts when small enough — AQE
+    decides from runtime size). Within-batch duplicates are kept (use
+    `exact_dedup` on the batch first for keep-one semantics).
+    """
+    fp = F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+    corpus_fps = corpus_df.select(fp.alias("fingerprint")).distinct()
+    return (
+        new_df.withColumn("fingerprint", fp)
+        .join(corpus_fps, "fingerprint", "left_anti")
+        .drop("fingerprint")
+    )

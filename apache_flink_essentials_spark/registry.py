@@ -2244,3 +2244,84 @@ _register("curation_pack_sequences")(
         budget=512,
     )
 )
+
+# ---- per-key sequential analytics (Window functions over event streams) ----
+from pyspark.sql import Window as _Win  # noqa: E402
+
+
+def _user_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    # per-user inter-event gaps via lag() — ONE shuffle on user_id serves
+    # both the lag and the per-user aggregate (Catalyst reuses the
+    # hash-partitioning of the Window exchange for the groupBy)
+    w = _Win.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = _events(spark, sf).select(
+        "user_id",
+        (_epoch("ts") - F.lag(_epoch("ts")).over(w)).alias("gap_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.avg("gap_s").alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+_register(
+    "events_user_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT
+               - lag(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT user_id, count(gap_s) AS n_gaps,
+           avg(gap_s) AS avg_gap_s, max(gap_s) AS max_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+)(_user_deltas)
+
+
+def _top2_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    # top-k per group: rank inside the partition, keep k — the scalable
+    # grouped top-k (never a global sort; one exchange on the group key,
+    # and Spark pushes a per-partition top-k limit below the rank filter)
+    w = _Win.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _events(spark, sf)
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+_register(
+    "events_top2_per_user",
+    """
+    SELECT user_id, event_id, value, rnk FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 2
+    """,
+)(_top2_per_user)
+
+# ---- incremental dedup: new batch vs existing corpus (anti-join) ----
+_register(
+    "dedup_incremental",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split_regex(lower(text), '\s+'), ' ')) AS fingerprint
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250
+    )
+    SELECT f.doc_id, f.source FROM fp f
+    WHERE f.doc_id >= 250
+      AND f.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    """,
+)(lambda spark, sf: D.dedup_against_corpus(
+    load_table(spark, "documents", sf).filter(F.col("doc_id") >= 250),
+    load_table(spark, "documents", sf).filter(F.col("doc_id") < 250),
+).select("doc_id", "source"))

@@ -235,3 +235,10 @@ def test_dedup_clusters_transitive_chain(spark, docs):
     # can't express that; the cluster op must.
     out = {r.doc_id: r.rep_id for r in D.dedup_clusters(docs).collect()}
     assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_dedup_against_corpus_drops_known_fingerprints(spark, docs):
+    corpus = docs.filter(F.col("doc_id") <= 1)       # contains base text
+    new = docs.filter(F.col("doc_id") >= 1)          # 1 dups corpus, 2-4 novel
+    kept = {r.doc_id for r in D.dedup_against_corpus(new, corpus).collect()}
+    assert kept == {2, 3, 4}                         # doc 1 dropped (known)
