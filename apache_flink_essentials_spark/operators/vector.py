@@ -559,3 +559,58 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids + cosine-to-centroid score per vector —
+    the standard corpus-hygiene screen (vectors far from their cluster's
+    centroid are mislabeled / noisy / adversarial candidates for review).
+
+    Shape: posexplode to (group, pos, val) → ONE hash-agg shuffle keyed by
+    (group, pos) builds all centroid components in parallel → centroids
+    reassembled per group (tiny: |groups| × dim rows) and broadcast back —
+    the full-width embedding table is scanned once, never shuffled, and the
+    scoring join is a broadcast hash join at any corpus size because the
+    centroid side only grows with |groups|.
+
+    Portability/determinism: component sums use DECIMAL(30,10) (exact,
+    order-independent — double summation order varies across partitions and
+    engines) and divide as double; the per-row cosine fold is sequential in
+    array order, identical in the DuckDB oracle. Score rounded to
+    ``round_digits`` like the other vector queries.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    comps = (
+        exploded.groupBy(group_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    centroids = comps.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(F.col(id_col), F.col(group_col), vec_d.alias("_v"))
+        .join(F.broadcast(centroids), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round(
+                cosine_expr(F.col("_v"), F.col("centroid")), round_digits
+            ).alias("cosine_to_centroid"),
+        )
+    )

@@ -2325,3 +2325,33 @@ _register(
     load_table(spark, "documents", sf).filter(F.col("doc_id") >= 250),
     load_table(spark, "documents", sf).filter(F.col("doc_id") < 250),
 ).select("doc_id", "source"))
+
+# ---- per-group centroid + outlier score (corpus hygiene) ----
+_register(
+    "vec_centroid_outliers",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ), comp AS (
+      SELECT label, pos,
+             sum(val::DECIMAL(30,10))::DOUBLE / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(c ORDER BY pos) AS centroid
+      FROM comp GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(
+             list_aggregate(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * c.centroid[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                 i -> c.centroid[i] * c.centroid[i]), 'sum'))),
+           6) AS cosine_to_centroid
+    FROM embeddings e JOIN cent c ON e.label = c.label
+    """,
+)(lambda spark, sf: V.centroid_outliers(load_table(spark, "embeddings", sf)))

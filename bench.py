@@ -65,6 +65,16 @@ HEADLINE = [
     "vec_ann_lsh",
     "vec_ivf_search",
     "vec_cosine_pairs_blocked",
+    # curation / clustering tier
+    "dedup_cc_canonical",
+    "dedup_incremental",
+    "curation_stratified_sample",
+    "text_repetition",
+    "curation_pack_sequences",
+    # sequential analytics
+    "events_user_gap_stats",
+    "events_top2_per_user",
+    "vec_centroid_outliers",
 ]
 
 

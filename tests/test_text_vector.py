@@ -242,3 +242,14 @@ def test_dedup_against_corpus_drops_known_fingerprints(spark, docs):
     new = docs.filter(F.col("doc_id") >= 1)          # 1 dups corpus, 2-4 novel
     kept = {r.doc_id for r in D.dedup_against_corpus(new, corpus).collect()}
     assert kept == {2, 3, 4}                         # doc 1 dropped (known)
+
+
+def test_centroid_outliers_hand_example(spark):
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),   # centroid [.5,.5]
+        (3, [2.0, 2.0], 1),                        # own centroid → cosine 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.cosine_to_centroid for r in V.centroid_outliers(df).collect()}
+    assert abs(out[1] - 0.707107) < 1e-6 and abs(out[2] - 0.707107) < 1e-6
+    assert abs(out[3] - 1.0) < 1e-6
