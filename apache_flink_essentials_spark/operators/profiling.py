@@ -1,0 +1,144 @@
+"""Data-profiling / diagnostics operators (SURVEY §2.10 north-star tier):
+key-skew profiling, per-key z-score anomaly flagging, and column profiling.
+
+These are the screens a 100 TB pipeline runs BEFORE choosing a physical
+strategy: the skew profile tells you whether a join/agg key needs salting
+(`skew.salted_agg`) or AQE skew-join; the column profile is the
+null/cardinality audit that gates schema decisions; z-score flagging is the
+standard per-entity anomaly sweep over metric streams.
+
+Scale design:
+  * key_skew_profile reduces to per-key counts first (ONE hash-agg shuffle
+    with map-side partial aggregation — the full table is never re-shuffled),
+    then takes a global top-N with ``orderBy().limit(n)`` (Spark plans
+    TakeOrderedAndProject: per-partition top-N heaps merged on the driver,
+    no global sort), and only then applies ordered-window arithmetic to the
+    N surviving rows. The grand total rides along as a column computed in
+    the same aggregation pass (re-aggregated from the tiny per-key counts),
+    so the base table is scanned exactly once.
+  * zscore_anomalies aggregates per-key moments (count / Σx / Σx²) in ONE
+    decimal-exact shuffle, then broadcast-joins the |keys|-row stats table
+    back onto the events — the big side is scanned once and never shuffled.
+    Variance via E[x²]−E[x]² on deterministic doubles derived from exact
+    decimal sums, so the flag boundary is engine-portable.
+  * profile_columns computes every column's metrics in ONE aggregation over
+    ONE scan (Spark plans multi-distinct aggregates with an Expand node),
+    then unpivots the single result row with ``stack``. At 100 TB you would
+    swap exact count-distinct for HLL (`sketches.py`) — noted per call site.
+
+The reference (a Flink DataStream essentials repo) has no profiling surface;
+these extend it per the BASELINE.json north-star contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Top-N heaviest keys with count, share of total, and cumulative share.
+
+    Output: rnk (1-based, heaviest first), <key_col>, cnt, share, cum_share.
+    Ties are broken by key ascending so the profile is deterministic.
+    share/cum_share are BIGINT÷BIGINT rationals of exact counts — identical
+    doubles in any engine (left unrounded by design).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # grand total from the tiny per-key counts (no second scan of df)
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(top_n)
+        .join(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc(key_col)))
+        .alias("rnk"),
+        F.col(key_col),
+        F.col("cnt"),
+        (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        (F.sum("cnt").over(w).cast("double") / F.col("total")).alias("cum_share"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key z-score anomaly flags: rows where |value − μ_key| > t·σ_key.
+
+    Moments are decimal-exact (``value`` is a 2-decimal metric in the events
+    fixture, so DECIMAL(18,4) / DECIMAL(30,8) sums are lossless and
+    order-independent); μ and population σ² are then derived in double from
+    those exact sums, making the comparison boundary bit-identical across
+    engines. z is emitted unrounded (identical operands → identical double).
+    """
+    v = F.col(value_col)
+    stats = (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast("decimal(18,4)")).cast("double").alias("s"),
+            F.sum((v.cast("decimal(18,4)") * v.cast("decimal(18,4)")))
+            .cast("double")
+            .alias("ss"),
+        )
+        .select(
+            key_col,
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) ** 2
+            ).alias("sigma"),
+        )
+    )
+    z = (v.cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            v.alias(value_col),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > F.lit(threshold))
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan column profile: per column, row count, null count, exact
+    distinct count, and min/max rendered as strings (numeric min/max taken
+    in the native type, THEN cast — not lexicographic).
+
+    Output: col_name, n_rows, n_null, n_distinct, min_s, max_s.
+    Exact count-distinct over many columns is the right call at audit scale;
+    for a 100 TB continuous profile swap in HLL partials (`sketches.py`)
+    and keep the same output contract.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
+    )
+    return one.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_s, max_s)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")

@@ -561,6 +561,56 @@ def embedding_dedup_pairs(
     )
 
 
+def quantize_int8_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column, reported as
+    per-vector stats: scale (maxabs/127), qnorm2 (Σ qᵢ², exact BIGINT) and
+    mse (mean squared reconstruction error) — the storage-scale path for an
+    embedding corpus (4×(float32→int8) shrink before ANN indexing).
+
+    Shape: a pure per-row projection — zero shuffle, zero state, trivially
+    parallel at any corpus size; the natural first stage of a quantized-ANN
+    pipeline (`ann_lsh_cosine` / `ivf_search` then operate on 1/4 the bytes).
+
+    Portability: quantization is defined as ``floor(x/scale + 0.5)`` clamped
+    to [−127, 127] — floor on identical doubles is bit-deterministic in any
+    engine (engine round() half-up/half-even variance never enters). scale
+    and mse are per-row rationals of identical operands, left unrounded per
+    the project's oracle conventions. All-zero vectors get scale 0 and are
+    defined to quantize to all-zero (guarded, no 0/0).
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vd, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(maxabs == 0, F.transform(vd, lambda _: F.lit(0.0))).otherwise(
+        F.transform(
+            vd,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)).cast("double")),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.aggregate(
+            q, F.lit(0.0), lambda acc, v: acc + v * v
+        ).cast("long").alias("qnorm2"),
+        (
+            F.aggregate(
+                F.zip_with(vd, q, lambda x, qi: (x - qi * scale) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size(F.col(vec_col))
+        ).alias("mse"),
+    )
+
+
 def centroid_outliers(
     df: DataFrame,
     id_col: str = "vec_id",

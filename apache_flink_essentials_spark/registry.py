@@ -2355,3 +2355,113 @@ _register(
     FROM embeddings e JOIN cent c ON e.label = c.label
     """,
 )(lambda spark, sf: V.centroid_outliers(load_table(spark, "embeddings", sf)))
+
+# ---- profiling / diagnostics tier ----
+from apache_flink_essentials_spark.operators import profiling as P  # noqa: E402
+
+_register(
+    "skew_profile_suppkey",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), total AS (SELECT sum(cnt) AS total FROM counts),
+    top AS (
+      SELECT l_suppkey, cnt FROM counts
+      ORDER BY cnt DESC, l_suppkey LIMIT 20
+    )
+    SELECT row_number() OVER (ORDER BY cnt DESC, l_suppkey)::INT AS rnk,
+           l_suppkey, cnt,
+           cnt::DOUBLE / total AS share,
+           (sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+                           ROWS UNBOUNDED PRECEDING))::DOUBLE / total
+             AS cum_share
+    FROM top, total
+    """,
+)(lambda spark, sf: P.key_skew_profile(
+    load_table(spark, "lineitem", sf), "l_suppkey", 20))
+
+
+_register(
+    "events_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum(value::DECIMAL(18,4))::DOUBLE AS s,
+             sum(value::DECIMAL(18,4) * value::DECIMAL(18,4))::DOUBLE AS ss
+      FROM events GROUP BY user_id
+    ), mu AS (
+      SELECT user_id, s / n AS mu, sqrt(ss / n - (s / n) ^ 2) AS sigma
+      FROM stats
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           (e.value::DOUBLE - mu) / sigma AS z
+    FROM events e JOIN mu USING (user_id)
+    WHERE abs((e.value::DOUBLE - mu) / sigma) > 2.0
+    """,
+)(lambda spark, sf: P.zscore_anomalies(load_table(spark, "events", sf)))
+
+
+_register(
+    "profile_documents",
+    """
+    WITH one AS (
+      SELECT count(*) AS n_rows,
+        sum((doc_id IS NULL)::BIGINT)  AS nn1, count(DISTINCT doc_id)  AS nd1,
+          min(doc_id)::VARCHAR  AS mn1, max(doc_id)::VARCHAR  AS mx1,
+        sum((text IS NULL)::BIGINT)    AS nn2, count(DISTINCT text)    AS nd2,
+          min(text)             AS mn2, max(text)             AS mx2,
+        sum((lang IS NULL)::BIGINT)    AS nn3, count(DISTINCT lang)    AS nd3,
+          min(lang)             AS mn3, max(lang)             AS mx3,
+        sum((source IS NULL)::BIGINT)  AS nn4, count(DISTINCT source)  AS nd4,
+          min(source)           AS mn4, max(source)           AS mx4,
+        sum((n_chars IS NULL)::BIGINT) AS nn5, count(DISTINCT n_chars) AS nd5,
+          min(n_chars)::VARCHAR AS mn5, max(n_chars)::VARCHAR AS mx5
+      FROM documents
+    )
+    SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (
+      SELECT 'doc_id'  AS col_name, n_rows, nn1 AS n_null, nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM one
+      UNION ALL
+      SELECT 'text',    n_rows, nn2, nd2, mn2, mx2 FROM one
+      UNION ALL
+      SELECT 'lang',    n_rows, nn3, nd3, mn3, mx3 FROM one
+      UNION ALL
+      SELECT 'source',  n_rows, nn4, nd4, mn4, mx4 FROM one
+      UNION ALL
+      SELECT 'n_chars', n_rows, nn5, nd5, mn5, mx5 FROM one
+    )
+    """,
+)(lambda spark, sf: P.profile_columns(
+    load_table(spark, "documents", sf),
+    ["doc_id", "text", "lang", "source", "n_chars"]))
+
+
+# ---- int8 scalar quantization (embedding storage-scale path) ----
+_register(
+    "vec_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0.0::DOUBLE)
+                  ELSE list_transform(v, x -> greatest(-127.0::DOUBLE,
+                         least(127.0::DOUBLE, floor(x / scale + 0.5))))
+             END AS qv
+      FROM base
+    )
+    SELECT vec_id, scale,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum')::BIGINT
+             AS qnorm2,
+           list_aggregate(
+             list_transform(range(1, len(v) + 1),
+                            i -> (v[i] - qv[i] * scale) ^ 2), 'sum')
+             / len(v) AS mse
+    FROM q
+    """,
+)(lambda spark, sf: V.quantize_int8_stats(load_table(spark, "embeddings", sf)))

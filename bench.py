@@ -75,6 +75,11 @@ HEADLINE = [
     "events_user_gap_stats",
     "events_top2_per_user",
     "vec_centroid_outliers",
+    # profiling / diagnostics tier
+    "skew_profile_suppkey",
+    "events_zscore_outliers",
+    "profile_documents",
+    "vec_quantize_int8",
 ]
 
 

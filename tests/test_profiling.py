@@ -1,0 +1,82 @@
+"""Hand-computed pins for the profiling/diagnostics tier
+(operators/profiling.py) and int8 quantization (operators/vector.py) —
+the oracle sweep covers the fixture tables; these pin the arithmetic on
+inputs small enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import profiling as P
+from apache_flink_essentials_spark.operators import vector as V
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string"
+    )
+
+
+def test_key_skew_profile_hand_example(keys_df):
+    rows = {r.rnk: r for r in P.key_skew_profile(keys_df, "k", 2).collect()}
+    assert rows[1].k == "a" and rows[1].cnt == 3
+    assert rows[1].share == pytest.approx(0.5) and rows[1].cum_share == pytest.approx(0.5)
+    assert rows[2].k == "b" and rows[2].cnt == 2
+    assert rows[2].share == pytest.approx(2 / 6) and rows[2].cum_share == pytest.approx(5 / 6)
+    assert len(rows) == 2  # top_n respected
+
+
+def test_zscore_anomalies_flags_only_outlier(spark):
+    # user 7: values 0,0,0,0,10 → μ=2, σ²=E[x²]−μ²=20−4=16, σ=4
+    # z(10)=2, z(0)=−0.5 → threshold 1.5 flags exactly the 10
+    df = spark.createDataFrame(
+        [(i, 7, 0.0) for i in range(4)] + [(4, 7, 10.0)],
+        "event_id long, user_id long, value double",
+    )
+    out = P.zscore_anomalies(df, threshold=1.5).collect()
+    assert len(out) == 1 and out[0].event_id == 4
+    assert out[0].z == pytest.approx(2.0)
+
+
+def test_profile_columns_counts_nulls_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], "id long, s string"
+    )
+    prof = {r.col_name: r for r in P.profile_columns(df, ["id", "s"]).collect()}
+    assert prof["id"].n_rows == 3 and prof["id"].n_null == 0
+    assert prof["id"].n_distinct == 3
+    assert prof["id"].min_s == "1" and prof["id"].max_s == "3"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 1
+    assert prof["s"].min_s == "x" and prof["s"].max_s == "x"
+
+
+def test_quantize_int8_hand_example(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in V.quantize_int8_stats(df).collect()}
+    # scale = 1/127; q = [floor(127.5)=127, floor(-63.5+0.5)=-63, 0]
+    assert out[1].scale == pytest.approx(1 / 127)
+    assert out[1].qnorm2 == 127 * 127 + 63 * 63
+    assert out[1].mse == pytest.approx((0.5 / 127) ** 2 / 3, rel=1e-6)
+    # all-zero vector: guarded — no NaN/inf, exact zeros
+    assert out[2].scale == 0.0 and out[2].qnorm2 == 0 and out[2].mse == 0.0
+
+
+def test_quantize_int8_error_bound(spark, embeddings=None):
+    # |x − q·scale| ≤ scale/2 per component ⇒ mse ≤ scale²/4
+    df = spark.createDataFrame(
+        [(i, [((i * 7 + j * 13) % 101 - 50) / 10.0 for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    bad = (
+        V.quantize_int8_stats(df)
+        .filter(F.col("mse") > (F.col("scale") ** 2) / 4 + 1e-12)
+        .count()
+    )
+    assert bad == 0
