@@ -139,6 +139,39 @@ def compact_files(
     return int(n)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: hash-partition rows into ``num_buckets`` files
+    per bucket column set, optionally sorted within each bucket.
+
+    This is the co-located-join primitive for repeated big-big joins: two
+    tables bucketed on the join key with the same bucket count join with
+    ZERO exchange (Spark reads bucket i of each side into the same task) —
+    at 100 TB the difference between re-shuffling 100 TB per join and a
+    shuffle-free sort-merge. Asserted by test_bucketed_join_has_no_exchange.
+
+    Bucket count sizing: buckets × file-size ≈ table size with files in the
+    128 MB–1 GB band; too few buckets caps join parallelism, too many makes
+    small files. ``sort_cols`` pre-sorts buckets so the SMJ's sort is also
+    eliminated (plus row-group data skipping on the sort key).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_stream_files(
     df: DataFrame,
     path: str,

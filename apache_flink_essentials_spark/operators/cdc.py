@@ -1,0 +1,79 @@
+"""Changelog (CDC) materialization: turn an upsert/delete event stream into
+the latest-state snapshot — the lakehouse merge-on-read shape (Flink calls
+this an upsert/retract stream materialized into a dynamic table; cf. the
+reference's keyed running-reduce jobs, e.g.
+`/root/reference/src/main/scala/essentialsstreams/DataStreams.scala` keyBy →
+reduce, which keep exactly "latest accumulated state per key").
+
+Scale design: ONE shuffle on the primary key, then a per-key window
+row_number — Spark pushes the rank-1 filter into the sort as a per-partition
+top-1 (no full per-key sort materialization). At 100 TB the same operator
+runs incrementally: `apply_changelog(snapshot.union(new_changes), ...)`
+compacts a base snapshot plus a day's changes in one pass, and writing the
+result bucketed by the key (`io.write_bucketed`) makes the NEXT compaction's
+shuffle disappear (bucket-local merge).
+
+Determinism: the sequence order must be total per key — pass a tiebreaker
+(e.g. ``["ts", "event_id"]``); otherwise "latest" is nondeterministic under
+re-partitioning in ANY engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest surviving row per key: rank changes per key by seq descending,
+    keep rank 1, drop keys whose latest op is a delete."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: every upsert becomes a
+    versioned validity interval ``[valid_from, valid_to)`` where ``valid_to``
+    is the NEXT change's sequence value (null = still open); delete ops close
+    the prior version's interval but emit no row of their own; ``is_current``
+    marks open intervals. This is the warehouse-dimension twin of
+    `apply_changelog` (latest state = the `is_current` slice).
+
+    Scale shape: identical to `apply_changelog` — ONE shuffle on the key,
+    then lead()/row_number() inside each key partition; no join against the
+    history table is ever needed because the interval close is derived from
+    the neighbor row. Incremental at 100 TB: re-run over open-interval rows
+    union the new day's changes; closed intervals are immutable and never
+    rewritten (append-only dimension storage).
+
+    ``seq_cols[0]`` is the validity dimension (e.g. the change timestamp);
+    extra seq cols only break ties in ordering.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in seq_cols])
+    return (
+        changes.withColumn("valid_from", F.col(seq_cols[0]))
+        .withColumn("valid_to", F.lead(seq_cols[0]).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .filter(F.col(op_col) != delete_op)
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny deterministic stopword inventories — enough for ratio features and a
 # stopword-overlap language heuristic (the real thing would be a fastText
@@ -174,4 +175,79 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias(
             "dup_bigram_fraction"
         ),
+    )
+
+
+def term_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary statistics: per term, the document frequency and the
+    total term frequency — the building block of tf-idf, stopword discovery,
+    and vocabulary pruning in a training-data pipeline.
+
+    Shape: ONE explode + two hash aggregations. The (doc, term) aggregation
+    is the big shuffle but map-side partial aggregation collapses repeats
+    before the exchange, so shuffled bytes ≈ distinct (doc, term) pairs; the
+    second agg's output is vocabulary-sized (small). At 100 TB: shuffle keyed
+    by term skews on stopwords ONLY in the second agg, whose input is already
+    ≤ one row per (doc, term) — worst-case per-key fan-in = corpus doc count,
+    handled by partial aggregation (each task pre-sums its terms).
+
+    All outputs are exact integers → bit-portable across engines.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf, with a
+    RATIO idf (score = tf * N / df) instead of the usual log idf: log() is
+    not bit-identical across engines/libms, while integer multiply + one
+    IEEE division of exact integer operands is — same ranking semantics
+    (N/df is a monotone transform of log(N/df)), deterministic everywhere.
+
+    Plan: the (doc, term) tf table is the only big intermediate; the df
+    table and the one-row doc count N are vocabulary-/scalar-sized and are
+    BROADCAST back onto it (no re-shuffle of the big side); the final
+    per-doc top-k is one row_number window partitioned by doc — at scale the
+    rank-1..k filter pushes into the sort as a per-partition top-k.
+    Deterministic tiebreak: (score desc, tf desc, term asc).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dftab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dftab), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )

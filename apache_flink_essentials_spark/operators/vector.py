@@ -585,15 +585,7 @@ def quantize_int8_stats(
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(vd, F.abs))
     scale = maxabs / F.lit(127.0)
-    q = F.when(maxabs == 0, F.transform(vd, lambda _: F.lit(0.0))).otherwise(
-        F.transform(
-            vd,
-            lambda x: F.greatest(
-                F.lit(-127.0),
-                F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)).cast("double")),
-            ),
-        )
-    )
+    q = _quantized_expr(vec_col)
     return df.select(
         F.col(id_col),
         scale.alias("scale"),
@@ -608,6 +600,72 @@ def quantize_int8_stats(
             )
             / F.size(F.col(vec_col))
         ).alias("mse"),
+    )
+
+
+def _quantized_expr(vec_col: str) -> Column:
+    """int8 code array (as doubles, exact integers) — shared with
+    quantize_int8_stats; scales cancel in cosine so codes alone suffice."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vd, F.abs))
+    scale = maxabs / F.lit(127.0)
+    return F.when(
+        maxabs == 0, F.transform(vd, lambda _: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            vd,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)).cast("double")),
+            ),
+        )
+    )
+
+
+def knn_cosine_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors computed on int8-quantized codes — the
+    memory-bandwidth-scale variant of `knn_cosine_bruteforce`: per-vector
+    symmetric quantization makes the scan side 4× smaller, and because
+    cos(q·s_a, q·s_b) = cos(q_a, q_b) (per-vector scales cancel), scoring
+    is PURE integer arithmetic — dot/norms are exact integers (≤ dim·127²,
+    far under 2^53), so the score is bit-deterministic across engines and
+    partitionings with no decimal machinery.
+
+    Same plan shape as the exact variant: broadcast(queries) × embeddings,
+    per-query top-k window; the quantization itself is a zero-shuffle
+    projection folded into the scan.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _quantized_expr(vec_col).alias("_qe")
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), _quantized_expr(vec_col).alias("_qq")
+    )
+    scored = (
+        emb.join(F.broadcast(qry))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("_qq"), F.col("_qe"))
+                / (norm_expr(F.col("_qq")) * norm_expr(F.col("_qe"))),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

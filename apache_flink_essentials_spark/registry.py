@@ -2465,3 +2465,164 @@ _register(
     FROM q
     """,
 )(lambda spark, sf: V.quantize_int8_stats(load_table(spark, "embeddings", sf)))
+
+# ---- CDC changelog materialization (lakehouse merge-on-read shape) ----
+from apache_flink_essentials_spark.operators import cdc as C  # noqa: E402
+
+
+def _cdc_latest(spark: SparkSession, sf: str) -> DataFrame:
+    # events replayed as a changelog on the user_id key: 'error' events act
+    # as deletes, everything else upserts; (ts, event_id) is the total seq
+    changes = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return C.apply_changelog(
+        changes, ["user_id"], ["ts_s", "event_id"]
+    ).select("user_id", "event_id", "ts_s", "value")
+
+
+_register(
+    "cdc_latest_state",
+    """
+    SELECT user_id, event_id, ts_s, value FROM (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY floor(epoch(ts))::BIGINT DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op != 'D'
+    """,
+)(_cdc_latest)
+
+
+# ---- quantized KNN (int8 codes; scales cancel → pure integer scoring) ----
+_register(
+    "vec_knn_quantized",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                  ELSE list_transform(v, x -> greatest(-127.0::DOUBLE,
+                         least(127.0::DOUBLE, floor(x / scale + 0.5))))
+             END AS q
+      FROM base
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> a.q[i] * b.q[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> a.q[i] * a.q[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> b.q[i] * b.q[i]), 'sum'))),
+             6) AS cosine
+      FROM (SELECT * FROM qv WHERE vec_id < 10) a, qv b
+      WHERE a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC)::INT
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)(lambda spark, sf: V.knn_cosine_quantized(
+    load_table(spark, "embeddings", sf),
+    load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+))
+
+
+# ---- corpus vocabulary stats + tf-idf (ratio-idf, engine-portable) ----
+_register(
+    "text_term_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM tok WHERE term != '' GROUP BY doc_id, term
+    )
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+    FROM tf GROUP BY term HAVING count(*) >= 5
+    """,
+)(lambda spark, sf: X.term_stats(load_table(spark, "documents", sf), min_df=5))
+
+
+_register(
+    "text_tfidf_top3",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM tok WHERE term != '' GROUP BY doc_id, term
+    ), df_t AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+             (tf.tf * n.n_docs)::DOUBLE / df_t.df::DOUBLE AS tfidf
+      FROM tf JOIN df_t USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, (row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tf DESC, term ASC))::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)(lambda spark, sf: X.tfidf_top_terms(load_table(spark, "documents", sf), k=3))
+
+
+# ---- SCD Type-2 versioned dimension history from the same changelog ----
+def _cdc_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    changes = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return C.scd2_history(changes, ["user_id"], ["ts_s", "event_id"]).select(
+        "user_id", "event_id", "valid_from", "valid_to", "version", "is_current"
+    )
+
+
+_register(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id, valid_from, valid_to, version, is_current FROM (
+      SELECT user_id, event_id, ts_s AS valid_from,
+             lead(ts_s) OVER w AS valid_to,
+             (row_number() OVER w)::INT AS version,
+             (lead(ts_s) OVER w IS NULL) AS is_current,
+             op
+      FROM (
+        SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+      )
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ) WHERE op != 'D'
+    """,
+)(_cdc_scd2)

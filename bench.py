@@ -80,6 +80,8 @@ HEADLINE = [
     "events_zscore_outliers",
     "profile_documents",
     "vec_quantize_int8",
+    "vec_knn_quantized",
+    "cdc_latest_state",
 ]
 
 

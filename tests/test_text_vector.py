@@ -253,3 +253,32 @@ def test_centroid_outliers_hand_example(spark):
     out = {r.vec_id: r.cosine_to_centroid for r in V.centroid_outliers(df).collect()}
     assert abs(out[1] - 0.707107) < 1e-6 and abs(out[2] - 0.707107) < 1e-6
     assert abs(out[3] - 1.0) < 1e-6
+
+
+def test_term_stats_hand_computed(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the dog runs"), (3, "a cat")],
+        "doc_id long, text string",
+    )
+    out = {r.term: (r.df, r.total_tf) for r in X.term_stats(docs).collect()}
+    assert out["the"] == (2, 3)   # docs 1,2; tf 2+1
+    assert out["cat"] == (2, 2)
+    assert out["dog"] == (2, 2)
+    assert out["runs"] == (1, 1)
+    assert out["a"] == (1, 1)
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: (r.term, r.tfidf) for r in out}
+    # doc 1: 'rare' tf=2 df=1 → 2*3/1=6 beats 'common' tf=1 df=3 → 1
+    assert top[1] == ("rare", 6.0)
+    assert top[2][0] == "x" and top[3][0] == "y"
