@@ -2626,3 +2626,63 @@ _register(
     ) WHERE op != 'D'
     """,
 )(_cdc_scd2)
+
+
+# ---- time-series tier: gapfill+LOCF, rows-frame moving aggregates ----
+from apache_flink_essentials_spark.operators import timeseries as TS  # noqa: E402
+
+
+_register(
+    "ts_gapfill_locf_hourly",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch(ts) / 3600)
+               ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+      FROM events
+    ), obs AS (
+      SELECT user_id, bucket, value FROM ranked WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g
+    LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+)(lambda spark, sf: TS.gapfill_locf(
+    _events(spark, sf), "user_id", "ts", "value", 3600, seq_cols=["event_id"]
+))
+
+
+def _ts_moving(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    return TS.moving_agg(ev, "user_id", "value", ["ts_s", "event_id"], preceding=3)
+
+
+_register(
+    "ts_moving_avg_4rows",
+    """
+    SELECT user_id, ts_s, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS moving_sum,
+           count(*) OVER w AS n_window,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / (count(*) OVER w) AS moving_avg
+    FROM (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s, value
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)(_ts_moving)

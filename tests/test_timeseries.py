@@ -1,0 +1,60 @@
+"""Pins for the time-series tier: gapfill+LOCF grid semantics and
+rows-frame moving aggregates, on hand-computable inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators import timeseries as TS
+
+
+def test_gapfill_locf_fills_missing_buckets(spark):
+    # key 1 observed at buckets 0 and 30 (step 10) → grid 0,10,20,30
+    # key 2 observed only at bucket 50 → single-cell grid
+    rows = [
+        (1, 5, 1.0),    # bucket 0
+        (1, 31, 4.0),   # bucket 30
+        (2, 55, 9.0),   # bucket 50
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, value double")
+    out = {
+        (r.k, r.bucket): r.value_locf
+        for r in TS.gapfill_locf(df, "k", "ts", "value", 10).collect()
+    }
+    assert out == {
+        (1, 0): 1.0,
+        (1, 10): 1.0,   # carried forward
+        (1, 20): 1.0,   # carried forward
+        (1, 30): 4.0,
+        (2, 50): 9.0,
+    }
+
+
+def test_gapfill_last_observation_in_bucket_wins(spark):
+    rows = [(1, 3, 1, 10.0), (1, 7, 2, 20.0), (1, 7, 3, 30.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long, value double")
+    out = TS.gapfill_locf(df, "k", "ts", "value", 10, seq_cols=["eid"]).collect()
+    assert len(out) == 1 and out[0].value_locf == 30.0  # ts 7 / eid 3 wins
+
+
+def test_moving_agg_frame_values(spark):
+    rows = [(1, i, float(i)) for i in range(1, 6)]  # values 1..5
+    df = spark.createDataFrame(rows, "k long, seq long, value double")
+    out = {
+        r.seq: (r.moving_sum, r.n_window, r.moving_avg)
+        for r in TS.moving_agg(df, "k", "value", ["seq"], preceding=2).collect()
+    }
+    assert out[1] == (1.0, 1, 1.0)
+    assert out[2] == (3.0, 2, 1.5)
+    assert out[3] == (6.0, 3, 2.0)
+    assert out[4] == (9.0, 3, 3.0)   # frame = {2,3,4}
+    assert out[5] == (12.0, 3, 4.0)  # frame = {3,4,5}
+
+
+def test_gapfill_grid_is_per_key_not_global(spark):
+    # keys with disjoint spans must not inherit each other's range
+    rows = [(1, 0, 1.0), (1, 20, 2.0), (2, 1000, 3.0), (2, 1010, 4.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, value double")
+    out = TS.gapfill_locf(df, "k", "ts", "value", 10)
+    counts = {r.k: r["count"] for r in out.groupBy("k").count().collect()}
+    assert counts == {1: 3, 2: 2}  # 0..20 and 1000..1010, no cross product
