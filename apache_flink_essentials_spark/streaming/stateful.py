@@ -196,3 +196,87 @@ def connect_ratio_stream(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CHANGELOG_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("seq1", T.LongType(), True),
+        T.StructField("seq2", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+_CHANGELOG_STATE = T.StructType(
+    [
+        T.StructField("seq1", T.LongType(), True),
+        T.StructField("seq2", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+
+def changelog_stream(
+    df: DataFrame,
+    key_col: str,
+    seq_cols: tuple[str, str],
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming twin of ``cdc.apply_changelog``: maintain the latest
+    surviving row per key across micro-batches, emitting the key's new state
+    (or a tombstone, ``is_deleted=True``) whenever a batch changes it —
+    Flink's upsert/retract stream materializing a dynamic table.
+
+    Out-of-order robustness: a change only applies if its (seq1, seq2)
+    exceeds the stored sequence, so late records never regress state — the
+    same "latest by total sequence order" contract as the batch operator.
+    State is one fixed-width row per key, distributed by key partitioning
+    (unlike the connect analog there is no parallelism-1 bottleneck).
+    """
+    s1c, s2c = seq_cols
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s1, s2, val, dead = state.get
+        else:
+            s1 = s2 = val = None
+            dead = False
+        changed = False
+        for pdf in pdfs:
+            for r1, r2, v, op in zip(
+                pdf[s1c], pdf[s2c], pdf[value_col], pdf[op_col]
+            ):
+                r1, r2 = int(r1), int(r2)
+                if s1 is None or (r1, r2) > (s1, s2):
+                    s1, s2 = r1, r2
+                    dead = op == delete_op
+                    val = None if dead else float(v)
+                    changed = True
+        state.update((s1, s2, val, dead))
+        if changed:
+            yield pd.DataFrame(
+                [(str(key[0]), s1, s2, val, dead)],
+                columns=["key", "seq1", "seq2", "value", "is_deleted"],
+            )
+        else:
+            yield pd.DataFrame(
+                [], columns=["key", "seq1", "seq2", "value", "is_deleted"]
+            )
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CHANGELOG_OUTPUT,
+            stateStructType=_CHANGELOG_STATE,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -372,3 +372,48 @@ def test_checkpoint_restart_exactly_once(spark, events):
     result = spark.read.parquet(out)
     assert result.count() == events.count()           # no loss, no dupes
     assert result.select("event_id").distinct().count() == events.count()
+
+
+def test_changelog_stream_final_state_equals_batch(spark, events):
+    """Replaying the events changelog through the stateful streaming operator
+    and keeping each key's highest-sequence emission must reproduce the batch
+    apply_changelog snapshot (alive keys), with deletes as tombstones."""
+    from apache_flink_essentials_spark.operators import cdc as C
+
+    changes = events.limit(2000).select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("event_id").alias("eid"),
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    stream = replay_as_stream(changes, num_files=4, order_by="ts_s")
+    out = run_stream_to_df(
+        stateful.changelog_stream(
+            stream, "user_id", ("ts_s", "eid"), "value"
+        ),
+        output_mode="update",
+    )
+    # final state per key = the emission with the highest (seq1, seq2)
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r.key)
+        if cur is None or (r.seq1, r.seq2) > (cur.seq1, cur.seq2):
+            final[r.key] = r
+    stream_alive = {
+        (int(r.key), r.seq1, r.seq2, r.value)
+        for r in final.values()
+        if not r.is_deleted
+    }
+    batch = {
+        (r.user_id, r.ts_s, r.eid, r.value)
+        for r in C.apply_changelog(changes, ["user_id"], ["ts_s", "eid"]).collect()
+    }
+    assert stream_alive == batch
+    # tombstoned keys = keys whose batch-latest op is a delete
+    dead_keys = {int(r.key) for r in final.values() if r.is_deleted}
+    all_keys = {r[0] for r in changes.select("user_id").distinct().collect()}
+    assert dead_keys == all_keys - {k for k, *_ in batch}
