@@ -236,3 +236,54 @@ def with_processing_time(df: DataFrame, col_name: str = "proc_time") -> DataFram
     construction — the reference documents the same caveat
     (TimeBasedTransformations.scala:38-40); excluded from oracle checks."""
     return df.withColumn(col_name, F.current_timestamp())
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    label_col: str,
+    gap: str = "30 minutes",
+    top_n: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-N event-label paths over gap-based sessions: sessionize per key,
+    concatenate each session's labels in (epoch-second, tiebreak) order into
+    a path string, and rank paths by how many sessions follow them — the
+    click-path / funnel-mining query over the reference's session windows
+    (`/root/reference/src/main/scala/essentialsstreams/WindowFunctions.scala`
+    EventTimeSessionWindows).
+
+    Requires an ``event_id`` column as the within-second tiebreaker so the
+    concatenation order is total (replay-stable, engine-portable).
+
+    Scale: one shuffle on the key for session assembly (session_window is a
+    native merging agg); the path-count agg's input is one row per session
+    and its output one row per distinct path; top-N is TakeOrdered (no
+    global sort materialization).
+    """
+    sess = df.groupBy(
+        F.col(key_col), F.session_window(F.col(ts_col), gap)
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).cast("long").alias("ts_s"),
+                            F.col("event_id"),
+                            F.col(label_col).alias("label"),
+                        )
+                    )
+                ),
+                lambda x: x["label"],
+            ),
+            sep,
+        ).alias("path")
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_n)
+    )

@@ -2686,3 +2686,46 @@ _register(
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )(_ts_moving)
+
+
+# ---- session path mining: top click-paths over 30-minute sessions ----
+_register(
+    "session_paths_top20",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             floor(epoch(ts))::BIGINT AS ts_s,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)(lambda spark, sf: W.session_paths(
+    _events(spark, sf), "user_id", "ts", "event_type"
+))
+
+
+# ---- one-pass equal-width value histogram ----
+_register(
+    "events_value_histogram",
+    """
+    SELECT floor(value / 5.0) * 5.0 AS bin_start,
+           count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)(lambda spark, sf: P.value_histogram(_events(spark, sf), "value", 5.0))

@@ -80,3 +80,18 @@ def test_quantize_int8_error_bound(spark, embeddings=None):
         .count()
     )
     assert bad == 0
+
+
+def test_value_histogram_bins_and_sums(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (12.5,), (-0.1,), (None,)], "value double"
+    )
+    out = {r.bin_start: (r.n_rows, r.sum_value) for r in
+           P.value_histogram(df, "value", 5.0).collect()}
+    assert out[0.0] == (2, 4.9)
+    assert out[5.0] == (1, 5.0)
+    assert out[10.0] == (1, 12.5)
+    assert out[-5.0] == (1, -0.1)
+    assert None not in out and len(out) == 4

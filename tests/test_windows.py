@@ -125,3 +125,36 @@ def test_processing_time_attribute(spark, events):
     out = W.with_processing_time(events.limit(10), "proc_time")
     rows = out.select("proc_time").collect()
     assert all(r.proc_time is not None for r in rows)
+
+
+def test_session_paths_hand_computed(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1, session 1: a>b ; session 2 (gap 40m): a>b
+        (1, 1, ts(0), "a"), (1, 2, ts(1), "b"),
+        (1, 3, ts(41), "a"), (1, 4, ts(42), "b"),
+        # user 2, one session: a>b
+        (2, 5, ts(0), "a"), (2, 6, ts(2), "b"),
+        # user 3, one session: c alone
+        (3, 7, ts(0), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = W.session_paths(df, "user_id", "ts", "event_type", gap="30 minutes")
+    got = [(r.path, r.n_sessions) for r in out.collect()]
+    assert got == [("a>b", 3), ("c", 1)]  # ordered by (count desc, path asc)
+
+
+def test_session_paths_orders_within_second_by_event_id(spark):
+    t = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, 2, t, "y"), (1, 1, t, "x")]  # same second, ids 1,2
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = W.session_paths(df, "user_id", "ts", "event_type").collect()
+    assert [(r.path, r.n_sessions) for r in out] == [("x>y", 1)]
