@@ -426,3 +426,44 @@ def dedup_against_corpus(
         .join(corpus_fps, "fingerprint", "left_anti")
         .drop("fingerprint")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination scan: for every training document, the
+    fraction of its DISTINCT n-gram shingles that occur anywhere in the
+    benchmark corpus — the standard train/test-overlap check run before
+    training (cf. GPT-3 appendix C / PaLM §C: n-gram collision
+    decontamination), expressed as a left join instead of a scan per
+    benchmark doc.
+
+    Plan shape: train side explodes to (doc, gram) — the only big
+    intermediate; the benchmark gram set is distinct-aggregated (benchmark
+    corpora are tiny next to training corpora) and BROADCAST, so the big
+    side is never shuffled; the per-doc ratio is one hash-agg keyed by doc.
+    At 100 TB of training text with a ~GB benchmark set this is one
+    broadcast probe per gram inside codegen. Ratio = int/int division of
+    identical operands → engine-portable, unrounded.
+    """
+    t = train.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("gram")
+    )
+    b = (
+        bench.select(F.explode(shingles_expr(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        t.join(F.broadcast(b), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+            (F.count("_hit") / F.count("*")).alias("contamination"),
+        )
+    )

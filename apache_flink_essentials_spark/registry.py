@@ -2729,3 +2729,41 @@ _register(
     GROUP BY 1
     """,
 )(lambda spark, sf: P.value_histogram(_events(spark, sf), "value", 5.0))
+
+
+# ---- benchmark decontamination: train/bench n-gram overlap ----
+_register(
+    "dedup_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(toks) >= 5
+                    THEN list_distinct(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM toks
+    ), bgrams AS (
+      SELECT DISTINCT gram FROM grams WHERE source IN ('src0', 'src1')
+    )
+    SELECT t.doc_id,
+           count(*) AS n_grams,
+           count(b.gram) AS n_contaminated,
+           count(b.gram) / count(*) AS contamination
+    FROM (SELECT * FROM grams WHERE source NOT IN ('src0', 'src1')) t
+    LEFT JOIN bgrams b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)(lambda spark, sf: D.ngram_contamination(
+    load_table(spark, "documents", sf).filter(
+        ~F.col("source").isin("src0", "src1")
+    ),
+    load_table(spark, "documents", sf).filter(
+        F.col("source").isin("src0", "src1")
+    ),
+    n=5,
+))
