@@ -86,6 +86,96 @@ def stratified_sample_oracle_sql(
     """
 
 
+def mixture_by_token_budget(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    seed: int = 0,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Training-mixture construction under per-source TOKEN budgets: for each
+    stratum, keep documents in deterministic hash order until the cumulative
+    token count reaches the stratum's budget (a document is kept iff the
+    running total *including it* is ≤ budget). Strata absent from
+    ``budgets`` are dropped. This is the "2 B tokens of web, 500 M of code"
+    knob applied after curation — budgets are in tokens, not documents, the
+    unit training mixtures are actually specified in.
+
+    Semantically this is a per-stratum cumulative-sum cutoff over the order
+    ``(bucket, h, id)`` where ``h = uniform_hash(seed, id)`` — which is what
+    the oracle SQL computes with one window. The Spark plan avoids that
+    global per-stratum sort: documents are hashed into ``num_buckets``
+    deterministic buckets; a first pass aggregates per-(stratum, bucket)
+    token sums (strata × num_buckets rows — collected to the driver like a
+    kmeans fit, it IS the plan); prefix sums over that tiny table decide,
+    per stratum, which buckets are kept WHOLE (a narrow filter on the big
+    side, no shuffle, no sort) and which single bucket straddles the
+    cutoff. Only the straddling bucket — 1/num_buckets of each stratum —
+    is window-sorted to apply the remaining budget. At 100 TB the heavy
+    path is one scan + one filter; the sort touches ~1.5 % of rows at the
+    default 64 buckets, and raising num_buckets shrinks it further.
+
+    Cumulative sums are exact BIGINT arithmetic; the hash and its bucket
+    assignment are the md5 arithmetic of ``uniform_hash_expr``, so the kept
+    set is bit-identical across engines, runs, and partitionings.
+    """
+    from pyspark.sql import Window
+
+    h = uniform_hash_expr(id_col, seed)
+    base = (
+        df.filter(F.col(strata_col).isin(*budgets.keys()))
+        .withColumn("_h", h)
+        .withColumn("_b", F.floor(F.col("_h") * num_buckets))
+        .withColumn("_tok", F.col(token_count_col).cast("long"))
+    )
+
+    sums = {
+        (r["s"], r["b"]): r["t"]
+        for r in base.groupBy(
+            F.col(strata_col).alias("s"), F.col("_b").alias("b")
+        )
+        .agg(F.sum("_tok").alias("t"))
+        .collect()
+    }
+    cutoff: dict[str, int] = {}
+    remaining: dict[str, int] = {}
+    for stratum, budget in budgets.items():
+        acc = 0
+        cut = num_buckets
+        for b in range(num_buckets):
+            t = sums.get((stratum, b), 0)
+            if acc + t > budget:
+                cut, remaining[stratum] = b, budget - acc
+                break
+            acc += t
+        cutoff[stratum] = cut
+
+    cut_expr: Column = F.lit(None).cast("long")
+    rem_expr: Column = F.lit(None).cast("long")
+    for stratum in sorted(budgets):
+        cond = F.col(strata_col) == stratum
+        cut_expr = F.when(cond, F.lit(cutoff[stratum])).otherwise(cut_expr)
+        rem_expr = F.when(
+            cond, F.lit(remaining.get(stratum, 0))
+        ).otherwise(rem_expr)
+
+    whole = base.filter(F.col("_b") < cut_expr)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    straddle = (
+        base.filter(F.col("_b") == cut_expr)
+        .withColumn("_cum", F.sum("_tok").over(w))
+        .filter(F.col("_cum") <= rem_expr)
+        .drop("_cum")
+    )
+    return whole.unionByName(straddle).drop("_h", "_b", "_tok")
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: str,

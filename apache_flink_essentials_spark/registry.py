@@ -2767,3 +2767,39 @@ _register(
     ),
     n=5,
 ))
+
+
+# ---- training-mixture construction under per-source token budgets ----
+def _mixture_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = X.token_count(load_table(spark, "documents", sf))
+    return CU.mixture_by_token_budget(
+        docs,
+        {"src2": 600, "src5": 100_000_000, "src8": 150, "src11": 0},
+        seed=0,
+        num_buckets=64,
+    ).select("doc_id", "source", "n_tokens")
+
+
+_register(
+    "curation_mixture_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\s+'))::INT AS n_tokens,
+             ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT
+               / 4294967296.0 AS h
+      FROM documents
+      WHERE source IN ('src2', 'src5', 'src8', 'src11')
+    ), c AS (
+      SELECT *, sum(n_tokens::BIGINT) OVER (
+               PARTITION BY source ORDER BY floor(h * 64), h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens FROM c
+    WHERE cum <= CASE source WHEN 'src2' THEN 600
+                             WHEN 'src5' THEN 100000000
+                             WHEN 'src8' THEN 150
+                             WHEN 'src11' THEN 0 END
+    """,
+)(_mixture_q)

@@ -81,3 +81,30 @@ def test_pack_sequences_oversize_and_determinism(spark):
     again = {r.doc_id: r.pack_id for r in CU.pack_sequences(
         df.repartition(7), "n_tokens", budget=10, num_groups=2).collect()}
     assert again == {d: r.pack_id for d, r in out.items()}
+
+
+def test_mixture_by_token_budget_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", 10) for i in range(300)],
+        "doc_id long, source string, n_tokens long",
+    )
+    budgets = {"src0": 250, "src1": 10_000, "src2": 0}
+    out = CU.mixture_by_token_budget(
+        df, budgets, token_count_col="n_tokens", num_buckets=8
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r.source] = per.get(r.source, 0) + r.n_tokens
+    # budget respected per stratum; no slack bigger than one doc
+    assert per.get("src0", 0) == 250            # 25 docs of 10 tokens fit exactly
+    assert per.get("src1", 0) == 1000           # whole stratum fits
+    assert "src2" not in per                    # zero budget drops stratum
+    # deterministic under repartitioning and bucket count
+    again = sorted(
+        r.doc_id
+        for r in CU.mixture_by_token_budget(
+            df.repartition(13), budgets, token_count_col="n_tokens", num_buckets=8
+        ).collect()
+    )
+    assert again == sorted(r.doc_id for r in rows)
