@@ -247,3 +247,29 @@ def connect_ratio(
         "left_pct",
         F.col("left_count") * 100.0 / (F.col("left_count") + F.col("right_count")),
     )
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (band) join: tag each fact row with the band whose
+    ``[lo, hi)`` interval contains ``value_col``. Extends the reference's
+    equi-only join surface (MultipleStreams.scala:36-57) with the
+    non-equi banding every metrics pipeline needs (histogram tiers,
+    SLA buckets, price bands).
+
+    The band table is tiny by construction, so the plan MUST be a
+    BroadcastNestedLoopJoin — each fact partition scans the broadcast
+    band list in place; no shuffle of the fact side, no cartesian
+    exchange. At 100 TB the fact side streams through unchanged; cost is
+    |facts| × |bands| comparisons, which for ≤100 bands is cheaper than
+    one exchange. For band tables too big to broadcast, sort both sides
+    and use `as_of_join` on ``lo`` plus a ``hi`` filter instead.
+    """
+    b = F.broadcast(bands)
+    v = facts[value_col]
+    return facts.join(b, (v >= b[lo_col]) & (v < b[hi_col]), "left")

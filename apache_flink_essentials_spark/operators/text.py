@@ -13,6 +13,8 @@ in __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -250,4 +252,76 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# Default PII-ish patterns. Kept to RE2-compatible syntax (no backrefs, no
+# lookaround) so Spark's java.util.regex and DuckDB's RE2 agree exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact(
+    df: DataFrame,
+    patterns: Mapping[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII-style regex redaction: replace every match of each named pattern
+    with ``<NAME>`` and count the replacements per pattern.
+
+    Pure JVM-side ``regexp_replace`` / ``regexp_count`` chain — no shuffle,
+    no Python, scales as a narrow map over the corpus. Patterns are applied
+    in sorted-name order so composition is deterministic. Counts are taken
+    BEFORE any replacement so overlapping patterns report what they saw in
+    the original text.
+
+    Reference has no redaction surface (its transforms are arithmetic,
+    `/root/reference/src/main/scala/essentialsstreams/DataStreams.scala`);
+    this is north-star curation plumbing.
+    """
+    pats = dict(PII_PATTERNS if patterns is None else patterns)
+    out_cols = [F.col(id_col)]
+    redacted = F.col(text_col)
+    for name in sorted(pats):
+        out_cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pats[name]))
+            .cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pats[name], f"<{name.upper()}>")
+    return df.select(*out_cols, redacted.alias("redacted"))
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Corpus inverted index: term → document frequency + the first
+    ``max_postings`` doc ids (ascending) holding the term.
+
+    Plan: explode to distinct (term, doc) pairs (map-side partials collapse
+    in-doc repeats before the exchange), then ONE hash aggregate per term
+    collecting df + a capped, sorted postings sample. The cap bounds output
+    row width — a full postings list for a stopword at 100 TB would be the
+    corpus itself; capped postings serve index previews and planning, while
+    full postings would be written partitioned by term range instead.
+    ``slice(sort_array(...))`` runs after the aggregate on grouped arrays
+    whose size is already ≤ per-term distinct docs.
+    """
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list(id_col)), 1, max_postings
+        ).alias("postings"),
     )

@@ -2803,3 +2803,200 @@ _register(
                              WHEN 'src11' THEN 0 END
     """,
 )(_mixture_q)
+
+
+# =========================================================================
+# OLAP multi-grain aggregation (rollup / cube / grouping sets / pivot)
+# =========================================================================
+from apache_flink_essentials_spark.operators import olap as O  # noqa: E402
+
+
+def _events_daily(spark: SparkSession, sf: str) -> DataFrame:
+    return _events(spark, sf).select(
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400)
+        .cast("long").alias("day_start"),
+        "event_type", "user_id", "value",
+    )
+
+
+_register(
+    "olap_rollup_daily_type",
+    """
+    WITH ev AS (
+      SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_start,
+             event_type, value
+      FROM events
+    )
+    SELECT day_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(GROUPING(day_start) AS INT) AS g_day_start,
+           CAST(GROUPING(event_type) AS INT) AS g_event_type
+    FROM ev GROUP BY ROLLUP (day_start, event_type)
+    """,
+)(lambda spark, sf: O.rollup_agg(
+    _events_daily(spark, sf),
+    ["day_start", "event_type"],
+    {
+        "n_events": F.count("*"),
+        "sum_value": F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double"),
+    },
+))
+
+
+_register(
+    "olap_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)::BIGINT AS sum_qty,
+           count(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)(lambda spark, sf: O.cube_agg(
+    load_table(spark, "lineitem", sf),
+    ["l_returnflag", "l_linestatus"],
+    {
+        "sum_qty": F.sum("l_quantity").cast("long"),
+        "n_rows": F.count("*"),
+    },
+))
+
+
+_register(
+    "olap_grouping_sets_events",
+    """
+    WITH ev AS (
+      SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_start,
+             event_type, value
+      FROM events
+    )
+    SELECT day_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(GROUPING(day_start) AS INT) AS g_day_start,
+           CAST(GROUPING(event_type) AS INT) AS g_event_type
+    FROM ev GROUP BY GROUPING SETS ((day_start), (event_type), ())
+    """,
+)(lambda spark, sf: O.grouping_sets_agg(
+    _events_daily(spark, sf),
+    [["day_start"], ["event_type"], []],
+    ["day_start", "event_type"],
+    {
+        "n_events": "count(*)",
+        "sum_value": "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+    },
+))
+
+
+_register(
+    "olap_pivot_user_event_type",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)(lambda spark, sf: O.pivot_agg(
+    _events(spark, sf),
+    ["user_id"], "event_type",
+    ["click", "error", "purchase", "signup", "view"],
+    F.count(F.lit(1)), fill=0,
+))
+
+
+# =========================================================================
+# regex redaction + inverted index + non-equi band join + rank analytics
+# =========================================================================
+
+_register(
+    "text_redact",
+    r"""
+    SELECT doc_id,
+           length(regexp_extract_all(text, 'sp[a-z]+k'))::BIGINT AS n_spark,
+           length(regexp_extract_all(text, 'vec[a-z]*'))::BIGINT AS n_vec,
+           regexp_replace(
+             regexp_replace(text, 'sp[a-z]+k', '<SPARK>', 'g'),
+             'vec[a-z]*', '<VEC>', 'g') AS redacted
+    FROM documents
+    """,
+)(lambda spark, sf: X.redact(
+    load_table(spark, "documents", sf),
+    {"spark": r"sp[a-z]+k", "vec": r"vec[a-z]*"},
+))
+
+
+_register(
+    "text_inverted_index",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), pairs AS (
+      SELECT DISTINCT doc_id, term FROM tok WHERE term != ''
+    )
+    SELECT term, count(*)::BIGINT AS df,
+           list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings
+    FROM pairs GROUP BY term
+    """,
+)(lambda spark, sf: X.inverted_index(
+    load_table(spark, "documents", sf), max_postings=20
+))
+
+
+def _value_bands(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+         ("high", 150.0, 300.0), ("extreme", 300.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+
+
+_register(
+    "events_value_bands",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+      ('high', 150.0, 300.0), ('extreme', 300.0, 1e9))
+    SELECT band, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events LEFT JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)(lambda spark, sf: J.range_band_join(
+    _events(spark, sf), _value_bands(spark), "value"
+).groupBy("band").agg(
+    F.count("*").alias("n_events"),
+    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    .alias("sum_value"),
+))
+
+
+_register(
+    "events_value_ranks",
+    """
+    SELECT event_id, event_type,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)(lambda spark, sf: _events(spark, sf).select(
+    "event_id", "event_type",
+    F.ntile(10).over(
+        _Win.partitionBy("event_type").orderBy("value", "event_id")
+    ).alias("decile"),
+    F.percent_rank().over(
+        _Win.partitionBy("event_type").orderBy("value", "event_id")
+    ).alias("pr"),
+    F.cume_dist().over(
+        _Win.partitionBy("event_type").orderBy("value", "event_id")
+    ).alias("cd"),
+))
