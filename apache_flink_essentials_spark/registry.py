@@ -3000,3 +3000,56 @@ _register(
         _Win.partitionBy("event_type").orderBy("value", "event_id")
     ).alias("cd"),
 ))
+
+
+# =========================================================================
+# set operations + iterative graph analytics
+# =========================================================================
+from apache_flink_essentials_spark.operators import graph as G  # noqa: E402
+
+
+def _users_of(spark: SparkSession, sf: str, event_type: str) -> DataFrame:
+    return (
+        _events(spark, sf)
+        .filter(F.col("event_type") == event_type)
+        .select("user_id")
+    )
+
+
+_register(
+    "events_set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)(lambda spark, sf: _users_of(spark, sf, "click")
+    .intersect(_users_of(spark, sf, "view"))
+    .subtract(_users_of(spark, sf, "purchase")))
+
+
+_register(
+    "events_set_ops_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)(lambda spark, sf: _users_of(spark, sf, "click")
+    .intersectAll(_users_of(spark, sf, "view")))
+
+
+# customer→supplier order graph; iterative float algorithm → rows-only
+# driver check (semantics pinned by tests/test_graph.py, SURVEY §5)
+_register("graph_pagerank_custsupp")(
+    lambda spark, sf: G.pagerank(
+        load_table(spark, "orders", sf)
+        .join(load_table(spark, "lineitem", sf),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst")),
+        iterations=5,
+    )
+)

@@ -1,0 +1,64 @@
+"""PageRank semantics pinned against a pure-Python reference on
+hand-built graphs (iterative float algorithm → rows-only in the driver
+gate, exact semantics asserted here, SURVEY §5)."""
+
+import pytest
+
+from apache_flink_essentials_spark.operators import graph as G
+
+
+def _py_pagerank(edges, iterations=10, d=0.85):
+    out = {}
+    nodes = set()
+    for s, t in edges:
+        nodes.add(s)
+        nodes.add(t)
+        out.setdefault(s, set()).add(t)
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        base = (1.0 - d) / n + d * dangling / n
+        nxt = {v: base for v in nodes}
+        for s, ts in out.items():
+            share = ranks[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        ranks = nxt
+    return ranks
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank for r in G.pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_reference_model(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    got = _run(spark, edges, iterations=10)
+    want = _py_pagerank(edges, iterations=10)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # 3 has two in-links incl. the hub — must outrank everyone
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 2 is a sink: its mass must be spread, ranks still sum to 1
+    edges = [(1, 2), (3, 2)]
+    got = _run(spark, edges, iterations=7)
+    want = _py_pagerank(edges, iterations=7)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # duplicate edge rows must not double an edge's weight
+    got = _run(spark, [(1, 2), (1, 2), (2, 1)], iterations=5)
+    want = _py_pagerank([(1, 2), (2, 1)], iterations=5)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
