@@ -241,3 +241,58 @@ def pack_sequences(
         pack,
         schema="doc_id long, n_tokens long, pack_group long, pack_id long, oversize boolean",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap —
+    the context-window splitter every pretraining/RAG pipeline runs before
+    packing or embedding. Output: one row per chunk with ``chunk_id``
+    (0-based within doc), ``chunk_text``, ``n_chunk_tokens``.
+
+    Chunk k covers tokens [k·stride, k·stride + max_tokens) where
+    ``stride = max_tokens − overlap``; the last chunk may be short; a
+    document shorter than ``max_tokens`` yields exactly one chunk. No
+    trailing ghost chunk: a chunk starts only at offsets < n_tokens that
+    are either 0 or carry at least one NEW token past the previous chunk.
+
+    Plan shape: tokenize → ``sequence()`` of chunk starts → one
+    ``posexplode`` → ``slice`` + ``array_join``. Entirely narrow (zero
+    shuffle, whole-stage codegen); output rows ≈ input tokens /
+    stride × row overhead, so at 100 TB the operator streams and the only
+    cost is the deliberate data expansion the overlap requests.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # last chunk start: largest multiple of stride < n (and ≥ 0)
+    last_start = F.greatest(
+        F.lit(0), (F.ceil((n - F.lit(max_tokens)) / stride)).cast("long") * stride
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride))
+    out = (
+        df.select(
+            F.col(id_col), toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice("_toks", F.col("_start").cast("int") + 1, max_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens).cast("long"),
+                F.size("_toks") - F.col("_start"),
+            ).alias("n_chunk_tokens"),
+        )
+    )
+    return out

@@ -325,3 +325,56 @@ def inverted_index(
             F.sort_array(F.collect_list(id_col)), 1, max_postings
         ).alias("postings"),
     )
+
+
+def source_term_affinity(
+    df: DataFrame,
+    k: int = 5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-drift diagnostic: per stratum, the ``k`` terms most
+    over-represented relative to the whole corpus, scored by the frequency
+    ratio ``(c_st / n_s) / (c_t / n) = (c_st · n) / (c_t · n_s)``.
+
+    Portability design: the score is ONE double division of two exact
+    BIGINT products — no double sums, no logs — so it is bit-identical in
+    any engine and under any partitioning; ranking ties break on term.
+    (At 100 TB promote the products to DECIMAL(38,0); counts here are far
+    below 2^31 so BIGINT×BIGINT is exact.)
+
+    Plan: one explode → (stratum, term) hash-agg; per-term global counts
+    derive from a second agg OVER THE SMALL (stratum, term) table, not a
+    rescan; totals broadcast back; top-k is a per-stratum window over
+    aggregated rows only.
+    """
+    pairs = (
+        df.select(F.col(strata_col).alias("source"),
+                  F.explode(tokens_expr(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    per_term = pairs.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    per_src = pairs.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_total = F.broadcast(
+        per_term.agg(F.sum("c_t").alias("n_tot"))
+    )
+    scored = (
+        pairs.join(F.broadcast(per_term), "term")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(n_total)
+        .select(
+            "source", "term", "c_st", "c_t",
+            ((F.col("c_st") * F.col("n_tot")).cast("double")
+             / (F.col("c_t") * F.col("n_s")).cast("double")).alias("affinity"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("affinity"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "c_st", "c_t", "affinity", "rank")
+    )

@@ -3053,3 +3053,69 @@ _register("graph_pagerank_custsupp")(
         iterations=5,
     )
 )
+
+
+# =========================================================================
+# document chunking + corpus drift
+# =========================================================================
+
+_register(
+    "curation_chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) * 24)
+               AS last_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+             AS chunk_text,
+           least(32, n - start)::BIGINT AS n_chunk_tokens
+    FROM (
+      SELECT doc_id, toks, n,
+             unnest(range(0, last_start + 1, 24)) AS start
+      FROM s
+    )
+    """,
+)(lambda spark, sf: CU.chunk_documents(
+    load_table(spark, "documents", sf), max_tokens=32, overlap=8
+))
+
+
+_register(
+    "text_source_affinity_top5",
+    r"""
+    WITH pairs AS (
+      SELECT source, term, count(*)::BIGINT AS c_st
+      FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+      ) WHERE term != '' GROUP BY source, term
+    ), per_term AS (
+      SELECT term, sum(c_st)::BIGINT AS c_t FROM pairs GROUP BY term
+    ), per_src AS (
+      SELECT source, sum(c_st)::BIGINT AS n_s FROM pairs GROUP BY source
+    ), tot AS (
+      SELECT sum(c_t)::BIGINT AS n_tot FROM per_term
+    ), scored AS (
+      SELECT p.source, p.term, p.c_st, t.c_t,
+             CAST(p.c_st * n_tot AS DOUBLE) / CAST(t.c_t * s.n_s AS DOUBLE)
+               AS affinity
+      FROM pairs p JOIN per_term t USING (term)
+                   JOIN per_src s USING (source), tot
+    )
+    SELECT source, term, c_st, c_t, affinity, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY affinity DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)(lambda spark, sf: X.source_term_affinity(
+    load_table(spark, "documents", sf), k=5
+))

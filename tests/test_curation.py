@@ -108,3 +108,47 @@ def test_mixture_by_token_budget_semantics(spark):
         ).collect()
     )
     assert again == sorted(r.doc_id for r in rows)
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(13))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        CU.chunk_documents(df, max_tokens=8, overlap=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 4 over 13 tokens: starts 0, 4, 8 — [0:8), [4:12), [8:13)
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert rows[0].chunk_text.split() == [f"t{i}" for i in range(8)]
+    assert rows[1].chunk_text.split() == [f"t{i}" for i in range(4, 12)]
+    assert rows[2].chunk_text.split() == [f"t{i}" for i in range(8, 13)]
+    assert [r.n_chunk_tokens for r in rows] == [8, 8, 5]
+
+
+def test_chunk_documents_short_and_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"x{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    out = CU.chunk_documents(df, max_tokens=8, overlap=4)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r.doc_id, []).append(r)
+    assert len(per[1]) == 1 and per[1][0].n_chunk_tokens == 3
+    # exactly max_tokens → one chunk, no ghost second chunk of pure overlap
+    assert len(per[2]) == 1 and per[2][0].n_chunk_tokens == 8
+
+
+def test_source_term_affinity_hand_example(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple pear", "s1"), (2, "pear pear pear pear kiwi", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source, r.term): r for r in X.source_term_affinity(docs, k=5).collect()}
+    # apple: c_st=2 (s1), c_t=2, n_s1=3, n=8 → affinity = 2*8/(2*3)
+    assert out[("s1", "apple")].affinity == 2 * 8 / (2 * 3)
+    assert out[("s1", "apple")].rank == 1
+    # kiwi only in s2: 1*8/(1*5)
+    assert out[("s2", "kiwi")].affinity == 8 / 5
+    assert out[("s2", "kiwi")].rank == 1
+    assert ("s1", "kiwi") not in out  # absent terms don't appear
