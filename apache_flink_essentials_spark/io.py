@@ -25,10 +25,11 @@ from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet TIMESTAMP(NANOS) columns (events.ts is timestamp[ns]) are illegal
-# in Spark 4 by default; we read them as raw nanos (legacy conf, settable at
-# runtime so it also works on a driver-created session) and convert to
-# microsecond TimestampType here.
+# Parquet TIMESTAMP(NANOS) columns (events.ts is timestamp[ns]) read as
+# TIMESTAMP_NTZ on Spark 4.1 defaults, which breaks the engine's
+# epoch-second cast convention; inferTimestampNTZ=false (runtime-settable)
+# reads them as plain TimestampType instead. Kept per-table in case a
+# session still surfaces raw-nanos BIGINTs (older legacy conf).
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -63,6 +64,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     should select/filter on the returned DataFrame and let the optimizer
     reach the scan (verified in tests via ``explain`` PushedFilters).
     """
+    # Defensive runtime confs so a DRIVER-created vanilla session matches
+    # get_spark() semantics: nanos parquet → TimestampType (not NTZ), and
+    # UTC so epoch/date expressions agree with the DuckDB oracle (naive=UTC).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, []):

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_DENOM = float(2**32)
@@ -296,3 +296,36 @@ def chunk_documents(
         )
     )
     return out
+
+
+def sample_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Take EXACTLY min(n, stratum size) rows per stratum, deterministically:
+    rank rows within each stratum by md5(seed:id) (a uniform pseudo-random
+    but reproducible order, same trick as `stratified_sample`) and keep
+    rank ≤ n. The "exactly 50k eval docs per source" knob — rate-based
+    sampling can't hit an exact count.
+
+    Scale: one shuffle on the stratum key + a per-partition top-n (Spark
+    plans rank-≤-n filters as a partial top-n before the exchange when the
+    WindowGroupLimit rule applies, so the full stratum is never sorted).
+    Caveat at 100 TB: strata counts are usually small (sources, languages),
+    so each stratum's candidate set lands on ONE task — fine for picking
+    n ≤ ~10M rows per stratum; for larger n switch to a two-phase
+    threshold estimate (sample the hash distribution, filter, exact-rank
+    only the boundary slice — same structure as mixture_by_token_budget).
+
+    Deterministic & engine-portable: md5 ties (none in practice) break on
+    the id itself.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n)
+    )

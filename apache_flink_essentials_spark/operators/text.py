@@ -378,3 +378,53 @@ def source_term_affinity(
         .filter(F.col("rank") <= k)
         .select("source", "term", "c_st", "c_t", "affinity", "rank")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-V
+    vocabulary — a perplexity *proxy* that is exact-arithmetic (a true LM
+    perplexity needs log(), which is not bit-portable across engines; an
+    OOV count is integers all the way down, so the driver's value-hash
+    check holds, and it ranks junk documents almost as well).
+
+    Plan shape (2 passes over the token stream, both narrow after the
+    explode): (1) vocabulary = top-V terms by total frequency — a hash-agg
+    whose output is vocabulary-sized, then a top-V sort over vocab rows
+    only; (2) per-doc OOV counting — the token stream LEFT-joins the
+    BROADCAST vocabulary (V ≤ ~100k terms → a few MB; never a shuffle of
+    the corpus) and one hash-agg on doc_id with map-side partials.
+    At 100 TB the only exchange carrying corpus-scale data is the doc_id
+    agg, already reduced to one row per doc by partial aggregation.
+
+    Determinism: top-V ties break on term ASC; the rate is one double
+    division of two exact BIGINTs → bit-identical in any engine.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -722,3 +722,68 @@ def centroid_outliers(
             ).alias("cosine_to_centroid"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster embeddings with k-means, then mark as
+    duplicates only items with a lower-id neighbor IN THE SAME CLUSTER at
+    cosine ≥ threshold. Complements `embedding_dedup_pairs` (LSH buckets,
+    dedup thresholds ≥.99): k-means clusters group by overall direction, so
+    the looser "semantically redundant" band (.9-.97) still meets its
+    neighbors, which sign-bit LSH increasingly misses below .99.
+
+    Returns the DROP LIST: (vec_id, cluster_id, kept_neighbor, max_cosine)
+    — one row per vector superseded by its lowest-id close neighbor.
+    Keep-side = anti-join the corpus against this list.
+
+    Scale shape: the fit collects only k×d centroids (kmeans_fit is fully
+    distributed); assignment is a broadcast-centroid narrow map; the pair
+    join shuffles on cluster_id so cost is Σ cluster² — choose k ≈ n/5000
+    to bound clusters, and raise `iters` only if centroid drift matters
+    (each iter is one posexplode agg over the corpus). Within-cluster
+    pairing is quadratic per cluster — exactly SemDedup's published cost
+    model; no all-pairs join ever forms.
+
+    Driver check is rows-only by design (k-means is float-iterative; the
+    drop set is stable for a given fit but not SQL-expressible); semantics
+    are pinned by a planted-duplicate test instead.
+    """
+    centers = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assigned = ivf_assign(embeddings, centers, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), "cluster_id"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cluster_id"
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        # one cluster per vector (functional dependency) — min() just keeps
+        # the aggregate order-insensitive
+        F.min("cluster_id").alias("cluster_id"),
+        F.min("id_a").alias("kept_neighbor"),
+        F.max("cosine").alias("max_cosine"),
+    )

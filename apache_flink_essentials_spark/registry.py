@@ -3119,3 +3119,64 @@ _register(
 )(lambda spark, sf: X.source_term_affinity(
     load_table(spark, "documents", sf), k=5
 ))
+
+
+# =========================================================================
+# exact-count stratified sampling + OOV-rate quality proxy + semantic dedup
+# =========================================================================
+
+_register(
+    "curation_sample_n_per_stratum",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('7:' || doc_id) ASC, doc_id ASC) AS INT)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+)(lambda spark, sf: CU.sample_n_per_stratum(
+    load_table(spark, "documents", sf), "source", 20, seed=7
+).select("doc_id", "source", "sample_rank"))
+
+
+_register(
+    "text_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+      ) WHERE term != ''
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS total_tf FROM tok GROUP BY term
+        ORDER BY total_tf DESC, term ASC LIMIT 100
+      )
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS oov_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+)(lambda spark, sf: X.oov_rate(
+    load_table(spark, "documents", sf), vocab_size=100
+))
+
+
+# k-means is float-iterative → rows-only driver check; semantics pinned by
+# the planted-duplicate test in tests/test_text_vector.py (SURVEY §5).
+# Threshold 0.4 is calibrated to the near-random fixture embeddings (no
+# cosine ≥0.6 pairs exist at sf0.01); real corpora use 0.9-0.97.
+_register("vector_semantic_dedup")(
+    lambda spark, sf: V.semantic_dedup(
+        load_table(spark, "embeddings", sf), k=8, iters=2, threshold=0.4
+    )
+)

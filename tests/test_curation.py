@@ -152,3 +152,28 @@ def test_source_term_affinity_hand_example(spark):
     assert out[("s2", "kiwi")].affinity == 8 / 5
     assert out[("s2", "kiwi")].rank == 1
     assert ("s1", "kiwi") not in out  # absent terms don't appear
+
+
+def test_sample_n_per_stratum_exact_counts(spark):
+    docs = _docs(spark)  # 100 docs in each of src0..src3
+    out = CU.sample_n_per_stratum(docs, "source", 30)
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {f"src{i}": 30 for i in range(4)}
+    # n larger than the stratum → whole stratum, no padding
+    small = docs.filter(F.col("doc_id") < 10)  # src0..3 with 2-3 docs each
+    full = CU.sample_n_per_stratum(small, "source", 30)
+    assert full.count() == 10
+
+
+def test_sample_n_per_stratum_deterministic_and_ranked(spark):
+    docs = _docs(spark)
+    a = CU.sample_n_per_stratum(docs, "source", 15, seed=3)
+    b = CU.sample_n_per_stratum(docs, "source", 15, seed=3)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect())
+    # ranks are 1..n within each stratum
+    ranks = {(r.source, r.sample_rank) for r in a.collect()}
+    assert ranks == {(f"src{i}", k) for i in range(4) for k in range(1, 16)}
+    # a different seed picks a different subset (overwhelming probability)
+    c = CU.sample_n_per_stratum(docs, "source", 15, seed=4)
+    assert {r.doc_id for r in a.collect()} != {r.doc_id for r in c.collect()}

@@ -282,3 +282,34 @@ def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     # doc 1: 'rare' tf=2 df=1 → 2*3/1=6 beats 'common' tf=1 df=3 → 1
     assert top[1] == ("rare", 6.0)
     assert top[2][0] == "x" and top[3][0] == "y"
+
+
+def test_oov_rate_planted(spark):
+    # "the" dominates; rare terms fall outside a top-1 vocabulary
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "the zebra"), (3, "qux zap")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.oov_rate(docs, vocab_size=1).collect()}
+    assert out[1].oov_tokens == 0 and out[1].oov_rate == 0.0
+    assert out[2].n_tokens == 2 and out[2].oov_tokens == 1
+    assert out[3].oov_rate == 1.0
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    rows = []
+    # two well-separated direction clusters, 20 vectors each; WITHIN a
+    # cluster, consecutive angles differ by ≥1.0° (cosine ≤ ~0.9998), so
+    # nothing but the planted pair crosses the 0.9999 threshold
+    for i in range(20):
+        rows.append((i, [10.0, 1.0 + i * 0.25, 0.0]))
+        rows.append((100 + i, [1.0 + i * 0.25, 10.0, 0.0]))
+    # planted near-duplicate pair INSIDE cluster A, angularly ~4.3° below
+    # the arm's lowest vector (cosine ≈ 0.997 to it — well under threshold)
+    rows.append((500, [10.0, 0.25, 0.0]))
+    rows.append((501, [10.001, 0.2501, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    drop = V.semantic_dedup(emb, k=2, iters=3, threshold=0.9999)
+    got = {r.vec_id: r.kept_neighbor for r in drop.collect()}
+    assert got.get(501) == 500  # higher id superseded by lowest-id neighbor
+    assert 500 not in got
