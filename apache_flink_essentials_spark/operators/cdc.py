@@ -77,3 +77,50 @@ def scd2_history(
         .filter(F.col(op_col) != delete_op)
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    dim_history: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts_col: str,
+    dim_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal validity) join: attach to each fact row the
+    dimension VERSION that was valid at the fact's timestamp —
+    ``d.valid_from <= f.ts AND (f.ts < d.valid_to OR d.valid_to IS NULL)``.
+    The consumer of `scd2_history`: training-data and warehouse pipelines
+    must join facts to *as-of* dimension attributes, not current ones
+    (joining current attributes leaks the future into historical rows).
+
+    Exactly one version can match per fact row: a key's intervals partition
+    its timeline (zero-length intervals [t, t) match nothing), so the join
+    never duplicates facts and needs no post-dedup.
+
+    Scale shape: an equi-join on the key with the interval predicate as a
+    residual filter — Catalyst plans broadcast-hash when the dimension fits
+    (the common case: dimensions are orders of magnitude smaller than
+    facts) and sort-merge otherwise; the fact side is never re-shuffled
+    beyond the one key exchange. Skewed hot keys fall under AQE skew-join
+    handling like any equi-join.
+    """
+    d = dim_history.select(
+        *[F.col(k).alias(f"_d_{k}") for k in key_cols],
+        F.col(valid_from).alias("_d_from"),
+        F.col(valid_to).alias("_d_to"),
+        *[F.col(c) for c in dim_cols],
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (fact[k] == F.col(f"_d_{k}"))
+    cond = (
+        cond
+        & (F.col("_d_from") <= fact[fact_ts_col])
+        & ((fact[fact_ts_col] < F.col("_d_to")) | F.col("_d_to").isNull())
+    )
+    return fact.join(d, cond, how).drop(
+        *[f"_d_{k}" for k in key_cols], "_d_from", "_d_to"
+    )

@@ -329,3 +329,80 @@ def sample_n_per_stratum(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: keep each row with
+    probability ``least(1, rate * w / mean_w)`` — rows are kept
+    proportionally to their weight (quality score, token count, dedup
+    cluster mass) while the expected kept fraction stays ≈ ``rate``.
+    The "sample 10% of the corpus, favoring high-quality docs" knob;
+    with ``weight_col`` = token count it is mass-proportional sampling
+    (every TOKEN equally likely to survive, the usual LLM-mixture basis).
+
+    Determinism & portability: the acceptance uniform is the same
+    md5(seed:id) hash as `stratified_sample` (consistent sample under
+    re-weighting); the mean weight is computed as an exact DECIMAL sum over
+    an exact row count, so the per-row threshold is one identical double
+    expression in any engine.
+
+    Scale shape: one scalar aggregate (decimal sum + count → a single row,
+    broadcast back via cross join) and then a zero-shuffle codegen'd
+    filter over the corpus — the big side is scanned once and never
+    exchanged.
+    """
+    stats = df.agg(
+        F.sum(F.col(weight_col).cast("decimal(28,6)")).alias("_w_sum"),
+        F.count(F.lit(1)).alias("_w_n"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(rate))
+        * F.col(weight_col).cast("double")
+        * F.col("_w_n").cast("double")
+        / F.col("_w_sum").cast("double"),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(uniform_hash_expr(id_col, seed) < p)
+        .drop("_w_sum", "_w_n")
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 0,
+    label_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: every row of the same
+    GROUP (source domain, URL host, dedup cluster id) lands in the same
+    split, because the assignment hashes the group key — near-duplicate or
+    related rows can never straddle train and eval, the contamination mode
+    a row-level random split invites.
+
+    ``fractions`` maps label → fraction, summing to ≤ 1 (any remainder
+    falls into the LAST label, so {"train": .9, "val": .05, "test": .05}
+    is exact). Assignment compiles to one CASE chain over
+    ``uniform_hash(seed, group)`` — zero shuffle, reproducible, and stable
+    under incremental appends: a NEW row of an existing group joins its
+    group's split without reshuffling anything already assigned.
+    """
+    u = uniform_hash_expr(group_col, seed)
+    labels = list(fractions)
+    expr: Column = F.lit(labels[-1])
+    acc = 0.0
+    bounds: list[tuple[str, float]] = []
+    for lab, frac in list(fractions.items())[:-1]:
+        acc += float(frac)
+        bounds.append((lab, acc))
+    for lab, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(lab)).otherwise(expr)
+    return df.withColumn(label_col, expr)

@@ -3180,3 +3180,92 @@ _register("vector_semantic_dedup")(
         load_table(spark, "embeddings", sf), k=8, iters=2, threshold=0.4
     )
 )
+
+
+# =========================================================================
+# point-in-time (as-of-validity) join + weighted sampling
+# =========================================================================
+
+def _cdc_pit(spark: SparkSession, sf: str) -> DataFrame:
+    """Each event joined to the SCD2 dimension version valid at its ts —
+    fact and dimension derive from the same events changelog, so the fact
+    at a version's open is matched to exactly that version."""
+    ev = _events(spark, sf)
+    fact = ev.select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("dim_event_id"),
+        F.col("ts").cast("long").alias("chg_ts"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    dim = C.scd2_history(changes, ["user_id"], ["chg_ts", "dim_event_id"])
+    return C.point_in_time_join(
+        fact, dim, ["user_id"], "ts_s", ["dim_event_id", "version"]
+    ).select("event_id", "user_id", "ts_s", "dim_event_id", "version")
+
+
+_register(
+    "cdc_point_in_time",
+    """
+    WITH dim AS (
+      SELECT user_id, dim_event_id, valid_from, valid_to, version FROM (
+        SELECT user_id, dim_event_id, chg_ts AS valid_from,
+               lead(chg_ts) OVER w AS valid_to,
+               (row_number() OVER w)::INT AS version, op
+        FROM (
+          SELECT user_id, event_id AS dim_event_id,
+                 floor(epoch(ts))::BIGINT AS chg_ts,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+          FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY chg_ts, dim_event_id)
+      ) WHERE op != 'D'
+    )
+    SELECT f.event_id, f.user_id, floor(epoch(f.ts))::BIGINT AS ts_s,
+           d.dim_event_id, d.version
+    FROM events f JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= floor(epoch(f.ts))::BIGINT
+     AND (floor(epoch(f.ts))::BIGINT < d.valid_to OR d.valid_to IS NULL)
+    """,
+)(_cdc_pit)
+
+
+_register(
+    "curation_weighted_sample",
+    """
+    WITH stats AS (
+      SELECT sum(CAST(n_chars AS DECIMAL(28,6))) AS w_sum,
+             count(*) AS n FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM documents, stats
+    WHERE ('0x' || substr(md5('5:' || doc_id), 1, 8))::BIGINT / 4294967296.0
+          < least(1.0, 0.2 * CAST(n_chars AS DOUBLE) * CAST(n AS DOUBLE)
+                       / CAST(w_sum AS DOUBLE))
+    """,
+)(lambda spark, sf: CU.weighted_sample(
+    load_table(spark, "documents", sf), "n_chars", 0.2, seed=5
+).select("doc_id", "source", "n_chars"))
+
+
+_register(
+    "curation_group_split",
+    """
+    SELECT doc_id, source,
+           CASE
+             WHEN ('0x' || substr(md5('3:' || source), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.8 THEN 'train'
+             WHEN ('0x' || substr(md5('3:' || source), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)(lambda spark, sf: CU.group_split(
+    load_table(spark, "documents", sf), "source",
+    {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
+).select("doc_id", "source", "split"))

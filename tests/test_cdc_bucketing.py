@@ -113,3 +113,43 @@ def test_scd2_current_slice_matches_apply_changelog(spark):
         for r in C.scd2_history(df, ["k"], ["seq"]).filter("is_current").collect()
     }
     assert latest == current
+
+
+def test_point_in_time_join_picks_valid_version(spark):
+    # dim history for key 1: v1 [10,20), v2 [20,30), v3 [30,open)
+    changes = spark.createDataFrame(
+        [(1, 10, "a", "U"), (1, 20, "b", "U"), (1, 30, "c", "U"),
+         # key 2: one version then deleted at 50
+         (2, 40, "x", "U"), (2, 50, "", "D")],
+        "k long, seq long, attr string, op string",
+    )
+    dim = C.scd2_history(changes, ["k"], ["seq"])
+    fact = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 19), (3, 1, 20), (4, 1, 99),
+         (5, 1, 5),            # before first version → no match
+         (6, 2, 45), (7, 2, 50), (8, 2, 60)],  # 7,8 after delete → no match
+        "fid long, k long, ts long",
+    )
+    out = C.point_in_time_join(fact, dim, ["k"], "ts", ["attr", "version"])
+    got = {r.fid: (r.attr, r.version) for r in out.collect()}
+    assert got == {
+        1: ("a", 1),   # boundary: ts == valid_from matches the opening version
+        2: ("a", 1),
+        3: ("b", 2),   # ts == next valid_from rolls to the next version
+        4: ("c", 3),   # open interval
+        6: ("x", 1),
+    }
+
+
+def test_point_in_time_join_never_duplicates_facts(spark):
+    changes = spark.createDataFrame(
+        [(1, t, f"v{t}", "U") for t in (10, 20, 20, 30)],  # tie at 20
+        "k long, seq long, attr string, op string",
+    )
+    dim = C.scd2_history(changes, ["k"], ["seq", "attr"])
+    fact = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(range(10, 40))],
+        "fid long, k long, ts long",
+    )
+    out = C.point_in_time_join(fact, dim, ["k"], "ts", ["attr"])
+    assert out.count() == out.select("fid").distinct().count()

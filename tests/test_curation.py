@@ -177,3 +177,40 @@ def test_sample_n_per_stratum_deterministic_and_ranked(spark):
     # a different seed picks a different subset (overwhelming probability)
     c = CU.sample_n_per_stratum(docs, "source", 15, seed=4)
     assert {r.doc_id for r in a.collect()} != {r.doc_id for r in c.collect()}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # weights: doc_id < 50 → 1, doc_id >= 350 → 100; rate 0.2 with
+    # mean_w ≈ 22 → light rows kept at ~0.2/22≈1%, heavy at 90%+
+    rows = [(i, "t", "en", "s", 1 if i < 350 else 100) for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = CU.weighted_sample(docs, "n_chars", 0.2, seed=1)
+    light = out.filter(F.col("doc_id") < 350).count()
+    heavy = out.filter(F.col("doc_id") >= 350).count()
+    assert heavy >= 40      # p capped at 1.0 for heavy rows (100*0.2*400/13350 > 1)
+    assert light < 30       # light rows kept at ~0.6%
+    # deterministic
+    again = CU.weighted_sample(docs, "n_chars", 0.2, seed=1)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect())
+
+
+def test_weighted_sample_uniform_weights_reduce_to_rate(spark):
+    docs = _docs(spark)  # constant n_chars=10 → p == rate exactly
+    out = CU.weighted_sample(docs, "n_chars", 0.5, seed=2)
+    assert 130 <= out.count() <= 270  # ~200 of 400
+
+
+def test_group_split_is_group_atomic_and_deterministic(spark):
+    docs = _docs(spark)
+    out = CU.group_split(docs, "source", {"train": 0.5, "val": 0.25, "test": 0.25})
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_group)
+    again = CU.group_split(docs, "source", {"train": 0.5, "val": 0.25, "test": 0.25})
+    assert {(r.doc_id, r.split) for r in out.collect()} == {
+        (r.doc_id, r.split) for r in again.collect()}
+    # labels restricted to the declared set
+    assert {r.split for r in out.collect()} <= {"train", "val", "test"}
