@@ -171,3 +171,48 @@ def value_histogram(
             .alias("sum_value"),
         )
     )
+
+
+def grouped_covariance(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-key population covariance between two metrics, decimal-exact:
+    Sx, Sy, Sxy accumulate as DECIMAL (order-independent, lossless for
+    fixed-point inputs), and cov = Sxy/n − (Sx/n)(Sy/n) is then a fixed
+    dag of double ops over exact operands — bit-identical across engines
+    and partitionings, like `zscore_anomalies`' moments.
+
+    ``x_col``/``y_col`` accept Column expressions (e.g. an hour-of-day
+    derived from the timestamp) — whatever is passed is cast to
+    DECIMAL(18,4) before summing, so inputs must be fixed-point-
+    representable at 4 decimals (true for metric columns and any integer
+    derivation; raw transcendental inputs would need rounding first).
+
+    Scale: ONE hash aggregation keyed by ``key_col``; partial aggregation
+    ships three decimals + a count per (key × map task). The classic
+    per-key feature-correlation profile at corpus scale.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("decimal(18,4)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("decimal(18,4)")
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+        .filter(F.col("n") >= min_n)
+        .select(
+            key_col,
+            "n",
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+            ).alias("cov_pop"),
+        )
+    )

@@ -434,3 +434,70 @@ def oov_rate(
             F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 scoring with a
+    RATIO idf (N/df instead of log((N-df+.5)/(df+.5))) — the same
+    determinism trade `tfidf_top_terms` makes: log() is not bit-portable
+    across engines, a ratio of exact integers is, and the doc ranking for
+    a fixed query is nearly identical (ratio idf is a monotone transform
+    of df, just steeper).
+
+      score(d) = Σ_t (N / df_t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Per-term partial scores are cast to DECIMAL(38,18) before the per-doc
+    sum so the fold is order-independent; every double input to the score
+    dag derives from exact integers (tf, df, dl, N, Σdl) → the whole
+    pipeline hash-matches the oracle.
+
+    Scale shape: the token stream is filtered to QUERY terms before any
+    shuffle (a few terms → tiny tf table); df/N/avgdl are query-sized or
+    scalar aggregates broadcast back; dl is a zero-shuffle projection.
+    Final top-k is TakeOrdered — no global sort. One corpus scan total.
+    """
+    toks = tokens_expr(text_col)
+    docs = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("dl"),
+    )
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        docs.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.col("n_docs").cast("double") / F.col("df_t").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    term_score = idf * (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * dl_d / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            term_score.cast("decimal(38,18)").alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -287,3 +287,68 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def session_capped(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    id_col: str,
+    max_duration_seconds: int | None = None,
+    max_events: int | None = None,
+) -> DataFrame:
+    """Gap-based sessions with a HARD CAP — by wall-clock span and/or event
+    count. Plain session windows (W3) merge unboundedly: a bot hammering a
+    key every second yields one infinite session whose state never closes.
+    Real analytics pipelines cap sessions ("30 min gap, 4 h max"); Flink
+    expresses this with dynamic gaps/custom triggers, Spark has no native
+    form — this composes it from two window passes over ONE key
+    partitioning:
+
+      pass 1: gap rule — a session break where ts − lag(ts) > gap; running
+              sum of breaks numbers the gap-sessions;
+      pass 2: within each gap-session, the cap splits by offset from the
+              session's first event: floor(Δt / max_duration) and/or
+              floor(event_rank / max_events) — whichever is finer splits
+              more; both are pure arithmetic, no extra shuffle.
+
+    Both passes share the hash partitioning on the key, so the operator
+    costs ONE exchange at any scale; per-key state is the sort of that
+    key's rows (Spark spills sorts; no unbounded agg state). Ordering is
+    total via (ts, id) — replay-stable and engine-portable. Output: one row
+    per capped session with bounds (epoch seconds) and event count.
+    """
+    ts_s = F.col(ts_col).cast("long")
+    base = df.select(
+        F.col(key_col), ts_s.alias("_ts_s"), F.col(id_col).alias("_id")
+    )
+    w = Window.partitionBy(key_col).orderBy("_ts_s", "_id")
+    brk = F.when(
+        F.col("_ts_s") - F.lag("_ts_s").over(w) > gap_seconds, 1
+    ).otherwise(0)
+    sess = base.withColumn("_sess", F.sum(brk).over(w))
+    wsess = Window.partitionBy(key_col, "_sess").orderBy("_ts_s", "_id")
+    # each cap yields its own monotone split index; grouping by the PAIR is
+    # their common refinement (max/greatest would merge across one cap's
+    # boundary whenever the other is already ahead)
+    sub_d: Column = F.lit(0).cast("long")
+    sub_c: Column = F.lit(0).cast("long")
+    if max_duration_seconds is not None:
+        start = F.min("_ts_s").over(
+            Window.partitionBy(key_col, "_sess")
+        )
+        sub_d = F.floor((F.col("_ts_s") - start) / max_duration_seconds)
+    if max_events is not None:
+        sub_c = F.floor((F.row_number().over(wsess) - 1) / max_events)
+    return (
+        sess.withColumn("_sub_d", sub_d)
+        .withColumn("_sub_c", sub_c)
+        .groupBy(key_col, "_sess", "_sub_d", "_sub_c")
+        .agg(
+            F.min("_ts_s").alias("session_start"),
+            F.max("_ts_s").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events")
+    )

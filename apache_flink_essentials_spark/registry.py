@@ -3269,3 +3269,101 @@ _register(
     load_table(spark, "documents", sf), "source",
     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
 ).select("doc_id", "source", "split"))
+
+
+# =========================================================================
+# capped sessions + grouped covariance + BM25 ranking
+# =========================================================================
+
+from apache_flink_essentials_spark.operators import profiling as PF2  # noqa: E402
+
+
+_register(
+    "w3_session_capped",
+    """
+    WITH base AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id FROM events
+    ), brk AS (
+      SELECT user_id, ts_s, event_id,
+             CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS b
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), sess AS (
+      SELECT user_id, ts_s, event_id,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+               AS sess_no
+      FROM brk
+    ), sub AS (
+      SELECT user_id, ts_s, sess_no,
+             floor((ts_s - min(ts_s) OVER (PARTITION BY user_id, sess_no))
+                   / 7200)::BIGINT AS sub_d,
+             floor((row_number() OVER (PARTITION BY user_id, sess_no
+                                       ORDER BY ts_s, event_id) - 1)
+                   / 5)::BIGINT AS sub_c
+      FROM sess
+    )
+    SELECT user_id, min(ts_s)::BIGINT AS session_start,
+           max(ts_s)::BIGINT AS session_end, count(*)::BIGINT AS n_events
+    FROM sub GROUP BY user_id, sess_no, sub_d, sub_c
+    """,
+)(lambda spark, sf: W.session_capped(
+    _events(spark, sf), "user_id", "ts", 1800, "event_id",
+    max_duration_seconds=7200, max_events=5,
+))
+
+
+_register(
+    "events_grouped_covariance",
+    """
+    SELECT user_id, n,
+           sxy / n - (sx / n) * (sy / n) AS cov_pop
+    FROM (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(epoch(ts) / 3600)::BIGINT % 24
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(floor(epoch(ts) / 3600)::BIGINT % 24
+                             AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+      FROM events GROUP BY user_id
+    ) WHERE n >= 2
+    """,
+)(lambda spark, sf: PF2.grouped_covariance(
+    _events(spark, sf), "user_id", "value",
+    (F.col("ts").cast("long") / F.lit(3600)).cast("long") % 24,
+))
+
+
+_register(
+    "text_bm25",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+             len(string_split_regex(lower(text), '\s+')) AS dl
+      FROM documents
+    ), scalars AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM d2
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d2
+      ) WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    )
+    SELECT doc_id, CAST(sum(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS bm25
+    FROM (
+      SELECT tf.doc_id,
+             (CAST(n_docs AS DOUBLE) / CAST(df_t AS DOUBLE))
+             * (CAST(tf AS DOUBLE) * 2.2
+                / (CAST(tf AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75
+                            + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN scalars
+    ) GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)(lambda spark, sf: X.bm25_rank(
+    load_table(spark, "documents", sf), ["spark", "window", "join"], k=10
+))

@@ -95,3 +95,21 @@ def test_value_histogram_bins_and_sums(spark):
     assert out[10.0] == (1, 12.5)
     assert out[-5.0] == (1, -0.1)
     assert None not in out and len(out) == 4
+
+
+def test_grouped_covariance_hand_example(spark):
+    from apache_flink_essentials_spark.operators.profiling import grouped_covariance
+
+    rows = [
+        # key 1: x=[1,2,3], y=[2,4,6] → cov_pop = 4/3 (perfectly linear)
+        (1, 1.0, 2.0), (1, 2.0, 4.0), (1, 3.0, 6.0),
+        # key 2: x=[1,3], y=[5,1] → means 2,3; cov = ((-1)(2)+(1)(-2))/2 = -2
+        (2, 1.0, 5.0), (2, 3.0, 1.0),
+        # key 3: single row → filtered by min_n
+        (3, 9.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    out = {r.k: r for r in grouped_covariance(df, "k", "x", "y").collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1].cov_pop - 4.0 / 3.0) < 1e-12
+    assert out[2].cov_pop == -2.0

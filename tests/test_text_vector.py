@@ -313,3 +313,23 @@ def test_semantic_dedup_planted_duplicates(spark):
     got = {r.vec_id: r.kept_neighbor for r in drop.collect()}
     assert got.get(501) == 500  # higher id superseded by lowest-id neighbor
     assert 500 not in got
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),      # heavy on both query terms
+            (2, "spark banana banana banana"),  # one hit, long-ish
+            (3, "banana kiwi mango papaya"),    # no hits
+            (4, "spark join"),                  # both terms, shortest doc
+        ],
+        "doc_id long, text string",
+    )
+    out = X.bm25_rank(docs, ["spark", "join"], k=10)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids            # zero-hit docs don't appear
+    assert ids[0] in (1, 4)        # both-term docs outrank the one-term doc
+    assert ids[-1] == 2
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)

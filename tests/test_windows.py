@@ -158,3 +158,54 @@ def test_session_paths_orders_within_second_by_event_id(spark):
     )
     out = W.session_paths(df, "user_id", "ts", "event_type").collect()
     assert [(r.path, r.n_sessions) for r in out] == [("x>y", 1)]
+
+
+def test_session_capped_gap_and_duration_and_count(spark):
+    from apache_flink_essentials_spark.operators.windows import session_capped
+
+    rows = [
+        # key 1: events at t=0,10,20 (one gap-session), gap=60
+        (1, 1, 0), (2, 1, 10), (3, 1, 20),
+        # then a gap > 60 → new session at t=200,210
+        (4, 1, 200), (5, 1, 210),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts long")
+    out = session_capped(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "k", "ts", 60, "event_id",
+    ).collect()
+    got = {(r.session_start, r.session_end, r.n_events) for r in out}
+    assert got == {(0, 20, 3), (200, 210, 2)}
+
+    # duration cap 15s splits the first session at offset >= 15
+    out2 = session_capped(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "k", "ts", 60, "event_id", max_duration_seconds=15,
+    ).collect()
+    got2 = {(r.session_start, r.session_end, r.n_events) for r in out2}
+    assert got2 == {(0, 10, 2), (20, 20, 1), (200, 210, 2)}
+
+    # event cap 2 splits the first session after 2 events
+    out3 = session_capped(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "k", "ts", 60, "event_id", max_events=2,
+    ).collect()
+    got3 = {(r.session_start, r.session_end, r.n_events) for r in out3}
+    assert got3 == {(0, 10, 2), (20, 20, 1), (200, 210, 2)}
+
+
+def test_session_capped_pair_refinement(spark):
+    from apache_flink_essentials_spark.operators.windows import session_capped
+
+    # one gap-session of 6 events at t=0..50 step 10; duration cap 25 →
+    # dur-subs [0,0,0][30,40][50]; count cap 4 → count-subs [0..3][4,5].
+    # pair refinement must split at BOTH boundaries: {0,10,20},{30},{40},{50}
+    rows = [(i, 1, i * 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts long")
+    out = session_capped(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "k", "ts", 100, "event_id",
+        max_duration_seconds=25, max_events=4,
+    ).collect()
+    got = {(r.session_start, r.session_end, r.n_events) for r in out}
+    assert got == {(0, 20, 3), (30, 30, 1), (40, 40, 1), (50, 50, 1)}
