@@ -63,15 +63,24 @@ def exact_dedup_stream(
 
 
 def shingles_expr(text_col: str = "text", k: int = 3) -> Column:
-    """k-token shingles (distinct) from whitespace tokens, via higher-order
-    functions — 0-based array indexing, all JVM-side."""
+    """k-token shingles (distinct) from whitespace tokens, all JVM-side.
+
+    Built as a zip_with fold over k array SLICES instead of per-index
+    element_at inside a transform lambda: expressions referenced inside a
+    higher-order-function lambda are re-evaluated per element (no common-
+    subexpression elimination across the lambda boundary — the same
+    O(tokens²) pathology measured in repetition_stats), while top-level
+    slices of the token array are CSE'd to one tokenization per row."""
     toks = tokens_expr(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
+    n = F.size(toks)
+    width = n - k + 1
+    zipped = F.slice(toks, 1, width)
+    for j in range(2, k + 1):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j, width), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(
-        F.size(toks) >= k, F.array_distinct(F.transform(idx, shingle_at))
+        n >= k, F.array_distinct(zipped)
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
@@ -90,6 +99,59 @@ def minhash_from_hashed(hashed_col: str, chunk: int) -> Column:
     return F.array_min(
         F.transform(F.col(hashed_col), lambda h: F.substring(h, chunk * 8 + 1, 8))
     )
+
+
+def _tok_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash signature pipeline: (id, tok_set, shingles) base frame
+    plus the exploded (id, band_idx, band_hash) frame. Every stage narrow;
+    the repartition spreads the md5-heavy signature work across cores (a
+    single small parquet file would otherwise serialize it on one task)."""
+    assert num_hashes % 4 == 0 and num_hashes // 4 >= 1
+    num_seeds = num_hashes // 4
+    rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    base = df.repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col),
+        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
+        shingles_expr(text_col, shingle_k).alias("shingles"),
+    )
+    hashed = base.select(
+        id_col,
+        "tok_set",
+        *[
+            hashed_shingles_expr(F.col("shingles"), s).alias(f"h{s}")
+            for s in range(num_seeds)
+        ],
+    )
+    sig = hashed.select(
+        id_col,
+        "tok_set",
+        *[
+            minhash_from_hashed(f"h{i // 4}", i % 4).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    return base, exploded
 
 
 def minhash_lsh_pairs(
@@ -131,43 +193,8 @@ def minhash_lsh_pairs(
         pairs; cap with ``max_bucket_size`` (oversized buckets are almost
         always boilerplate better handled by exact_dedup first)
     """
-    assert num_hashes % 4 == 0 and num_hashes // 4 >= 1
-    num_seeds = num_hashes // 4
-    rows_per_band = num_hashes // bands
-    spark = df.sparkSession
-    base = df.repartition(
-        spark.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
-        F.col(id_col),
-        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
-        shingles_expr(text_col, shingle_k).alias("shingles"),
-    )
-    hashed = base.select(
-        id_col,
-        "tok_set",
-        *[
-            hashed_shingles_expr(F.col("shingles"), s).alias(f"h{s}")
-            for s in range(num_seeds)
-        ],
-    )
-    sig = hashed.select(
-        id_col,
-        "tok_set",
-        *[
-            minhash_from_hashed(f"h{i // 4}", i % 4).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
+    base, exploded = _tok_bands(
+        df, id_col, text_col, num_hashes, bands, shingle_k
     )
     buckets = (
         exploded.groupBy("band_idx", "band_hash")
@@ -426,6 +453,75 @@ def dedup_against_corpus(
         .join(corpus_fps, "fingerprint", "left_anti")
         .drop("fingerprint")
     )
+
+
+def near_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR dedup: drop rows of ``new_df`` whose MinHash bands
+    collide with any corpus document AND whose exact token-set Jaccard
+    against that document meets the threshold — `dedup_against_corpus`
+    (exact fingerprints) widened to near-duplicates, the "drop the new
+    crawl's rewrites of pages we already have" stage.
+
+    Shape: both sides run the shared signature pipeline (narrow, md5-heavy
+    work spread across cores); the candidate join shuffles only
+    (id, band_hash) tuples — never documents; token sets re-join solely for
+    the candidate pairs; the final anti-join keys on bare ids. At 100 TB
+    the corpus side's band table is its doc count × bands rows of hashes —
+    persist it once and reuse it across daily batches (the signatures of an
+    immutable corpus never change).
+
+    Asymmetric by design: within-batch near-dups are kept (run
+    `dedup_clusters` on the batch first for keep-one semantics).
+    """
+    new_base, new_bands = _tok_bands(
+        new_df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    corp_base, corp_bands = _tok_bands(
+        corpus_df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    cand = (
+        new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+        .join(
+            corp_bands.select(
+                F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            new_base.select(
+                F.col(id_col).alias("new_id"), F.col("tok_set").alias("tok_n")
+            ),
+            "new_id",
+        )
+        .join(
+            corp_base.select(
+                F.col(id_col).alias("corpus_id"), F.col("tok_set").alias("tok_c")
+            ),
+            "corpus_id",
+        )
+    )
+    jac = F.size(F.array_intersect(F.col("tok_n"), F.col("tok_c"))) / F.size(
+        F.array_union(F.col("tok_n"), F.col("tok_c"))
+    )
+    matched = (
+        verified.filter(jac >= jaccard_threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
 
 
 def ngram_contamination(

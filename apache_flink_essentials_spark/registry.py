@@ -3367,3 +3367,40 @@ _register(
 )(lambda spark, sf: X.bm25_rank(
     load_table(spark, "documents", sf), ["spark", "window", "join"], k=10
 ))
+
+
+# =========================================================================
+# incremental NEAR dedup: new batch (odd ids) vs corpus (even ids)
+# =========================================================================
+
+# reuse the minhash oracle's CTE chain up through `banded`, then cross-join
+# new-side bands against corpus-side bands instead of self-pairing
+_MINHASH_BANDED_PREFIX = _MINHASH_ORACLE.split("), pairs AS (")[0]
+
+_NEAR_INC_ORACLE = _MINHASH_BANDED_PREFIX + """
+    ), pairs AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+       AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    ), matched AS (
+      SELECT DISTINCT p.new_id
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.new_id
+      JOIN toks tb ON tb.doc_id = p.corpus_id
+      WHERE len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+                / len(list_distinct(ta.tok_set || tb.tok_set)) >= 0.5
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM matched)
+"""
+
+
+def _near_inc(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.near_dedup_against_corpus(new, corpus).select("doc_id", "source")
+
+
+_register("dedup_near_incremental", _NEAR_INC_ORACLE)(_near_inc)

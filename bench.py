@@ -82,6 +82,13 @@ HEADLINE = [
     "vec_quantize_int8",
     "vec_knn_quantized",
     "cdc_latest_state",
+    # lakehouse / search / incremental tier
+    "cdc_point_in_time",
+    "dedup_near_incremental",
+    "text_bm25",
+    "text_oov_rate",
+    "w3_session_capped",
+    "curation_weighted_sample",
 ]
 
 

@@ -333,3 +333,21 @@ def test_bm25_rank_orders_by_relevance(spark):
     assert ids[-1] == 2
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_near_dedup_against_corpus_planted(spark):
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river"),
+         (2, "completely unrelated text about query engines and planning")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [  # near-rewrite of corpus doc 0 → dropped
+            (1, "the quick brown fox jumps over the lazy dog near the ocean"),
+            # fresh content → kept
+            (3, "novel document with entirely new vocabulary and meaning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.near_dedup_against_corpus(new, corpus)
+    assert [r.doc_id for r in out.collect()] == [3]
