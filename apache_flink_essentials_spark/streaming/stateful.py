@@ -280,3 +280,120 @@ def changelog_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CAPPED_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("session_start", T.LongType(), False),
+        T.StructField("session_end", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_CAPPED_SESSION_STATE = T.StructType(
+    [
+        T.StructField("sess_start", T.LongType(), False),
+        T.StructField("last_ts", T.LongType(), False),
+        T.StructField("n_in_sess", T.LongType(), False),
+        T.StructField("sub_d", T.LongType(), False),
+        T.StructField("sub_c", T.LongType(), False),
+        T.StructField("win_start", T.LongType(), False),
+        T.StructField("win_last", T.LongType(), False),
+        T.StructField("win_n", T.LongType(), False),
+    ]
+)
+
+
+def capped_session_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    max_duration_seconds: int | None = None,
+    max_events: int | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming twin of ``windows.session_capped``: per-key gap sessions
+    with hard duration/event-count caps, emitted as each capped sub-session
+    CLOSES (a gap break or a cap boundary arrives). The still-open session
+    stays in state — one fixed-width row per key, the bounded-state
+    guarantee plain streaming session windows can't give on hot keys.
+
+    Split semantics match the batch operator exactly (same gap rule, same
+    pair-refinement of the duration/count split indexes), so
+    stream-closed sessions ≡ batch rows minus each key's final open
+    session — asserted in tests.
+
+    Ordering: rows are sorted by event time within each micro-batch;
+    ACROSS batches arrival must be per-key time-ordered (same caveat as
+    the other stateful ops; a watermark-buffered pre-sort is the general
+    fix and costs one more stateful stage).
+    """
+    ts_field = ts_col
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (sess_start, last_ts, n_in_sess, sub_d, sub_c,
+             win_start, win_last, win_n) = state.get
+            has = True
+        else:
+            has = False
+            sess_start = last_ts = win_start = win_last = 0
+            n_in_sess = sub_d = sub_c = win_n = 0
+        out = []
+        for pdf in pdfs:
+            col = pdf[ts_field]
+            if col.dtype.kind == "M":  # datetime64 → epoch seconds
+                col = col.astype("int64") // 1_000_000_000
+            ts_vals = col.astype("int64").sort_values().tolist()
+            for ts in ts_vals:
+                if not has:
+                    sess_start, last_ts = ts, ts
+                    n_in_sess, sub_d, sub_c = 0, 0, 0
+                    win_start, win_last, win_n = ts, ts, 0
+                    has = True
+                elif ts - last_ts > gap_seconds:
+                    out.append((str(key[0]), win_start, win_last, win_n))
+                    sess_start = ts
+                    n_in_sess, sub_d, sub_c = 0, 0, 0
+                    win_start, win_last, win_n = ts, ts, 0
+                else:
+                    nd = (
+                        (ts - sess_start) // max_duration_seconds
+                        if max_duration_seconds is not None
+                        else 0
+                    )
+                    nc = (
+                        n_in_sess // max_events
+                        if max_events is not None
+                        else 0
+                    )
+                    if (nd, nc) != (sub_d, sub_c):
+                        out.append((str(key[0]), win_start, win_last, win_n))
+                        sub_d, sub_c = nd, nc
+                        win_start, win_last, win_n = ts, ts, 0
+                win_last = ts
+                win_n += 1
+                n_in_sess += 1
+                last_ts = ts
+        state.update(
+            (sess_start, last_ts, n_in_sess, sub_d, sub_c,
+             win_start, win_last, win_n)
+        )
+        yield pd.DataFrame(
+            out, columns=["key", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CAPPED_SESSION_OUTPUT,
+            stateStructType=_CAPPED_SESSION_STATE,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -417,3 +417,42 @@ def test_changelog_stream_final_state_equals_batch(spark, events):
     dead_keys = {int(r.key) for r in final.values() if r.is_deleted}
     all_keys = {r[0] for r in changes.select("user_id").distinct().collect()}
     assert dead_keys == all_keys - {k for k, *_ in batch}
+
+
+def test_capped_session_stream_equals_batch_closed_sessions(spark):
+    # two keys, gap 60, duration cap 100, count cap 3; a far-future lone
+    # sentinel event per key forces every real session closed in the stream
+    rows = []
+    for k in ("a", "b"):
+        base = 1000 if k == "a" else 5000
+        # session 1: 5 events 20s apart (count cap splits at 3)
+        rows += [(k, base + i * 20) for i in range(5)]
+        # gap break, session 2: 3 events spanning > duration cap
+        rows += [(k, base + 300), (k, base + 360), (k, base + 410)]
+        # sentinel lone event far in the future (its own open session)
+        rows.append((k, base + 100000))
+    df = spark.createDataFrame(rows, "k string, ts long")
+
+    batch = W.session_capped(
+        df.withColumn("event_id", F.col("ts")),
+        "k", "ts", 60, "event_id",
+        max_duration_seconds=100, max_events=3,
+    )
+    sentinel_starts = {101000, 105000}
+    expect = {
+        (r.k, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+        if r.session_start not in sentinel_starts
+    }
+
+    stream = replay_as_stream(df, num_files=3, order_by="ts")
+    out = run_stream_to_df(
+        stateful.capped_session_stream(stream, "k", "ts", 60,
+                                       max_duration_seconds=100, max_events=3),
+        output_mode="append",
+    )
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    assert got == expect
