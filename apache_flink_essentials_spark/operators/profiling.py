@@ -216,3 +216,63 @@ def grouped_covariance(
             ).alias("cov_pop"),
         )
     )
+
+
+def expect(
+    df: DataFrame,
+    rules: dict[str, Column],
+    sample_violations: int = 0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Data-quality expectation report: each rule is a boolean Column that
+    should hold for EVERY row; the report gives per-rule violation counts
+    and rates in ONE scan (conditional aggregation — never one job per
+    rule). The great-expectations-style gate of an ingestion pipeline,
+    shaped for 100 TB: rule count scales the aggregate's width, not the
+    number of passes.
+
+    A null rule result counts as a violation (unknown ≠ pass).
+
+    ``sample_violations`` > 0 additionally returns up to that many example
+    ids per failing rule (requires ``id_col``) — a second, filtered scan
+    that only runs when asked for.
+    """
+    aggs = []
+    for name, rule in rules.items():
+        bad = F.when(~F.coalesce(rule, F.lit(False)), 1).otherwise(0)
+        aggs.append(F.sum(bad).alias(f"_v_{name}"))
+    totals = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    reports = totals.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_v_{name}").cast("long").alias("violations"),
+                    F.col("_n").cast("long").alias("n_rows"),
+                    (F.col(f"_v_{name}").cast("double") / F.col("_n"))
+                    .alias("violation_rate"),
+                )
+                for name in rules
+            ])
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.n_rows", "r.violation_rate")
+    if sample_violations and id_col:
+        samples = None
+        for name, rule in rules.items():
+            s = (
+                df.filter(~F.coalesce(rule, F.lit(False)))
+                .select(
+                    F.lit(name).alias("rule"),
+                    F.col(id_col).cast("string").alias("example_id"),
+                )
+                .limit(sample_violations)
+            )
+            samples = s if samples is None else samples.unionByName(s)
+        return reports.join(
+            samples.groupBy("rule").agg(
+                F.array_sort(F.collect_list("example_id")).alias("examples")
+            ),
+            "rule",
+            "left",
+        )
+    return reports

@@ -3404,3 +3404,84 @@ def _near_inc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("dedup_near_incremental", _NEAR_INC_ORACLE)(_near_inc)
+
+
+# =========================================================================
+# snapshot diff (reverse CDC) + data-quality expectation report
+# =========================================================================
+
+def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Two latest-state snapshots built from overlapping event subsets
+    (event_id % 3 != 0 vs % 2 != 0) diffed back into a changelog — users
+    present only in one snapshot surface as A/D, differing latest values
+    as U."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"),
+        "value", F.lit("U").alias("op"),
+    )
+    old_snap = C.apply_changelog(
+        ev.filter(F.col("event_id") % 3 != 0), ["user_id"], ["ts_s", "event_id"]
+    ).select("user_id", "value")
+    new_snap = C.apply_changelog(
+        ev.filter(F.col("event_id") % 2 != 0), ["user_id"], ["ts_s", "event_id"]
+    ).select("user_id", "value")
+    return C.snapshot_diff(old_snap, new_snap, ["user_id"], ["value"])
+
+
+_register(
+    "cdc_snapshot_diff",
+    """
+    WITH oldsnap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 3 != 0
+      ) WHERE rn = 1
+    ), newsnap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 != 0
+      ) WHERE rn = 1
+    )
+    SELECT user_id, change_type, old_value, new_value FROM (
+      SELECT coalesce(n.user_id, o.user_id) AS user_id,
+             CASE WHEN o.user_id IS NULL THEN 'A'
+                  WHEN n.user_id IS NULL THEN 'D'
+                  WHEN o.value IS DISTINCT FROM n.value THEN 'U' END
+               AS change_type,
+             o.value AS old_value, n.value AS new_value
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.user_id = n.user_id
+    ) WHERE change_type IS NOT NULL
+    """,
+)(_snapshot_diff)
+
+
+_register(
+    "events_quality_expectations",
+    """
+    WITH t AS (
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN NOT coalesce(event_type != 'error', FALSE)
+                      THEN 1 ELSE 0 END)::BIGINT AS v_err,
+             sum(CASE WHEN NOT coalesce(ts IS NOT NULL, FALSE)
+                      THEN 1 ELSE 0 END)::BIGINT AS v_ts,
+             sum(CASE WHEN NOT coalesce(value <= 400, FALSE)
+                      THEN 1 ELSE 0 END)::BIGINT AS v_val
+      FROM events
+    )
+    SELECT rule, violations, n_rows,
+           CAST(violations AS DOUBLE) / n_rows AS violation_rate
+    FROM (
+      SELECT 'no_error_events' AS rule, v_err AS violations, n_rows FROM t
+      UNION ALL SELECT 'ts_not_null', v_ts, n_rows FROM t
+      UNION ALL SELECT 'value_le_400', v_val, n_rows FROM t
+    )
+    """,
+)(lambda spark, sf: PF2.expect(_events(spark, sf), {
+    "no_error_events": F.col("event_type") != "error",
+    "ts_not_null": F.col("ts").isNotNull(),
+    "value_le_400": F.col("value") <= 400,
+}))

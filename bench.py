@@ -89,6 +89,8 @@ HEADLINE = [
     "text_oov_rate",
     "w3_session_capped",
     "curation_weighted_sample",
+    "cdc_snapshot_diff",
+    "events_quality_expectations",
 ]
 
 

@@ -153,3 +153,23 @@ def test_point_in_time_join_never_duplicates_facts(spark):
     )
     out = C.point_in_time_join(fact, dim, ["k"], "ts", ["attr"])
     assert out.count() == out.select("fid").distinct().count()
+
+
+def test_snapshot_diff_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0),        # unchanged → absent from diff
+         (2, 25.0),        # updated
+         (3, 30.0),        # null → value is an update (null-safe compare)
+         (5, 50.0)],       # added; 4 deleted
+        "k long, v double",
+    )
+    out = {r.k: r for r in C.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2].change_type == "U" and out[2].old_v == 20.0 and out[2].new_v == 25.0
+    assert out[3].change_type == "U" and out[3].old_v is None
+    assert out[4].change_type == "D" and out[4].new_v is None
+    assert out[5].change_type == "A" and out[5].old_v is None

@@ -113,3 +113,30 @@ def test_grouped_covariance_hand_example(spark):
     assert set(out) == {1, 2}
     assert abs(out[1].cov_pop - 4.0 / 3.0) < 1e-12
     assert out[2].cov_pop == -2.0
+
+
+def test_expect_counts_and_samples(spark):
+    from apache_flink_essentials_spark.operators.profiling import expect
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (3, None, "a"), (4, 9.0, None)],
+        "id long, x double, cat string",
+    )
+    rules = {
+        "x_nonneg": F.col("x") >= 0,          # violators: 2 (neg), 3 (null→fail)
+        "cat_known": F.col("cat").isin("a", "b"),  # violator: 4
+        "id_positive": F.col("id") > 0,       # none
+    }
+    rep = {r.rule: r for r in expect(df, rules).collect()}
+    assert rep["x_nonneg"].violations == 2
+    assert rep["cat_known"].violations == 1
+    assert rep["id_positive"].violations == 0
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["x_nonneg"].violation_rate == 0.5
+
+    with_samples = {
+        r.rule: r for r in expect(df, rules, sample_violations=5, id_col="id").collect()
+    }
+    assert with_samples["x_nonneg"].examples == ["2", "3"]
+    assert with_samples["cat_known"].examples == ["4"]
+    assert with_samples["id_positive"].examples is None
