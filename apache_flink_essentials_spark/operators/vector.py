@@ -582,11 +582,10 @@ def quantize_int8_stats(
     the project's oracle conventions. All-zero vectors get scale 0 and are
     defined to quantize to all-zero (guarded, no 0/0).
     """
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(vd, F.abs))
-    scale = maxabs / F.lit(127.0)
-    q = _quantized_expr(vec_col)
-    return df.select(
+    staged = _quant_staged(df, [F.col(id_col)], vec_col)
+    q = _quant_codes_col()
+    scale = F.col("_scale")
+    return staged.select(
         F.col(id_col),
         scale.alias("scale"),
         F.aggregate(
@@ -594,26 +593,39 @@ def quantize_int8_stats(
         ).cast("long").alias("qnorm2"),
         (
             F.aggregate(
-                F.zip_with(vd, q, lambda x, qi: (x - qi * scale) ** 2),
+                F.zip_with(F.col("_vd"), q, lambda x, qi: (x - qi * scale) ** 2),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            / F.size(F.col(vec_col))
+            / F.size(F.col("_vd"))
         ).alias("mse"),
     )
 
 
-def _quantized_expr(vec_col: str) -> Column:
-    """int8 code array (as doubles, exact integers) — shared with
-    quantize_int8_stats; scales cancel in cosine so codes alone suffice."""
+def _quant_staged(df: DataFrame, keep: list, vec_col: str) -> DataFrame:
+    """Materialize the double vector and its quantization scale as REAL
+    columns before any per-element lambda touches them: an expression
+    subtree referenced inside a higher-order-function lambda is re-evaluated
+    per element (array_max over the vector → O(dim²) per row — the
+    lambda-CSE rule in SCALING.md, third sighting). Column references
+    inside a lambda are plain attribute reads; CollapseProject keeps the
+    stage because the scale is non-cheap and multiply-referenced."""
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(vd, F.abs))
-    scale = maxabs / F.lit(127.0)
+    return df.select(*keep, vd.alias("_vd")).withColumn(
+        "_scale", F.array_max(F.transform(F.col("_vd"), F.abs)) / F.lit(127.0)
+    )
+
+
+def _quant_codes_col() -> Column:
+    """int8 code array (as doubles, exact integers) over the staged
+    ``_vd``/``_scale`` columns; scales cancel in cosine so codes alone
+    suffice for scoring."""
+    scale = F.col("_scale")
     return F.when(
-        maxabs == 0, F.transform(vd, lambda _: F.lit(0.0))
+        scale == 0, F.transform(F.col("_vd"), lambda _: F.lit(0.0))
     ).otherwise(
         F.transform(
-            vd,
+            F.col("_vd"),
             lambda x: F.greatest(
                 F.lit(-127.0),
                 F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)).cast("double")),
@@ -642,12 +654,12 @@ def knn_cosine_quantized(
     per-query top-k window; the quantization itself is a zero-shuffle
     projection folded into the scan.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _quantized_expr(vec_col).alias("_qe")
-    )
-    qry = queries.select(
-        F.col(id_col).alias("query_id"), _quantized_expr(vec_col).alias("_qq")
-    )
+    emb = _quant_staged(
+        embeddings, [F.col(id_col).alias("neighbor_id")], vec_col
+    ).select("neighbor_id", _quant_codes_col().alias("_qe"))
+    qry = _quant_staged(
+        queries, [F.col(id_col).alias("query_id")], vec_col
+    ).select("query_id", _quant_codes_col().alias("_qq"))
     scored = (
         emb.join(F.broadcast(qry))
         .filter(F.col("query_id") != F.col("neighbor_id"))
