@@ -59,6 +59,13 @@ def from_collection(spark: SparkSession, rows: list, schema) -> DataFrame:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Parquet scan of one driver fixture table.
 
+    CONTRACT: calling this pins the session to the engine's conventions —
+    UTC session timezone and TimestampType (not NTZ) parquet reads — so a
+    driver-created vanilla session computes the same epoch/date results as
+    `get_spark` sessions and the DuckDB oracle (naive timestamps = UTC).
+    Callers needing a different session timezone must set it after loading
+    and own the divergence from the oracle conventions.
+
     Scale note: a plain ``spark.read.parquet`` keeps predicate pushdown,
     column pruning and partition pruning available to Catalyst — callers
     should select/filter on the returned DataFrame and let the optimizer

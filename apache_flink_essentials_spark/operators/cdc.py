@@ -139,8 +139,10 @@ def snapshot_diff(
     snapshot-based CDC (no transaction log available) and of lakehouse
     table reconciliation/validation jobs.
 
-    Null-safe: column comparisons use the <=> (eqNullSafe) operator, so
-    null→value and value→null transitions register as updates.
+    Null-safe throughout: both the key join and the column comparisons use
+    <=> (eqNullSafe), so null-keyed rows pair up instead of surfacing as
+    phantom D+A churn, and null→value / value→null transitions register as
+    updates.
 
     Scale shape: ONE full-outer sort-merge join on the key — both sides
     project to key + compared columns before the exchange, so the shuffle
@@ -161,7 +163,7 @@ def snapshot_diff(
     )
     cond = F.lit(True)
     for k in key_cols:
-        cond = cond & (F.col(f"_o_{k}") == F.col(f"_n_{k}"))
+        cond = cond & F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
     joined = o.join(n, cond, "full_outer")
     changed = F.lit(False)
     for c in compare_cols:

@@ -231,40 +231,45 @@ def expect(
     shaped for 100 TB: rule count scales the aggregate's width, not the
     number of passes.
 
-    A null rule result counts as a violation (unknown ≠ pass).
+    A null rule result counts as a violation (unknown ≠ pass). Rule names
+    are arbitrary strings (aggregates alias by position, so dots/backticks
+    in names are fine).
 
     ``sample_violations`` > 0 additionally returns up to that many example
-    ids per failing rule (requires ``id_col``) — a second, filtered scan
-    that only runs when asked for.
+    ids per failing rule, in ascending id order (deterministic under any
+    partitioning; requires ``id_col``) — one extra filtered scan per rule,
+    so ask for samples on the triage run, not the 100 TB gate.
     """
+    names = list(rules)
     aggs = []
-    for name, rule in rules.items():
-        bad = F.when(~F.coalesce(rule, F.lit(False)), 1).otherwise(0)
-        aggs.append(F.sum(bad).alias(f"_v_{name}"))
+    for i, name in enumerate(names):
+        bad = F.when(~F.coalesce(rules[name], F.lit(False)), 1).otherwise(0)
+        aggs.append(F.sum(bad).alias(f"_v_{i}"))
     totals = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
     reports = totals.select(
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(name).alias("rule"),
-                    F.col(f"_v_{name}").cast("long").alias("violations"),
+                    F.col(f"_v_{i}").cast("long").alias("violations"),
                     F.col("_n").cast("long").alias("n_rows"),
-                    (F.col(f"_v_{name}").cast("double") / F.col("_n"))
+                    (F.col(f"_v_{i}").cast("double") / F.col("_n"))
                     .alias("violation_rate"),
                 )
-                for name in rules
+                for i, name in enumerate(names)
             ])
         ).alias("r")
     ).select("r.rule", "r.violations", "r.n_rows", "r.violation_rate")
     if sample_violations and id_col:
         samples = None
-        for name, rule in rules.items():
+        for name in names:
             s = (
-                df.filter(~F.coalesce(rule, F.lit(False)))
+                df.filter(~F.coalesce(rules[name], F.lit(False)))
                 .select(
                     F.lit(name).alias("rule"),
                     F.col(id_col).cast("string").alias("example_id"),
                 )
+                .orderBy("example_id")
                 .limit(sample_violations)
             )
             samples = s if samples is None else samples.unionByName(s)

@@ -3275,9 +3275,6 @@ _register(
 # capped sessions + grouped covariance + BM25 ranking
 # =========================================================================
 
-from apache_flink_essentials_spark.operators import profiling as PF2  # noqa: E402
-
-
 _register(
     "w3_session_capped",
     """
@@ -3327,7 +3324,7 @@ _register(
       FROM events GROUP BY user_id
     ) WHERE n >= 2
     """,
-)(lambda spark, sf: PF2.grouped_covariance(
+)(lambda spark, sf: P.grouped_covariance(
     _events(spark, sf), "user_id", "value",
     (F.col("ts").cast("long") / F.lit(3600)).cast("long") % 24,
 ))
@@ -3480,7 +3477,7 @@ _register(
       UNION ALL SELECT 'value_le_400', v_val, n_rows FROM t
     )
     """,
-)(lambda spark, sf: PF2.expect(_events(spark, sf), {
+)(lambda spark, sf: P.expect(_events(spark, sf), {
     "no_error_events": F.col("event_type") != "error",
     "ts_not_null": F.col("ts").isNotNull(),
     "value_le_400": F.col("value") <= 400,

@@ -344,41 +344,45 @@ def capped_session_stream(
             sess_start = last_ts = win_start = win_last = 0
             n_in_sess = sub_d = sub_c = win_n = 0
         out = []
+        # gather ALL Arrow chunks before sorting: a large key's micro-batch
+        # arrives as multiple pdfs, and per-chunk sorting would let a later
+        # chunk deliver earlier timestamps (wrong splits vs the batch op)
+        all_ts: list[int] = []
         for pdf in pdfs:
             col = pdf[ts_field]
             if col.dtype.kind == "M":  # datetime64 → epoch seconds
                 col = col.astype("int64") // 1_000_000_000
-            ts_vals = col.astype("int64").sort_values().tolist()
-            for ts in ts_vals:
-                if not has:
-                    sess_start, last_ts = ts, ts
-                    n_in_sess, sub_d, sub_c = 0, 0, 0
-                    win_start, win_last, win_n = ts, ts, 0
-                    has = True
-                elif ts - last_ts > gap_seconds:
+            all_ts.extend(col.astype("int64").tolist())
+        for ts in sorted(all_ts):
+            if not has:
+                sess_start, last_ts = ts, ts
+                n_in_sess, sub_d, sub_c = 0, 0, 0
+                win_start, win_last, win_n = ts, ts, 0
+                has = True
+            elif ts - last_ts > gap_seconds:
+                out.append((str(key[0]), win_start, win_last, win_n))
+                sess_start = ts
+                n_in_sess, sub_d, sub_c = 0, 0, 0
+                win_start, win_last, win_n = ts, ts, 0
+            else:
+                nd = (
+                    (ts - sess_start) // max_duration_seconds
+                    if max_duration_seconds is not None
+                    else 0
+                )
+                nc = (
+                    n_in_sess // max_events
+                    if max_events is not None
+                    else 0
+                )
+                if (nd, nc) != (sub_d, sub_c):
                     out.append((str(key[0]), win_start, win_last, win_n))
-                    sess_start = ts
-                    n_in_sess, sub_d, sub_c = 0, 0, 0
+                    sub_d, sub_c = nd, nc
                     win_start, win_last, win_n = ts, ts, 0
-                else:
-                    nd = (
-                        (ts - sess_start) // max_duration_seconds
-                        if max_duration_seconds is not None
-                        else 0
-                    )
-                    nc = (
-                        n_in_sess // max_events
-                        if max_events is not None
-                        else 0
-                    )
-                    if (nd, nc) != (sub_d, sub_c):
-                        out.append((str(key[0]), win_start, win_last, win_n))
-                        sub_d, sub_c = nd, nc
-                        win_start, win_last, win_n = ts, ts, 0
-                win_last = ts
-                win_n += 1
-                n_in_sess += 1
-                last_ts = ts
+            win_last = ts
+            win_n += 1
+            n_in_sess += 1
+            last_ts = ts
         state.update(
             (sess_start, last_ts, n_in_sess, sub_d, sub_c,
              win_start, win_last, win_n)

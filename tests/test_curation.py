@@ -180,8 +180,8 @@ def test_sample_n_per_stratum_deterministic_and_ranked(spark):
 
 
 def test_weighted_sample_favors_heavy_rows(spark):
-    # weights: doc_id < 50 → 1, doc_id >= 350 → 100; rate 0.2 with
-    # mean_w ≈ 22 → light rows kept at ~0.2/22≈1%, heavy at 90%+
+    # weights: doc_id < 350 → 1, doc_id >= 350 → 100; w_sum=5350,
+    # mean_w=13.375 → light rows kept at p≈1.5%, heavy capped at p=1.0
     rows = [(i, "t", "en", "s", 1 if i < 350 else 100) for i in range(400)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -189,8 +189,8 @@ def test_weighted_sample_favors_heavy_rows(spark):
     out = CU.weighted_sample(docs, "n_chars", 0.2, seed=1)
     light = out.filter(F.col("doc_id") < 350).count()
     heavy = out.filter(F.col("doc_id") >= 350).count()
-    assert heavy >= 40      # p capped at 1.0 for heavy rows (100*0.2*400/13350 > 1)
-    assert light < 30       # light rows kept at ~0.6%
+    assert heavy >= 40      # p capped at 1.0 for heavy rows (0.2*100*400/5350 > 1)
+    assert light < 30       # light rows kept at p = 0.2*1*400/5350 ≈ 1.5%
     # deterministic
     again = CU.weighted_sample(docs, "n_chars", 0.2, seed=1)
     assert sorted(r.doc_id for r in out.collect()) == sorted(
