@@ -145,3 +145,63 @@ def test_exact_dedup_counts_partition_corpus(spark, token_lists):
         normalized.setdefault(" ".join(toks), []).append(i)
     expected_keeps = {min(ids) for ids in normalized.values()}
     assert {g.keep_id for g in groups} == expected_keeps
+
+
+def _model_capped_sessions(rows, gap, max_dur, max_ev):
+    """Pure-Python reference model of windows.session_capped: rows are
+    (key, ts, id); returns the set of (key, start, end, n) capped sessions."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts, i in rows:
+        by_key[k].append((ts, i))
+    out = []
+    for k, evs in by_key.items():
+        evs.sort()
+        # gap sessions
+        sessions, cur = [], [evs[0]]
+        for ts, i in evs[1:]:
+            if ts - cur[-1][0] > gap:
+                sessions.append(cur)
+                cur = [(ts, i)]
+            else:
+                cur.append((ts, i))
+        sessions.append(cur)
+        for sess in sessions:
+            start = sess[0][0]
+            groups = defaultdict(list)
+            for rank, (ts, i) in enumerate(sess):
+                sub_d = (ts - start) // max_dur if max_dur else 0
+                sub_c = rank // max_ev if max_ev else 0
+                groups[(sub_d, sub_c)].append(ts)
+            for g in groups.values():
+                out.append((k, min(g), max(g), len(g)))
+    return set(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # key
+            st.integers(min_value=0, max_value=500),     # ts (epoch s)
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    gap=st.sampled_from([20, 60]),
+    max_dur=st.sampled_from([None, 50, 100]),
+    max_ev=st.sampled_from([None, 2, 4]),
+)
+@settings(**SETTINGS)
+def test_session_capped_matches_python_model(spark, rows, gap, max_dur, max_ev):
+    data = [(k, ts, i) for i, (k, ts) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, ts long, event_id long")
+    got = {
+        (r.k, r.session_start, r.session_end, r.n_events)
+        for r in W.session_capped(
+            df, "k", "ts", gap, "event_id",
+            max_duration_seconds=max_dur, max_events=max_ev,
+        ).collect()
+    }
+    assert got == _model_capped_sessions(data, gap, max_dur, max_ev)
