@@ -406,3 +406,45 @@ def group_split(
     for lab, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(lab)).otherwise(expr)
     return df.withColumn(label_col, expr)
+
+
+def boilerplate_chunk_stats(
+    df: DataFrame,
+    max_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate fraction via cross-document repeated chunks:
+    chunk every document (no overlap), count in how many DISTINCT documents
+    each chunk occurs, and report per doc how many of its chunks are shared
+    by ≥ ``min_docs`` documents — headers, footers, license blocks and
+    templated paragraphs light up long before whole-document dedup fires
+    (the paragraph-level complement of `dedup.exact_dedup`).
+
+    Scale shape: chunking is the zero-shuffle `chunk_documents` projection;
+    chunk occurrences reduce to (fingerprint, doc) BEFORE the distinct-doc
+    aggregation, so both exchanges carry 16-byte hashes + ids, never chunk
+    text; the frequency table joins back on the fingerprint. Output is one
+    row per document.
+    """
+    chunks = chunk_documents(
+        df, max_tokens, overlap=0, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.md5(F.col("chunk_text")).alias("_fp"))
+    freq = chunks.groupBy("_fp").agg(
+        F.countDistinct(id_col).alias("_docs_with_chunk")
+    )
+    return (
+        chunks.join(freq, "_fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_docs_with_chunk") >= min_docs, 1).otherwise(0)
+            ).alias("n_boilerplate_chunks"),
+        )
+        .withColumn(
+            "boilerplate_fraction",
+            F.col("n_boilerplate_chunks").cast("double") / F.col("n_chunks"),
+        )
+    )

@@ -3482,3 +3482,37 @@ _register(
     "ts_not_null": F.col("ts").isNotNull(),
     "value_le_400": F.col("value") <= 400,
 }))
+
+
+_register(
+    "curation_boilerplate_chunks",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+             len(string_split_regex(lower(text), '\s+')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[s + 1 : s + 8], ' ') AS chunk_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0,
+                 greatest(0, (ceil((n - 8) / 8.0)::BIGINT) * 8) + 1, 8)) AS s
+        FROM toked
+      )
+    ), freq AS (
+      SELECT chunk_text, count(DISTINCT doc_id) AS docs_with_chunk
+      FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN f.docs_with_chunk >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_boilerplate_chunks,
+           CAST(sum(CASE WHEN f.docs_with_chunk >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS boilerplate_fraction
+    FROM chunks c JOIN freq f ON c.chunk_text = f.chunk_text
+    GROUP BY c.doc_id
+    """,
+)(lambda spark, sf: CU.boilerplate_chunk_stats(
+    load_table(spark, "documents", sf), max_tokens=8, min_docs=2
+))

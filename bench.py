@@ -91,6 +91,7 @@ HEADLINE = [
     "curation_weighted_sample",
     "cdc_snapshot_diff",
     "events_quality_expectations",
+    "curation_boilerplate_chunks",
 ]
 
 

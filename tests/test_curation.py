@@ -214,3 +214,19 @@ def test_group_split_is_group_atomic_and_deterministic(spark):
         (r.doc_id, r.split) for r in again.collect()}
     # labels restricted to the declared set
     assert {r.split for r in out.collect()} <= {"train", "val", "test"}
+
+
+def test_boilerplate_chunk_stats_hand_example(spark):
+    # chunks of 2 tokens; "x y" is the shared boilerplate chunk
+    docs = spark.createDataFrame(
+        [(1, "x y a b"),     # chunks: "x y", "a b"
+         (2, "x y c d"),     # chunks: "x y", "c d"
+         (3, "e f g h")],    # chunks: "e f", "g h" — none shared
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CU.boilerplate_chunk_stats(
+        docs, max_tokens=2, min_docs=2).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_boilerplate_chunks == 1
+    assert out[1].boilerplate_fraction == 0.5
+    assert out[2].n_boilerplate_chunks == 1
+    assert out[3].n_boilerplate_chunks == 0 and out[3].boilerplate_fraction == 0.0
