@@ -42,3 +42,17 @@ def available_now_trigger() -> dict:
     """Bounded drain-the-source trigger — used by the replay harness to run
     a stream to completion over a finite fixture."""
     return {"availableNow": True}
+
+
+def enrich_with_static(stream: "DataFrame", dim: "DataFrame", on, how: str = "left") -> "DataFrame":
+    """Stream-static join: enrich a streaming frame with a bounded dimension
+    table — Spark's native analog of Flink's broadcast-state pattern (the
+    dimension is re-read per micro-batch, so slowly-changing dims pick up
+    updates between batches without restarts).
+
+    The static side is joined fresh in every micro-batch plan; Catalyst
+    broadcasts it when under the threshold — no state store involved, so
+    this scales to any stream rate. Stateless row-wise enrichment only:
+    aggregations after the join follow normal streaming semantics.
+    """
+    return stream.join(dim, on, how)

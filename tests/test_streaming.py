@@ -456,3 +456,21 @@ def test_capped_session_stream_equals_batch_closed_sessions(spark):
         for r in out.collect()
     }
     assert got == expect
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from apache_flink_essentials_spark.streaming.watermark import enrich_with_static
+
+    carts = shopping_cart_events_batch(spark, 40)
+    dim = spark.createDataFrame(
+        [(f"user{i}", f"tier{i % 3}") for i in range(20)],
+        "user_id string, tier string",
+    )
+    batch = {
+        (r.user_id, r.sku, r.tier)
+        for r in carts.join(dim, "user_id", "left").collect()
+    }
+    stream = replay_as_stream(carts, num_files=3, order_by="time")
+    out = run_stream_to_df(enrich_with_static(stream, dim, "user_id"))
+    got = {(r.user_id, r.sku, r.tier) for r in out.collect()}
+    assert got == batch
