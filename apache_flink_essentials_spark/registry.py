@@ -3516,3 +3516,76 @@ _register(
 )(lambda spark, sf: CU.boilerplate_chunk_stats(
     load_table(spark, "documents", sf), max_tokens=8, min_docs=2
 ))
+
+
+# =========================================================================
+# fused multimodal curation decision: text quality × embedding geometry
+# =========================================================================
+
+def _fused_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """documents and embeddings are id-aligned fixtures (doc_id = vec_id);
+    the keep decision fuses a text-side quality score with an
+    embedding-side centroid-cosine — the standard two-signal curation
+    gate (drop low-quality OR geometrically-outlying items). Both sides
+    reduce to (id, score) before the equi-join, so at 100 TB the join
+    carries two slim score tables, not text or vectors."""
+    q = X.quality_score(load_table(spark, "documents", sf))
+    o = V.centroid_outliers(load_table(spark, "embeddings", sf))
+    return (
+        q.join(o, q["doc_id"] == o["vec_id"])
+        .select(
+            "doc_id",
+            "quality_score",
+            "cosine_to_centroid",
+            (
+                (F.col("quality_score") >= 0.5)
+                & (F.col("cosine_to_centroid") >= 0.1)
+            ).alias("keep"),
+        )
+    )
+
+
+_register(
+    "curation_fused_score",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             0.4 * least(1.0, len(toks) / 100.0)
+               + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+               + 0.2 * least(1.0, len(list_filter(toks,
+                     t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / 5.0)
+               AS quality_score
+      FROM t
+    ), ex AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ), comp AS (
+      SELECT label, pos,
+             sum(val::DECIMAL(30,10))::DOUBLE / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, array_agg(c ORDER BY pos) AS centroid
+      FROM comp GROUP BY label
+    ), o AS (
+      SELECT e.vec_id,
+             round(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * c.centroid[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                   'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> c.centroid[i] * c.centroid[i]), 'sum'))),
+             6) AS cosine_to_centroid
+      FROM embeddings e JOIN cent c ON e.label = c.label
+    )
+    SELECT q.doc_id, q.quality_score, o.cosine_to_centroid,
+           (q.quality_score >= 0.5 AND o.cosine_to_centroid >= 0.1) AS keep
+    FROM q JOIN o ON q.doc_id = o.vec_id
+    """,
+)(_fused_curation)

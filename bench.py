@@ -92,6 +92,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "events_quality_expectations",
     "curation_boilerplate_chunks",
+    "curation_fused_score",
 ]
 
 
