@@ -117,3 +117,89 @@ def moving_agg(
         mcnt.alias("n_window"),
         (msum / mcnt).alias("moving_avg"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Downsample to per-(key, bucket) OHLC bars: open = value at the first
+    event in the bucket, close = at the last, high/low = extremes — the
+    canonical time-series resampling (financial bars, metric rollups).
+
+    open/close use ``max_by``/``min_by`` on a (epoch, tiebreak) ordering
+    struct, so the whole bar is ONE hash aggregation with map-side
+    partials — no window sort, no self-join; the shuffle carries one
+    partial bar per (key, bucket, map task). ``tiebreak_col`` makes
+    first/last total (same convention as every sequential operator here).
+    """
+    ts_s = F.col(ts_col).cast("long")
+    order = F.struct(
+        ts_s.alias("t"), F.col(tiebreak_col).alias("tb")
+    )
+    return (
+        df.groupBy(
+            F.col(key_col),
+            (F.floor(ts_s / step_s) * step_s).alias("bucket"),
+        )
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation is weighted by how
+    long it remained current (the interval to the NEXT observation; the
+    final observation of a key carries no weight — a closed-interval TWAP).
+    The right mean for irregularly-sampled state (sensor readings, prices):
+    a value held for an hour must outweigh ten ticks in one second.
+
+    Exactness: durations are BIGINT second deltas, value is cast to
+    DECIMAL(18,4); the weighted sum is an exact DECIMAL before the single
+    double division — engine-portable like the other moments here. One
+    shuffle on the key serving both the lead() window and the aggregate.
+    """
+    projected = df.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("_ts_s"),
+        F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        F.col(tiebreak_col),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_ts_s").asc(), F.col(tiebreak_col).asc()
+    )
+    with_dur = projected.withColumn(
+        "_dur", F.lead("_ts_s").over(w) - F.col("_ts_s")
+    )
+    return (
+        with_dur.filter(F.col("_dur").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dur")).alias("_wsum"),
+            F.sum("_dur").alias("total_seconds"),
+        )
+        .filter(F.col("total_seconds") > 0)
+        .select(
+            key_col,
+            "total_seconds",
+            (
+                F.col("_wsum").cast("double")
+                / F.col("total_seconds").cast("double")
+            ).alias("twap"),
+        )
+    )

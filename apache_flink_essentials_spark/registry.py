@@ -3589,3 +3589,54 @@ _register(
     FROM q JOIN o ON q.doc_id = o.vec_id
     """,
 )(_fused_curation)
+
+
+# ---- OHLC resampling + time-weighted average ----
+
+_register(
+    "ts_ohlc_hourly",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket,
+             row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 3600)
+               ORDER BY floor(epoch(ts))::BIGINT, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 3600)
+               ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS n_events
+    FROM ranked GROUP BY user_id, bucket
+    """,
+)(lambda spark, sf: TS.ohlc(
+    _events(spark, sf), "user_id", "ts", "value", 3600, "event_id"
+))
+
+
+_register(
+    "ts_time_weighted_avg",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             lead(floor(epoch(ts))::BIGINT) OVER w
+               - floor(epoch(ts))::BIGINT AS dur
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY floor(epoch(ts))::BIGINT, event_id)
+    )
+    SELECT user_id, total_seconds,
+           CAST(wsum AS DOUBLE) / CAST(total_seconds AS DOUBLE) AS twap
+    FROM (
+      SELECT user_id, sum(v * dur) AS wsum, sum(dur)::BIGINT AS total_seconds
+      FROM d WHERE dur IS NOT NULL GROUP BY user_id
+    ) WHERE total_seconds > 0
+    """,
+)(lambda spark, sf: TS.time_weighted_avg(
+    _events(spark, sf), "user_id", "ts", "value", "event_id"
+))

@@ -93,6 +93,8 @@ HEADLINE = [
     "events_quality_expectations",
     "curation_boilerplate_chunks",
     "curation_fused_score",
+    "ts_ohlc_hourly",
+    "ts_time_weighted_avg",
 ]
 
 

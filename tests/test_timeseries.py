@@ -58,3 +58,46 @@ def test_gapfill_grid_is_per_key_not_global(spark):
     out = TS.gapfill_locf(df, "k", "ts", "value", 10)
     counts = {r.k: r["count"] for r in out.groupBy("k").count().collect()}
     assert counts == {1: 3, 2: 2}  # 0..20 and 1000..1010, no cross product
+
+
+def test_ohlc_hand_example(spark):
+    from apache_flink_essentials_spark.operators.timeseries import ohlc
+
+    rows = [  # one key, one hour bucket starting at 0
+        (1, 1, 10, 5.0),   # open (earliest)
+        (1, 2, 20, 9.0),   # high
+        (1, 3, 30, 1.0),   # low
+        (1, 4, 40, 7.0),   # close (latest)
+        # second bucket
+        (1, 5, 3700, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, event_id long, ts long, value double")
+    out = {r.bucket: r for r in ohlc(df, "k", "ts", "value", 3600, "event_id").collect()}
+    b0 = out[0]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n_events) == (5.0, 9.0, 1.0, 7.0, 4)
+    assert out[3600].open == out[3600].close == 2.0
+
+
+def test_ohlc_tiebreak_on_same_timestamp(spark):
+    from apache_flink_essentials_spark.operators.timeseries import ohlc
+
+    rows = [(1, 1, 100, 3.0), (1, 2, 100, 8.0)]  # same ts → event_id breaks
+    df = spark.createDataFrame(rows, "k long, event_id long, ts long, value double")
+    r = ohlc(df, "k", "ts", "value", 3600, "event_id").collect()[0]
+    assert r.open == 3.0 and r.close == 8.0
+
+
+def test_time_weighted_avg_hand_example(spark):
+    from apache_flink_essentials_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # key 1: v=10 held 10s, v=20 held 30s, final obs carries no weight
+        (1, 1, 0, 10.0), (1, 2, 10, 20.0), (1, 3, 40, 99.0),
+        # key 2: single observation → no intervals → filtered out
+        (2, 4, 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, event_id long, ts long, value double")
+    out = {r.k: r for r in time_weighted_avg(df, "k", "ts", "value", "event_id").collect()}
+    assert set(out) == {1}
+    assert out[1].total_seconds == 40
+    assert out[1].twap == (10.0 * 10 + 20.0 * 30) / 40  # = 17.5
