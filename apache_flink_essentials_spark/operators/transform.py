@@ -137,3 +137,57 @@ def running_reduce(df: DataFrame, key: Column | str, value: Column, order_by: Se
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(agg_alias, value.over(w))
+
+
+def funnel_steps(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps,
+    within_s: int,
+):
+    """Generalized N-step ordered funnel: for each user, the earliest
+    completion times of ``steps`` where every step happens strictly after
+    the previous one and within ``within_s`` seconds of it. Greedy-earliest
+    is optimal here: taking the earliest valid occurrence of step i can
+    never reduce the chance of completing step i+1. Output: one row per
+    user who performed step 0, with ``t0..t{k-1}`` epoch seconds (null
+    once the chain breaks) and ``completed_steps``.
+
+    Plan shape: k−1 LEFT joins, but every side is pre-reduced to
+    (user, ts) slivers of a single event-type and every join keys on the
+    user column — one hash partitioning serves the whole chain (Spark
+    reuses the exchange across same-key joins), so cost is k slim shuffles
+    of per-type event subsets, never a k-way fact self-join.
+    """
+    from pyspark.sql import functions as F  # local alias mirrors module style
+
+    t = F.col(ts_col).cast("long")
+    base = df.select(F.col(user_col), t.alias("_t"), F.col(type_col))
+    cur = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_t").alias("t0"))
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = base.filter(F.col(type_col) == s).select(
+            F.col(user_col), F.col("_t").alias("_cand")
+        )
+        prev = F.col(f"t{i - 1}")
+        cond = (
+            (cur[user_col] == nxt[user_col])
+            & (F.col("_cand") > prev)
+            & (F.col("_cand") <= prev + within_s)
+        )
+        keep = [cur[c] for c in cur.columns]
+        cur = (
+            cur.join(nxt, cond, "left")
+            .groupBy(*keep)
+            .agg(F.min("_cand").alias(f"t{i}"))
+        )
+    completed = None
+    for i in range(len(steps)):
+        c = F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        completed = c if completed is None else completed + c
+    return cur.withColumn("completed_steps", completed)

@@ -3640,3 +3640,37 @@ _register(
 )(lambda spark, sf: TS.time_weighted_avg(
     _events(spark, sf), "user_id", "ts", "value", "event_id"
 ))
+
+
+# ---- generalized N-step ordered funnel (signup → view → purchase) ----
+_register(
+    "funnel_three_step",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(floor(epoch(ts))::BIGINT) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+      SELECT s0.user_id, t0, min(floor(epoch(e.ts))::BIGINT) AS t1
+      FROM s0 LEFT JOIN events e
+        ON e.user_id = s0.user_id AND e.event_type = 'view'
+       AND floor(epoch(e.ts))::BIGINT > t0
+       AND floor(epoch(e.ts))::BIGINT <= t0 + 604800
+      GROUP BY s0.user_id, t0
+    ), s2 AS (
+      SELECT s1.user_id, t0, t1, min(floor(epoch(e.ts))::BIGINT) AS t2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+       AND floor(epoch(e.ts))::BIGINT > t1
+       AND floor(epoch(e.ts))::BIGINT <= t1 + 604800
+      GROUP BY s1.user_id, t0, t1
+    )
+    SELECT user_id, t0, t1, t2,
+           (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS completed_steps
+    FROM s2
+    """,
+)(lambda spark, sf: T.funnel_steps(
+    _events(spark, sf), "user_id", "ts", "event_type",
+    ["signup", "view", "purchase"], 604800,
+))

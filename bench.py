@@ -95,6 +95,7 @@ HEADLINE = [
     "curation_fused_score",
     "ts_ohlc_hourly",
     "ts_time_weighted_avg",
+    "funnel_three_step",
 ]
 
 

@@ -68,3 +68,28 @@ def test_running_reduce_is_cumulative(spark, events):
     for r in one_user:
         acc += r.value
         assert abs(r.running - acc) < 1e-6
+
+
+def test_funnel_steps_greedy_earliest_and_window(spark):
+    from apache_flink_essentials_spark.operators.transform import funnel_steps
+
+    rows = [
+        # user 1: A@0 → B@5 → C@8  (full completion)
+        (1, 0, "A"), (1, 5, "B"), (1, 8, "C"),
+        # user 2: A@0, B too late (>10), so chain breaks at step 1
+        (2, 0, "A"), (2, 50, "B"), (2, 51, "C"),
+        # user 3: A@0, B@3; C exists but BEFORE B → not counted
+        (3, 0, "A"), (3, 3, "B"), (3, 2, "C"),
+        # user 4: two A's (min wins), B within window of FIRST A only
+        (4, 0, "A"), (4, 9, "A"), (4, 10, "B"), (4, 11, "C"),
+        # user 5: no A at all → absent from output
+        (5, 0, "B"), (5, 1, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r.user_id: r for r in funnel_steps(
+        df, "user_id", "ts", "event_type", ["A", "B", "C"], 10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].t0, out[1].t1, out[1].t2, out[1].completed_steps) == (0, 5, 8, 3)
+    assert out[2].completed_steps == 1 and out[2].t1 is None
+    assert out[3].completed_steps == 2 and out[3].t2 is None
+    assert (out[4].t0, out[4].t1, out[4].t2) == (0, 10, 11)
