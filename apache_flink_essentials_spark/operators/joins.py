@@ -273,3 +273,43 @@ def range_band_join(
     b = F.broadcast(bands)
     v = facts[value_col]
     return facts.join(b, (v >= b[lo_col]) & (v < b[hi_col]), "left")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 1,
+    block_chars: int = 4,
+) -> DataFrame:
+    """Blocked edit-distance (Levenshtein) join — the entity-resolution
+    primitive for typo-level matching (names, SKUs, addresses). NEVER an
+    all-pairs comparison: both sides first reduce to (block, value) where
+    ``block`` is the lower-cased ``block_chars`` prefix, the equi-join runs
+    on the block, and the O(|a|·|b|) Levenshtein only evaluates within
+    blocks. A prefix block cannot miss matches whose first ``block_chars``
+    characters already differ — callers wanting prefix-typo tolerance
+    should pass a coarser blocking (shorter prefix, phonetic key, length
+    bucket) and pay the larger blocks.
+
+    Scale: one equi-join shuffle keyed by the block; per-block cost is
+    |block_l|×|block_r| distance evaluations — same Σ block² cost model
+    (and the same skew caveat) as the LSH bucket join in dedup.
+    """
+    l = left.select(
+        F.lower(F.substring(F.col(left_col), 1, block_chars)).alias("_blk"),
+        F.col(left_col).alias("_lv"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+    )
+    r = right.select(
+        F.lower(F.substring(F.col(right_col), 1, block_chars)).alias("_blk"),
+        F.col(right_col).alias("_rv"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    return (
+        l.join(r, "_blk")
+        .withColumn("distance", F.levenshtein(F.col("_lv"), F.col("_rv")))
+        .filter(F.col("distance") <= max_distance)
+        .drop("_blk", "_lv", "_rv")
+    )

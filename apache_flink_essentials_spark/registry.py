@@ -3674,3 +3674,27 @@ _register(
     _events(spark, sf), "user_id", "ts", "event_type",
     ["signup", "view", "purchase"], 604800,
 ))
+
+
+# ---- blocked fuzzy (edit-distance) self-join: near-identical names ----
+from apache_flink_essentials_spark.operators.joins import fuzzy_join  # noqa: E402
+
+
+_register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM customer a JOIN customer b
+      ON lower(substr(a.c_name, 1, 12)) = lower(substr(b.c_name, 1, 12))
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)(lambda spark, sf: (lambda c: fuzzy_join(
+    c.select("c_custkey", "c_name"), c.select("c_custkey", "c_name"),
+    "c_name", "c_name", max_distance=1, block_chars=12,
+).filter(F.col("l_c_custkey") < F.col("r_c_custkey")).select(
+    F.col("l_c_custkey").alias("id_a"),
+    F.col("r_c_custkey").alias("id_b"),
+    "distance",
+))(load_table(spark, "customer", sf)))

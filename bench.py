@@ -96,6 +96,7 @@ HEADLINE = [
     "ts_ohlc_hourly",
     "ts_time_weighted_avg",
     "funnel_three_step",
+    "fuzzy_name_pairs",
 ]
 
 

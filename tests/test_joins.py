@@ -132,3 +132,19 @@ def test_bucketed_interval_join_exclusive_bounds(spark):
     )
     out = J.interval_join_bucketed(left, right, "user_id", "ts", "ts", -2, 2)
     assert sorted(r.r_ts.second for r in out.collect()) == [9, 11]
+
+
+def test_fuzzy_join_blocked_matching(spark):
+    from apache_flink_essentials_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zenith ltd")], "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "acme corp"),    # exact
+         (11, "acmec orp"),   # distance 2 → excluded at max_distance=1
+         (12, "acme cort"),   # distance 1
+         (13, "zzzz corp")],  # different block → never compared
+        "id long, name string")
+    out = fuzzy_join(left, right, "name", "name", max_distance=1, block_chars=4)
+    pairs = {(r.l_id, r.r_id, r.distance) for r in out.collect()}
+    assert pairs == {(1, 10, 0), (1, 12, 1)}
