@@ -799,3 +799,100 @@ def semantic_dedup(
         F.min("id_a").alias("kept_neighbor"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> dict:
+    """Distributed PCA fit: top-``k`` principal components of an embedding
+    corpus — the classic big-data shape (Arrow-batched partial sums of x
+    and x·xᵀ per partition, a numPartitions-row collect, then an O(d³)
+    eigendecomposition of the d×d covariance on the driver; the corpus is
+    never collected, d=dim is small). Returns
+    ``{"mean", "components" (k×d), "explained_variance"}``.
+
+    Deterministic: partial sums are summed on the driver in one numpy call
+    over float64 (additions reordered only across partitions — variance at
+    the 1e-12 level, far below component direction noise); each
+    component's sign is fixed by making its largest-|coordinate| positive.
+
+    The dimensionality-reduction stage of an embedding pipeline:
+    project (``pca_project``) before ANN indexing to cut index bytes, or
+    whiten before clustering.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    d = dim
+
+    def partials(pdfs):
+        for pdf in pdfs:
+            X = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "sx": [X.sum(axis=0).tolist()],
+                    "sxx": [(X.T @ X).reshape(-1).tolist()],
+                }
+            )
+
+    rows = (
+        embeddings.select(vec_col)
+        .mapInPandas(partials, "n long, sx array<double>, sxx array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in rows)
+    sx = np.sum([np.array(r.sx) for r in rows], axis=0)
+    sxx = np.sum([np.array(r.sxx) for r in rows], axis=0).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # symmetrize away float asymmetry
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append([float(x) for x in v])
+    return {
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "explained_variance": [float(evals[i]) for i in order],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: out[j] = (x − μ)·cⱼ.
+
+    Zero-shuffle projection: μ and the k components are literal arrays
+    broadcast in the plan; the centered vector is MATERIALIZED as a column
+    before the per-component dot products (lambda-CSE rule — see
+    SCALING.md), so the whole operator is two narrow projections.
+    """
+    mean = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        F.col(id_col),
+        F.zip_with(vd, mean, lambda a, b: a - b).alias("_c"),
+    )
+    dots = [
+        dot_expr(
+            F.col("_c"), F.array(*[F.lit(float(x)) for x in comp])
+        )
+        for comp in model["components"]
+    ]
+    return staged.select(F.col(id_col), F.array(*dots).alias(out_col))

@@ -3698,3 +3698,12 @@ _register(
     F.col("r_c_custkey").alias("id_b"),
     "distance",
 ))(load_table(spark, "customer", sf)))
+
+
+# PCA is float-iterative (eigendecomposition) → rows-only driver check;
+# direction/variance/determinism semantics pinned in tests (SURVEY §5)
+_register("vec_pca_project")(
+    lambda spark, sf: (lambda emb: V.pca_project(
+        emb, V.pca_fit(emb, k=4, dim=64)
+    ))(load_table(spark, "embeddings", sf))
+)

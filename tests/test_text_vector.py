@@ -351,3 +351,47 @@ def test_near_dedup_against_corpus_planted(spark):
     )
     out = D.near_dedup_against_corpus(new, corpus)
     assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_pca_recovers_planted_direction(spark):
+    import math
+    import random
+
+    rng = random.Random(5)
+    d = 8
+    direction = [1.0 / math.sqrt(d)] * d
+    rows = []
+    for i in range(200):
+        t = rng.gauss(0, 10)          # dominant variance along `direction`
+        noise = [rng.gauss(0, 0.1) for _ in range(d)]
+        rows.append((i, [t * direction[j] + noise[j] for j in range(d)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = V.pca_fit(emb, k=3, dim=d)
+    c0 = model["components"][0]
+    cos = sum(a * b for a, b in zip(c0, direction))
+    assert abs(cos) > 0.99
+    ev = model["explained_variance"]
+    assert ev[0] > 50 * ev[1]          # variance concentrated in component 0
+    assert ev[0] >= ev[1] >= ev[2]
+
+    proj = V.pca_project(emb, model, out_col="pca")
+    out = proj.collect()
+    assert all(len(r.pca) == 3 for r in out)
+    # projection onto c0 recovers t up to sign/noise: variance of pca[0]
+    # must dwarf pca[1]
+    import statistics
+    v0 = statistics.pvariance([r.pca[0] for r in out])
+    v1 = statistics.pvariance([r.pca[1] for r in out])
+    assert v0 > 50 * v1
+
+
+def test_pca_fit_is_deterministic(spark):
+    import random
+
+    rng = random.Random(6)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m1 = V.pca_fit(emb, k=2, dim=6)
+    m2 = V.pca_fit(emb.repartition(7), k=2, dim=6)
+    for a, b in zip(m1["components"], m2["components"]):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
