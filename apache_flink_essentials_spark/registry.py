@@ -3707,3 +3707,23 @@ _register("vec_pca_project")(
         emb, V.pca_fit(emb, k=4, dim=64)
     ))(load_table(spark, "embeddings", sf))
 )
+
+
+# ---- rolling 7-day active users (sliding-window COUNT DISTINCT) ----
+# Exact form: rows replicate 7x before the distinct agg (size/slide). The
+# 100 TB path trades exactness for one HLL sketch per (user-day) merged
+# across the window — sketches.hll_* — when 2% error is acceptable.
+_register(
+    "events_wau_7d",
+    """
+    SELECT ws::BIGINT AS window_start, (ws + 604800)::BIGINT AS window_end,
+           count(DISTINCT user_id)::BIGINT AS active_users
+    FROM (
+      SELECT (floor(epoch(ts) / 86400) - k) * 86400 AS ws, user_id
+      FROM events, unnest(range(0, 7)) AS t(k)
+    ) GROUP BY 1, 2
+    """,
+)(lambda spark, sf: W.sliding(
+    _events(spark, sf), "ts", "7 days", "1 day",
+    [F.countDistinct("user_id").alias("active_users")],
+))

@@ -97,6 +97,8 @@ HEADLINE = [
     "ts_time_weighted_avg",
     "funnel_three_step",
     "fuzzy_name_pairs",
+    "vec_pca_project",
+    "events_wau_7d",
 ]
 
 
