@@ -3686,13 +3686,13 @@ _register(
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            levenshtein(a.c_name, b.c_name) AS distance
     FROM customer a JOIN customer b
-      ON lower(substr(a.c_name, 1, 12)) = lower(substr(b.c_name, 1, 12))
+      ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
 )(lambda spark, sf: (lambda c: fuzzy_join(
     c.select("c_custkey", "c_name"), c.select("c_custkey", "c_name"),
-    "c_name", "c_name", max_distance=1, block_chars=12,
+    "c_name", "c_name", max_distance=1, block_chars=16,
 ).filter(F.col("l_c_custkey") < F.col("r_c_custkey")).select(
     F.col("l_c_custkey").alias("id_a"),
     F.col("r_c_custkey").alias("id_b"),
