@@ -401,3 +401,86 @@ def capped_session_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def reorder_buffer_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delay_seconds: int,
+    payload_col: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Per-key event-time reorder buffer: rows are held in state and
+    released IN TIMESTAMP ORDER once the key's high-water mark (max ts
+    seen − ``delay_seconds``) passes them — the general pre-stage that
+    makes order-sensitive stateful operators (capped sessions, changelogs,
+    pattern matches) correct on out-of-order streams, at the cost of
+    ``delay_seconds`` of latency and per-key buffer state.
+
+    Semantics mirror bounded-out-of-orderness watermarks but per key: a
+    row later than its key's watermark at arrival is still fine (state is
+    keyed), a row older than what was already RELEASED is dropped as late
+    (counted nowhere — same drop rule as Spark/Flink windowed aggs).
+
+    State: the pending (ts, payload) list per key plus the released
+    high-water mark — bounded by the key's arrival rate × delay. Emits
+    (key, ts, payload) rows in per-key ts order.
+    """
+    ts_field, payload_field = ts_col, payload_col
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pend_ts, pend_payload, released = state.get
+            pending = list(zip(pend_ts, pend_payload))
+        else:
+            pending, released = [], -(2**62)
+        max_ts = max((t for t, _ in pending), default=-(2**62))
+        for pdf in pdfs:
+            col = pdf[ts_field]
+            if col.dtype.kind == "M":
+                col = col.astype("int64") // 1_000_000_000
+            for ts, payload in zip(
+                col.astype("int64").tolist(), pdf[payload_field].tolist()
+            ):
+                if ts <= released:
+                    continue  # late beyond the buffer — dropped
+                pending.append((ts, payload))
+                max_ts = max(max_ts, ts)
+        horizon = max_ts - delay_seconds
+        pending.sort()
+        out = [(str(key[0]), t, p) for t, p in pending if t <= horizon]
+        keep = [(t, p) for t, p in pending if t > horizon]
+        if out:
+            released = max(released, out[-1][1])
+        state.update(
+            ([t for t, _ in keep], [p for _, p in keep], released)
+        )
+        yield pd.DataFrame(out, columns=["key", ts_field, payload_field])
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=T.StructType(
+                [
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField(ts_field, T.LongType(), False),
+                    T.StructField(payload_field, T.StringType(), True),
+                ]
+            ),
+            stateStructType=T.StructType(
+                [
+                    T.StructField("pend_ts", T.ArrayType(T.LongType()), True),
+                    T.StructField(
+                        "pend_payload", T.ArrayType(T.StringType()), True
+                    ),
+                    T.StructField("released", T.LongType(), False),
+                ]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

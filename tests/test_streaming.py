@@ -474,3 +474,24 @@ def test_stream_static_enrichment_equals_batch(spark):
     out = run_stream_to_df(enrich_with_static(stream, dim, "user_id"))
     got = {(r.user_id, r.sku, r.tier) for r in out.collect()}
     assert got == batch
+
+
+def test_reorder_buffer_releases_in_order_and_drops_late(spark):
+    # out-of-order arrivals within each micro-batch file; delay 20s
+    rows = [
+        ("a", 30, "p30"), ("a", 10, "p10"), ("a", 50, "p50"),   # file-ish 1
+        ("a", 40, "p40"), ("a", 90, "p90"),                     # file-ish 2
+        ("a", 5, "late"),                                       # beyond buffer
+        ("a", 200, "p200"),                                     # flushes rest
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, payload string")
+    # deterministic file split: 3 files by row position via explicit ids
+    stream = replay_as_stream(df.withColumn("ord", F.monotonically_increasing_id()),
+                              num_files=3, order_by="ord").drop("ord")
+    out = run_stream_to_df(
+        stateful.reorder_buffer_stream(stream, "k", "ts", 20, "payload"),
+    )
+    got = [(r.ts, r.payload) for r in sorted(out.collect(), key=lambda r: r.ts)]
+    # released rows are exactly those <= max_ts - 20 at some batch, in order,
+    # with the too-late row dropped and the tail (p200) still buffered
+    assert [p for _, p in got] == ["p10", "p30", "p40", "p50", "p90"]
