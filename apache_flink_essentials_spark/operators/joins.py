@@ -299,17 +299,20 @@ def fuzzy_join(
     """
     l = left.select(
         F.lower(F.substring(F.col(left_col), 1, block_chars)).alias("_blk"),
-        F.col(left_col).alias("_lv"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns],
     )
     r = right.select(
         F.lower(F.substring(F.col(right_col), 1, block_chars)).alias("_blk"),
-        F.col(right_col).alias("_rv"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
     )
     return (
         l.join(r, "_blk")
-        .withColumn("distance", F.levenshtein(F.col("_lv"), F.col("_rv")))
+        .withColumn(
+            "distance",
+            F.levenshtein(
+                F.lower(F.col(f"l_{left_col}")), F.lower(F.col(f"r_{right_col}"))
+            ),
+        )
         .filter(F.col("distance") <= max_distance)
-        .drop("_blk", "_lv", "_rv")
+        .drop("_blk")
     )

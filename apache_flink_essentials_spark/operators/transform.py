@@ -149,11 +149,16 @@ def funnel_steps(
 ):
     """Generalized N-step ordered funnel: for each user, the earliest
     completion times of ``steps`` where every step happens strictly after
-    the previous one and within ``within_s`` seconds of it. Greedy-earliest
-    is optimal here: taking the earliest valid occurrence of step i can
-    never reduce the chance of completing step i+1. Output: one row per
-    user who performed step 0, with ``t0..t{k-1}`` epoch seconds (null
-    once the chain breaks) and ``completed_steps``.
+    the previous one and within ``within_s`` seconds of it, using
+    GREEDY-FIRST matching — each step takes its earliest valid occurrence
+    (the product-analytics convention: Amplitude/Mixpanel-style strict
+    funnels). Note greedy-first is a semantics choice, not an optimal
+    matcher: with per-step relative windows, a later step-i occurrence can
+    sometimes rescue step i+1 that the earliest one times out (pinned by
+    test); maximizing completions would need a per-user DP over
+    occurrence chains. Output: one row per user who performed step 0,
+    with ``t0..t{k-1}`` epoch seconds (null once the chain breaks) and
+    ``completed_steps``.
 
     Plan shape: k−1 LEFT joins, but every side is pre-reduced to
     (user, ts) slivers of a single event-type and every join keys on the
@@ -161,8 +166,6 @@ def funnel_steps(
     reuses the exchange across same-key joins), so cost is k slim shuffles
     of per-type event subsets, never a k-way fact self-join.
     """
-    from pyspark.sql import functions as F  # local alias mirrors module style
-
     t = F.col(ts_col).cast("long")
     base = df.select(F.col(user_col), t.alias("_t"), F.col(type_col))
     cur = (

@@ -826,8 +826,11 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
+    probe = embeddings.select(vec_col).first()
+    if probe is None:
+        raise ValueError("pca_fit: empty corpus — nothing to fit")
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = len(probe[0])
     d = dim
 
     def partials(pdfs):

@@ -3677,9 +3677,6 @@ _register(
 
 
 # ---- blocked fuzzy (edit-distance) self-join: near-identical names ----
-from apache_flink_essentials_spark.operators.joins import fuzzy_join  # noqa: E402
-
-
 _register(
     "fuzzy_name_pairs",
     """
@@ -3690,7 +3687,7 @@ _register(
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
-)(lambda spark, sf: (lambda c: fuzzy_join(
+)(lambda spark, sf: (lambda c: J.fuzzy_join(
     c.select("c_custkey", "c_name"), c.select("c_custkey", "c_name"),
     "c_name", "c_name", max_distance=1, block_chars=16,
 ).filter(F.col("l_c_custkey") < F.col("r_c_custkey")).select(

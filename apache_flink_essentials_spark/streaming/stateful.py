@@ -445,8 +445,11 @@ def reorder_buffer_stream(
             for ts, payload in zip(
                 col.astype("int64").tolist(), pdf[payload_field].tolist()
             ):
-                if ts <= released:
+                if ts < released:
                     continue  # late beyond the buffer — dropped
+                # ts == released is accepted: emitting it keeps per-key
+                # output nondecreasing (same-second events straddling a
+                # micro-batch boundary are NOT data loss)
                 pending.append((ts, payload))
                 max_ts = max(max_ts, ts)
         horizon = max_ts - delay_seconds
@@ -458,7 +461,7 @@ def reorder_buffer_stream(
         state.update(
             ([t for t, _ in keep], [p for _, p in keep], released)
         )
-        yield pd.DataFrame(out, columns=["key", ts_field, payload_field])
+        yield pd.DataFrame(out, columns=[key_col, ts_field, payload_field])
 
     return (
         df.groupBy(F.col(key_col).cast("string").alias(key_col))
@@ -466,7 +469,7 @@ def reorder_buffer_stream(
             fn,
             outputStructType=T.StructType(
                 [
-                    T.StructField("key", T.StringType(), True),
+                    T.StructField(key_col, T.StringType(), True),
                     T.StructField(ts_field, T.LongType(), False),
                     T.StructField(payload_field, T.StringType(), True),
                 ]

@@ -148,3 +148,13 @@ def test_fuzzy_join_blocked_matching(spark):
     out = fuzzy_join(left, right, "name", "name", max_distance=1, block_chars=4)
     pairs = {(r.l_id, r.r_id, r.distance) for r in out.collect()}
     assert pairs == {(1, 10, 0), (1, 12, 1)}
+
+
+def test_fuzzy_join_case_insensitive_distance(spark):
+    from apache_flink_essentials_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "ACme Corp")], "id long, name string")
+    right = spark.createDataFrame([(10, "acme corp")], "id long, name string")
+    out = fuzzy_join(left, right, "name", "name", max_distance=1, block_chars=4)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].distance == 0  # case variants match

@@ -93,3 +93,14 @@ def test_funnel_steps_greedy_earliest_and_window(spark):
     assert out[2].completed_steps == 1 and out[2].t1 is None
     assert out[3].completed_steps == 2 and out[3].t2 is None
     assert (out[4].t0, out[4].t1, out[4].t2) == (0, 10, 11)
+
+
+def test_funnel_steps_greedy_first_semantics_pinned(spark):
+    # greedy-first is a CHOICE, not a max matcher: B@1 is taken (earliest),
+    # so C@15 falls outside (1, 11] even though chain A@0→B@9→C@15 exists
+    from apache_flink_essentials_spark.operators.transform import funnel_steps
+
+    rows = [(1, 0, "A"), (1, 1, "B"), (1, 9, "B"), (1, 15, "C")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    r = funnel_steps(df, "user_id", "ts", "event_type", ["A", "B", "C"], 10).collect()[0]
+    assert (r.t0, r.t1, r.t2, r.completed_steps) == (0, 1, None, 2)
