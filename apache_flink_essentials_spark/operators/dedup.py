@@ -563,3 +563,78 @@ def ngram_contamination(
             (F.count("_hit") / F.count("*")).alias("contamination"),
         )
     )
+
+
+def build_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Materialize the corpus's MinHash band signatures + token sets as a
+    persistable table: one row per (id, band_idx, band_hash) with the
+    token set carried on band 0 only (each id's tok_set stored once, not
+    bands×). Write this out once (`io.write_files` / bucketed by
+    band_hash) and every future batch dedups against the corpus WITHOUT
+    re-reading or re-hashing corpus text — the incremental path
+    `near_dedup_against_corpus`'s docstring promises, made concrete.
+    """
+    base, exploded = _tok_bands(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    return exploded.join(base.select(F.col(id_col), "tok_set"), id_col).select(
+        F.col(id_col),
+        "band_idx",
+        "band_hash",
+        F.when(F.col("band_idx") == 0, F.col("tok_set")).alias("tok_set"),
+    )
+
+
+def near_dedup_with_signatures(
+    new_df: DataFrame,
+    signature_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """`near_dedup_against_corpus` against a PREBUILT signature table
+    (from `build_signature_table`): only the new batch is tokenized and
+    hashed; the corpus contributes its stored band hashes and token sets.
+    Same candidate-join → jaccard-verify → anti-join shape; identical
+    results (pinned by test).
+    """
+    new_base, new_bands = _tok_bands(
+        new_df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    corp_bands = signature_table.select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    corp_toks = signature_table.filter(F.col("tok_set").isNotNull()).select(
+        F.col(id_col).alias("corpus_id"), F.col("tok_set").alias("tok_c")
+    )
+    cand = (
+        new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+        .join(corp_bands, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = cand.join(
+        new_base.select(
+            F.col(id_col).alias("new_id"), F.col("tok_set").alias("tok_n")
+        ),
+        "new_id",
+    ).join(corp_toks, "corpus_id")
+    jac = F.size(F.array_intersect(F.col("tok_n"), F.col("tok_c"))) / F.size(
+        F.array_union(F.col("tok_n"), F.col("tok_c"))
+    )
+    matched = (
+        verified.filter(jac >= jaccard_threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")

@@ -395,3 +395,20 @@ def test_pca_fit_is_deterministic(spark):
     m2 = V.pca_fit(emb.repartition(7), k=2, dim=6)
     for a, b in zip(m1["components"], m2["components"]):
         assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+
+def test_signature_table_path_matches_direct_near_dedup(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens alpha beta gamma delta doc {i % 3}")
+         for i in range(12)] + [(100, "entirely different content here now")],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    direct = {r.doc_id for r in D.near_dedup_against_corpus(new, corpus).collect()}
+    # signature table round-tripped through parquet (the persist path)
+    sig_path = str(tmp_path / "sigs")
+    D.build_signature_table(corpus).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    via_table = {r.doc_id for r in D.near_dedup_with_signatures(new, sigs).collect()}
+    assert via_table == direct
