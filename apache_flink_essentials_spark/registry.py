@@ -3724,3 +3724,35 @@ _register(
     _events(spark, sf), "ts", "7 days", "1 day",
     [F.countDistinct("user_id").alias("active_users")],
 ))
+
+
+# ---- per-window top-k groups (daily top event types) ----
+_register(
+    "events_daily_top_types",
+    """
+    SELECT day_start, event_type, n_events, rnk FROM (
+      SELECT day_start, event_type, n_events,
+             row_number() OVER (PARTITION BY day_start
+               ORDER BY n_events DESC, event_type) AS rnk
+      FROM (
+        SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 2
+    """,
+)(lambda spark, sf: (lambda agg: agg.withColumn(
+    "rnk",
+    F.row_number().over(
+        _Win.partitionBy("day_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    ),
+).filter(F.col("rnk") <= 2))(
+    _events(spark, sf)
+    .groupBy(
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400).alias("day_start"),
+        "event_type",
+    )
+    .agg(F.count(F.lit(1)).alias("n_events"))
+))

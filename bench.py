@@ -99,6 +99,7 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "vec_pca_project",
     "events_wau_7d",
+    "events_daily_top_types",
 ]
 
 
