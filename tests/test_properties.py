@@ -205,3 +205,77 @@ def test_session_capped_matches_python_model(spark, rows, gap, max_dur, max_ev):
         ).collect()
     }
     assert got == _model_capped_sessions(data, gap, max_dur, max_ev)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=0, max_value=400),   # ts
+            st.integers(min_value=-50, max_value=50),  # value (int → exact)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_python_model(spark, rows):
+    from collections import defaultdict
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    data = [(k, ts, float(v), i) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k int, ts long, value double, event_id long"
+    )
+    got = {
+        r.k: (r.total_seconds, r.twap)
+        for r in time_weighted_avg(df, "k", "ts", "value", "event_id").collect()
+    }
+    by_key = defaultdict(list)
+    for k, ts, v, i in data:
+        by_key[k].append((ts, i, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        wsum = tot = 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            wsum += v * (t1 - t0)
+            tot += t1 - t0
+        if tot > 0:
+            assert got[k][0] == tot
+            assert abs(got[k][1] - wsum / tot) < 1e-9
+        else:
+            assert k not in got
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # ts
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_ohlc_matches_python_model(spark, rows):
+    from collections import defaultdict
+
+    from apache_flink_essentials_spark.operators.timeseries import ohlc
+
+    data = [(1, i, ts, float(v)) for i, (ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, event_id long, ts long, value double")
+    got = {
+        r.bucket: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc(df, "k", "ts", "value", 60, "event_id").collect()
+    }
+    buckets = defaultdict(list)
+    for k, i, ts, v in data:
+        buckets[(ts // 60) * 60].append((ts, i, v))
+    for b, evs in buckets.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        assert got[b] == (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
