@@ -279,3 +279,88 @@ def test_ohlc_matches_python_model(spark, rows):
         evs.sort()
         vals = [v for _, _, v in evs]
         assert got[b] == (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=8,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    from apache_flink_essentials_spark.operators.cdc import snapshot_diff
+
+    schema = "k long, v double"
+    o_df = spark.createDataFrame(
+        [(k, None if v is None else float(v)) for k, v in old.items()], schema
+    ) if old else spark.createDataFrame([], schema)
+    n_df = spark.createDataFrame(
+        [(k, None if v is None else float(v)) for k, v in new.items()], schema
+    ) if new else spark.createDataFrame([], schema)
+    got = {r.k: r.change_type for r in snapshot_diff(
+        o_df, n_df, ["k"], ["v"]).collect()}
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "A"
+        elif k not in new:
+            expect[k] = "D"
+        elif old[k] != new[k]:
+            expect[k] = "U"
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user
+            st.integers(min_value=0, max_value=100),        # ts
+            st.sampled_from(["A", "B", "C"]),               # step type
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    within=st.sampled_from([10, 30]),
+)
+@settings(**SETTINGS)
+def test_funnel_steps_matches_greedy_model(spark, rows, within):
+    from collections import defaultdict
+
+    from apache_flink_essentials_spark.operators.transform import funnel_steps
+
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r.user_id: (r.t0, r.t1, r.t2, r.completed_steps)
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["A", "B", "C"], within
+        ).collect()
+    }
+    by_user = defaultdict(list)
+    for u, ts, et in rows:
+        by_user[u].append((ts, et))
+    expect = {}
+    for u, evs in by_user.items():
+        a_times = sorted(t for t, e in evs if e == "A")
+        if not a_times:
+            continue
+        times = [a_times[0], None, None]
+        for i, step in enumerate(["B", "C"], start=1):
+            prev = times[i - 1]
+            if prev is None:
+                break
+            cands = sorted(
+                t for t, e in evs
+                if e == step and prev < t <= prev + within
+            )
+            times[i] = cands[0] if cands else None
+        expect[u] = (times[0], times[1], times[2],
+                     sum(1 for t in times if t is not None))
+    assert got == expect
