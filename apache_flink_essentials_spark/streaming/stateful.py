@@ -426,6 +426,13 @@ def reorder_buffer_stream(
     State: the pending (ts, payload) list per key plus the released
     high-water mark — bounded by the key's arrival rate × delay. Emits
     (key, ts, payload) rows in per-key ts order.
+
+    Composition note (verified): Spark rejects TWO applyInPandasWithState
+    operators in one streaming query ("Multiple applyInPandasWithStates
+    are not supported"), so reorder → capped-sessions runs as two queries
+    bridged by a durable sink (files/Kafka + checkpoint) — the standard
+    multi-stage stateful topology; Flink expresses the same as two chained
+    keyed operators inside one job.
     """
     ts_field, payload_field = ts_col, payload_col
 

@@ -495,3 +495,37 @@ def test_reorder_buffer_releases_in_order_and_drops_late(spark):
     # released rows are exactly those <= max_ts - 20 at some batch, in order,
     # with the too-late row dropped and the tail (p200) still buffered
     assert [p for _, p in got] == ["p10", "p30", "p40", "p50", "p90"]
+
+
+def test_reorder_then_sessions_two_query_composition(spark):
+    # Spark forbids two applyInPandasWithState ops in ONE query (pinned
+    # below); the supported topology is two queries bridged by a sink —
+    # here: reorder query → materialized result → session query
+    rows = [("a", 30, "x"), ("a", 10, "x"), ("a", 200, "x"),
+            ("a", 250, "x"), ("a", 900, "x")]
+    df = spark.createDataFrame(rows, "k string, ts long, payload string")
+    scrambled = replay_as_stream(
+        df.withColumn("o", F.monotonically_increasing_id()),
+        num_files=2, order_by="o",
+    ).drop("o")
+    reordered = run_stream_to_df(
+        stateful.reorder_buffer_stream(scrambled, "k", "ts", 20, "payload")
+    )
+    # high-water release: everything ≤ 900-20 released, in order
+    assert [r.ts for r in reordered.orderBy("ts").collect()] == [10, 30, 200, 250]
+    stage2 = replay_as_stream(reordered, num_files=1, order_by="ts")
+    sessions = run_stream_to_df(
+        stateful.capped_session_stream(stage2, "k", "ts", 60)
+    )
+    got = {(r.session_start, r.session_end, r.n_events) for r in sessions.collect()}
+    # {10,30} closed by the gap to 200; {200,250} still open (never emitted)
+    assert got == {(10, 30, 2)}
+
+    # the single-query chain is rejected — pin the limitation
+    import pytest as _pytest
+    chained = stateful.capped_session_stream(
+        stateful.reorder_buffer_stream(scrambled, "k", "ts", 20, "payload"),
+        "k", "ts", 60,
+    )
+    with _pytest.raises(Exception, match="[Mm]ultiple.*applyInPandasWithState"):
+        run_stream_to_df(chained, output_mode="append")
