@@ -18,6 +18,7 @@ unused in code): thin wrappers below delegate to Spark's built-in formats.
 from __future__ import annotations
 
 import os
+import warnings
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,9 +75,30 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # Defensive runtime confs so a DRIVER-created vanilla session matches
     # get_spark() semantics: nanos parquet → TimestampType (not NTZ), and
     # UTC so epoch/date expressions agree with the DuckDB oracle (naive=UTC).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Set only when they actually differ, and WARN when overriding — a
+    # session that already planned queries under a different timezone
+    # changes semantics on the first load_table call, and the caller should
+    # see that happen rather than have it occur silently.
+    for conf, required in (
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        current = spark.conf.get(conf, None)
+        if current != required:
+            if conf == "spark.sql.session.timeZone" and current not in (
+                None,
+                "UTC",
+                "Etc/UTC",
+            ):
+                warnings.warn(
+                    f"load_table is overriding {conf}={current!r} with "
+                    f"{required!r} (engine/oracle convention: naive "
+                    f"timestamps = UTC); queries already planned in this "
+                    f"session may change semantics",
+                    stacklevel=2,
+                )
+            spark.conf.set(conf, required)
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

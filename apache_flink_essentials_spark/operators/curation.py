@@ -23,6 +23,7 @@ after dedup.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
@@ -398,11 +399,16 @@ def group_split(
     u = uniform_hash_expr(group_col, seed)
     labels = list(fractions)
     expr: Column = F.lit(labels[-1])
-    acc = 0.0
-    bounds: list[tuple[str, float]] = []
-    for lab, frac in list(fractions.items())[:-1]:
-        acc += float(frac)
-        bounds.append((lab, acc))
+    # Exact prefix sums so CASE bounds equal the documented cumulative
+    # fractions — a running float `acc += frac` drifts
+    # (0.8 + 0.1 -> 0.9000000000000001), which could assign a
+    # boundary-sliver hash to the wrong label. fsum + round(…, 12) snaps
+    # each bound to the decimal the caller wrote.
+    fracs = [float(f) for f in fractions.values()]
+    bounds: list[tuple[str, float]] = [
+        (lab, round(math.fsum(fracs[: i + 1]), 12))
+        for i, lab in enumerate(list(fractions)[:-1])
+    ]
     for lab, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(lab)).otherwise(expr)
     return df.withColumn(label_col, expr)

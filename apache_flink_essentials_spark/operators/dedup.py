@@ -589,6 +589,14 @@ def build_signature_table(
         "band_idx",
         "band_hash",
         F.when(F.col("band_idx") == 0, F.col("tok_set")).alias("tok_set"),
+        # Signature parameters travel WITH the table (constant columns cost
+        # ~nothing in parquet RLE) so a consumer built with different
+        # num_hashes/bands/shingle_k fails fast instead of silently
+        # under-matching — band hashes from mismatched parameters simply
+        # never collide.
+        F.lit(int(num_hashes)).alias("sig_num_hashes"),
+        F.lit(int(bands)).alias("sig_bands"),
+        F.lit(int(shingle_k)).alias("sig_shingle_k"),
     )
 
 
@@ -607,7 +615,31 @@ def near_dedup_with_signatures(
     hashed; the corpus contributes its stored band hashes and token sets.
     Same candidate-join → jaccard-verify → anti-join shape; identical
     results (pinned by test).
+
+    Fails fast (ValueError) if the signature table was built with different
+    num_hashes/bands/shingle_k than this call — mismatched parameters
+    produce band hashes that never collide, i.e. silent under-matching.
+    Tables from `build_signature_table` carry the parameters as constant
+    columns; tables lacking them are rejected (rebuild to validate).
     """
+    sig_cols = ("sig_num_hashes", "sig_bands", "sig_shingle_k")
+    if not all(c in signature_table.columns for c in sig_cols):
+        raise ValueError(
+            "signature_table lacks sig_num_hashes/sig_bands/sig_shingle_k "
+            "columns; rebuild it with build_signature_table so parameter "
+            "compatibility can be validated"
+        )
+    stored = signature_table.select(*sig_cols).limit(1).collect()
+    if stored:
+        got = tuple(stored[0])
+        want = (int(num_hashes), int(bands), int(shingle_k))
+        if got != want:
+            raise ValueError(
+                f"signature_table was built with (num_hashes, bands, "
+                f"shingle_k)={got} but near_dedup_with_signatures was "
+                f"called with {want}; mismatched parameters never collide "
+                f"and would silently pass near-duplicates through"
+            )
     new_base, new_bands = _tok_bands(
         new_df, id_col, text_col, num_hashes, bands, shingle_k
     )

@@ -263,19 +263,31 @@ def expect(
     if sample_violations and id_col:
         samples = None
         for name in names:
+            # Order on the NATIVE id column (numeric ids sample in numeric
+            # order, not lexicographic '10' < '2'), cast to string only for
+            # the output column.
             s = (
                 df.filter(~F.coalesce(rules[name], F.lit(False)))
                 .select(
                     F.lit(name).alias("rule"),
+                    F.col(id_col).alias("_native_id"),
                     F.col(id_col).cast("string").alias("example_id"),
                 )
-                .orderBy("example_id")
+                .orderBy("_native_id")
                 .limit(sample_violations)
             )
             samples = s if samples is None else samples.unionByName(s)
+        # Sort examples by the NATIVE id (numeric ids stay numeric-ordered,
+        # not lexicographic '10' < '2'); array_sort over (native, string)
+        # structs orders by the native field, then we project the string.
         return reports.join(
             samples.groupBy("rule").agg(
-                F.array_sort(F.collect_list("example_id")).alias("examples")
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_native_id", "example_id"))
+                    ),
+                    lambda x: x["example_id"],
+                ).alias("examples")
             ),
             "rule",
             "left",

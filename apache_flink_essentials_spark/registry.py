@@ -1378,9 +1378,9 @@ _register(
     """
     SELECT l_linestatus,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
     FROM lineitem, orders
     WHERE l_orderkey = o_orderkey
       AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -2407,15 +2407,15 @@ _register(
     """
     WITH one AS (
       SELECT count(*) AS n_rows,
-        sum((doc_id IS NULL)::BIGINT)  AS nn1, count(DISTINCT doc_id)  AS nd1,
+        sum((doc_id IS NULL)::BIGINT)::BIGINT  AS nn1, count(DISTINCT doc_id)  AS nd1,
           min(doc_id)::VARCHAR  AS mn1, max(doc_id)::VARCHAR  AS mx1,
-        sum((text IS NULL)::BIGINT)    AS nn2, count(DISTINCT text)    AS nd2,
+        sum((text IS NULL)::BIGINT)::BIGINT    AS nn2, count(DISTINCT text)    AS nd2,
           min(text)             AS mn2, max(text)             AS mx2,
-        sum((lang IS NULL)::BIGINT)    AS nn3, count(DISTINCT lang)    AS nd3,
+        sum((lang IS NULL)::BIGINT)::BIGINT    AS nn3, count(DISTINCT lang)    AS nd3,
           min(lang)             AS mn3, max(lang)             AS mx3,
-        sum((source IS NULL)::BIGINT)  AS nn4, count(DISTINCT source)  AS nd4,
+        sum((source IS NULL)::BIGINT)::BIGINT  AS nn4, count(DISTINCT source)  AS nd4,
           min(source)           AS mn4, max(source)           AS mx4,
-        sum((n_chars IS NULL)::BIGINT) AS nn5, count(DISTINCT n_chars) AS nd5,
+        sum((n_chars IS NULL)::BIGINT)::BIGINT AS nn5, count(DISTINCT n_chars) AS nd5,
           min(n_chars)::VARCHAR AS mn5, max(n_chars)::VARCHAR AS mx5
       FROM documents
     )

@@ -460,7 +460,11 @@ def reorder_buffer_stream(
                 pending.append((ts, payload))
                 max_ts = max(max_ts, ts)
         horizon = max_ts - delay_seconds
-        pending.sort()
+        # Sort on timestamp ONLY: a (ts, payload) tuple sort falls back to
+        # comparing payloads on ties, and None vs str raises TypeError
+        # inside the state function. list.sort is stable, so tied rows keep
+        # arrival order.
+        pending.sort(key=lambda tp: tp[0])
         out = [(str(key[0]), t, p) for t, p in pending if t <= horizon]
         keep = [(t, p) for t, p in pending if t > horizon]
         if out:

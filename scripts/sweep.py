@@ -37,7 +37,13 @@ def main() -> int:
                 fails += 0 if ok else 1
                 detail = "" if ok else {
                     k: r[k]
-                    for k in ("rows_spark", "rows_duck", "only_spark", "only_duck")
+                    for k in (
+                        "rows_spark",
+                        "rows_duck",
+                        "only_spark",
+                        "only_duck",
+                        "type_mismatches",
+                    )
                     if k in r
                 }
                 print(f"{'OK  ' if ok else 'FAIL'} {name} ({time.time()-t0:.1f}s) {detail}")
