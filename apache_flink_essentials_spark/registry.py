@@ -2164,12 +2164,24 @@ _register(
     M.documents_as_media(load_table(spark, "documents", sf))
 ))
 
-# Multimodal feature extraction runs the real mapInPandas plumbing with the
-# stubbed decoder — deterministic, so rows-only checkable.
+# Multimodal feature extraction runs the REAL decoder stack
+# (media_codecs: header probes + PNG/BMP/WAV codecs): document payloads are
+# text bytes, so every row takes the honest decoded=false byte-histogram
+# branch — deterministic, rows-only checkable. Pixel/sample decode paths are
+# pinned by planted-fixture tests (tests/test_multimodal_decode.py).
 _register("multimodal_features")(
     lambda spark, sf: M.extract_features(
         M.documents_as_media(load_table(spark, "documents", sf))
-    ).select("media_id", "payload_bytes", "feature_dim")
+    ).select("media_id", "payload_bytes", "decoded", "feature_dim")
+)
+
+# Header-probe decode (format/dims/audio params from payload bytes, O(header)
+# per row). Python by necessity (byte parsing), hence rows-only: the design
+# rule keeps Python out of oracle-checked plans.
+_register("multimodal_decode")(
+    lambda spark, sf: M.decode_media(
+        M.documents_as_media(load_table(spark, "documents", sf))
+    )
 )
 
 # -- near-dup cluster canonicalization (connected components over LSH pairs) --

@@ -112,13 +112,13 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert abs(sum(by_id[0].features) - 1.0) < 0.01        # L1-normalized
 
 
-def test_multimodal_decode_stub_raises(spark, docs):
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-
+def test_multimodal_real_decode_honest_on_text(spark, docs):
+    # real decode path (default): text payloads are not images, so every row
+    # must take the decoded=false byte-histogram fallback — never a silent
+    # false "decoded"
     media = M.documents_as_media(docs)
-    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
-        M.extract_features(media, decode_stub=False).collect()
+    rows = M.extract_features(media, decode_stub=False).collect()
+    assert rows and all(not r.decoded and r.format is None for r in rows)
 
 
 def test_frame_sample_plan(spark):
