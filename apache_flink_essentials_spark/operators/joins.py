@@ -275,6 +275,20 @@ def range_band_join(
     return facts.join(b, (v >= b[lo_col]) & (v < b[hi_col]), "left")
 
 
+def _deletion_variants(col: str) -> "F.Column":
+    """All single-character-deletion variants of lower(col), plus the value
+    itself — pure JVM expressions (transform + sequence + substring), no
+    Python. Two strings within edit distance 1 ALWAYS share a variant:
+    equal → the identity variant; substitution at i → both delete i;
+    insert/delete → deleting the extra char reproduces the shorter string."""
+    lc = f"lower({col})"
+    return F.expr(
+        f"array_union(array({lc}), transform(sequence(1, length({lc})), "
+        f"i -> concat(substring({lc}, 1, i-1), "
+        f"substring({lc}, i+1, length({lc})))))"
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -282,21 +296,54 @@ def fuzzy_join(
     right_col: str,
     max_distance: int = 1,
     block_chars: int = 4,
+    method: str = "auto",
+    length_bucket: int | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Blocked edit-distance (Levenshtein) join — the entity-resolution
     primitive for typo-level matching (names, SKUs, addresses). NEVER an
-    all-pairs comparison: both sides first reduce to (block, value) where
-    ``block`` is the lower-cased ``block_chars`` prefix, the equi-join runs
-    on the block, and the O(|a|·|b|) Levenshtein only evaluates within
-    blocks. A prefix block cannot miss matches whose first ``block_chars``
-    characters already differ — callers wanting prefix-typo tolerance
-    should pass a coarser blocking (shorter prefix, phonetic key, length
-    bucket) and pay the larger blocks.
+    all-pairs comparison. Match semantics (independent of method): lower-
+    cased ``block_chars`` prefixes are equal AND levenshtein ≤
+    ``max_distance``. A prefix block cannot miss matches whose first
+    ``block_chars`` characters already differ — callers wanting prefix-typo
+    tolerance should pass a coarser blocking (shorter prefix, phonetic key)
+    and pay the larger blocks.
 
-    Scale: one equi-join shuffle keyed by the block; per-block cost is
-    |block_l|×|block_r| distance evaluations — same Σ block² cost model
-    (and the same skew caveat) as the LSH bucket join in dedup.
+    Methods:
+      * ``"neighborhood"`` (auto-chosen when ``max_distance <= 1``): the
+        deletion-neighborhood candidate join. Each DISTINCT value explodes
+        to its ≤ len+1 single-deletion variants (JVM expressions); the
+        equi-join runs on the variant; exact levenshtein verifies. Total
+        candidates are O(n · len · alphabet) — LINEAR in n, immune to hot
+        prefix blocks (the TPC-H "Customer#0000…" shared-prefix case that
+        makes prefix blocking go m²). Row multiplicity is restored by
+        joining matched VALUE pairs back to both inputs, so duplicate
+        input rows multiply exactly as in the blocked method.
+      * ``"block"`` (auto for ``max_distance > 1``): prefix equi-join with
+        in-block Levenshtein — Σ block_l×block_r cost, same model (and
+        same skew caveat) as the LSH bucket join in dedup. Two skew
+        controls for 100 TB:
+          - ``length_bucket``: compound block key (prefix, length bucket).
+            EXACT — a match has length difference ≤ max_distance, and the
+            shorter side probes every bucket its admissible lengths touch,
+            so no pair is lost; a hot prefix block splits by length.
+          - ``max_block_size``: drop blocks whose side exceeds the cap
+            (mirrors dedup's ``max_bucket_size``). RECALL TRADE-OFF,
+            documented: oversized blocks are degenerate keys (empty
+            strings, boilerplate prefixes) better handled upstream.
     """
+    if method == "auto":
+        method = "neighborhood" if max_distance <= 1 else "block"
+    if method == "neighborhood":
+        if max_distance > 1:
+            raise ValueError(
+                "neighborhood method covers max_distance <= 1; use "
+                "method='block' for larger distances"
+            )
+        return _fuzzy_join_neighborhood(
+            left, right, left_col, right_col, max_distance, block_chars
+        )
+
     l = left.select(
         F.lower(F.substring(F.col(left_col), 1, block_chars)).alias("_blk"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns],
@@ -305,8 +352,42 @@ def fuzzy_join(
         F.lower(F.substring(F.col(right_col), 1, block_chars)).alias("_blk"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
     )
+    join_keys = ["_blk"]
+    if length_bucket is not None:
+        # right side sits in its own bucket; left probes every bucket its
+        # admissible match lengths (len ± max_distance) overlap → exact
+        ln_l = F.length(F.col(f"l_{left_col}"))
+        l = l.withColumn(
+            "_lb",
+            F.explode(
+                F.sequence(
+                    F.floor((ln_l - F.lit(max_distance)) / F.lit(length_bucket)),
+                    F.floor((ln_l + F.lit(max_distance)) / F.lit(length_bucket)),
+                )
+            ),
+        )
+        r = r.withColumn(
+            "_lb", F.floor(F.length(F.col(f"r_{right_col}")) / F.lit(length_bucket))
+        )
+        join_keys.append("_lb")
+    if max_block_size is not None:
+        oversized = (
+            l.groupBy(join_keys).count()
+            .filter(F.col("count") > max_block_size)
+            .select(*join_keys)
+            .unionByName(
+                r.groupBy(join_keys).count()
+                .filter(F.col("count") > max_block_size)
+                .select(*join_keys)
+            )
+            .distinct()
+        )
+        # hot-key list is tiny by construction → broadcast anti-joins, no
+        # extra shuffle of the data sides
+        l = l.join(F.broadcast(oversized), join_keys, "left_anti")
+        r = r.join(F.broadcast(oversized), join_keys, "left_anti")
     return (
-        l.join(r, "_blk")
+        l.join(r, join_keys)
         .withColumn(
             "distance",
             F.levenshtein(
@@ -314,5 +395,46 @@ def fuzzy_join(
             ),
         )
         .filter(F.col("distance") <= max_distance)
-        .drop("_blk")
+        .drop(*join_keys)
+    )
+
+
+def _fuzzy_join_neighborhood(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+    block_chars: int,
+) -> DataFrame:
+    """Deletion-neighborhood candidate generation at VALUE granularity:
+    distinct values → deletion variants → variant equi-join → levenshtein
+    verify on the (small) value-pair set → join back to both inputs to
+    restore row multiplicity. Every shuffle before the final join-back
+    carries (value, variant) strings only."""
+    lv = left.select(F.col(left_col).alias("_vl")).distinct()
+    rv = right.select(F.col(right_col).alias("_vr")).distinct()
+    lx = lv.select("_vl", F.explode(_deletion_variants("_vl")).alias("_var"))
+    rx = rv.select("_vr", F.explode(_deletion_variants("_vr")).alias("_var"))
+    pairs = (
+        lx.join(rx, "_var")
+        .select("_vl", "_vr")
+        .distinct()
+        # the prefix-equality contract of the blocked method, applied to
+        # the candidate VALUES (block key is a pure function of the value)
+        .filter(
+            F.lower(F.substring(F.col("_vl"), 1, block_chars))
+            == F.lower(F.substring(F.col("_vr"), 1, block_chars))
+        )
+        .withColumn(
+            "distance", F.levenshtein(F.lower("_vl"), F.lower("_vr"))
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    l = left.select(*[F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    return (
+        l.join(pairs, l[f"l_{left_col}"] == pairs["_vl"])
+        .join(r, pairs["_vr"] == r[f"r_{right_col}"])
+        .drop("_vl", "_vr")
     )

@@ -158,3 +158,65 @@ def test_fuzzy_join_case_insensitive_distance(spark):
     out = fuzzy_join(left, right, "name", "name", max_distance=1, block_chars=4)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].distance == 0  # case variants match
+
+
+def test_fuzzy_join_methods_agree_with_duplicates(spark):
+    # neighborhood (value-level candidates + join-back) must reproduce the
+    # blocked method's output EXACTLY, including duplicate-row multiplicity
+    from apache_flink_essentials_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corp"), (3, "acme cort"), (4, "beta inc")],
+        "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme cor"), (12, "beta inc"), (13, "acmex")],
+        "id long, name string")
+    cols = ["l_id", "l_name", "r_id", "r_name", "distance"]
+
+    def rows(method):
+        out = fuzzy_join(left, right, "name", "name",
+                         max_distance=1, block_chars=4, method=method)
+        return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    blocked, neigh = rows("block"), rows("neighborhood")
+    assert blocked == neigh
+    # duplicate left values (ids 1,2) each produce their own exact match
+    # against r_id=10, plus beta inc ↔ beta inc: multiplicity preserved
+    assert sum(1 for t in neigh if t[4] == 0) == 3
+    assert {(t[0], t[2]) for t in neigh if t[4] == 0} == {(1, 10), (2, 10), (4, 12)}
+
+
+def test_fuzzy_join_max_block_size_caps_hot_prefix(spark):
+    # planted hot prefix: 60x60 same-block rows would produce 3600 distance
+    # evaluations; the cap drops the block entirely (documented recall
+    # trade-off), while healthy blocks still match
+    from apache_flink_essentials_spark.operators.joins import fuzzy_join
+
+    hot = [(i, f"hotprefix {i:04d}") for i in range(60)]
+    left = spark.createDataFrame(hot + [(100, "cool name")], "id long, name string")
+    right = spark.createDataFrame(hot + [(200, "cool namex")], "id long, name string")
+    out = fuzzy_join(left, right, "name", "name", max_distance=1,
+                     block_chars=4, method="block", max_block_size=50)
+    pairs = {(r.l_id, r.r_id) for r in out.collect()}
+    assert pairs == {(100, 200)}  # hot block gone, healthy block intact
+
+
+def test_fuzzy_join_length_bucket_exact(spark):
+    # compound (prefix, length-bucket) key must not lose any pair: matches
+    # within distance 1 straddle at most adjacent buckets, which the left
+    # side probes explicitly
+    from apache_flink_essentials_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "abcd" + "x" * 7), (2, "abcd" + "y" * 12)], "id long, name string")
+    right = spark.createDataFrame(
+        # distance-1 neighbors with lengths n-1 / n / n+1 of left id=1
+        [(10, "abcd" + "x" * 6), (11, "abcd" + "x" * 7), (12, "abcd" + "x" * 8)],
+        "id long, name string")
+    base = fuzzy_join(left, right, "name", "name", max_distance=1,
+                      block_chars=4, method="block")
+    bucketed = fuzzy_join(left, right, "name", "name", max_distance=1,
+                          block_chars=4, method="block", length_bucket=4)
+    key = lambda out: sorted((r.l_id, r.r_id, r.distance) for r in out.collect())
+    assert key(base) == key(bucketed)
+    assert key(bucketed) == [(1, 10, 1), (1, 11, 0), (1, 12, 1)]
