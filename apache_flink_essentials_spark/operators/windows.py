@@ -153,6 +153,65 @@ def sliding_paned(
     )
 
 
+def sliding_count_distinct(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    size_seconds: int,
+    slide_seconds: int,
+    exact: bool = True,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Sliding-window COUNT DISTINCT with an explicit scale switch.
+
+    ``exact=True``: every row replicates into size/slide windows before the
+    distinct aggregation — correct, oracle-checkable, but the shuffle
+    carries k·rows of (window, value) and COUNT DISTINCT on a skewed value
+    column (user ids) is the known 100 TB chokepoint of this shape.
+
+    ``exact=False``: the HLL pane path (same two-level structure as
+    `sliding_paned`, which plain distinct cannot use because it is not
+    algebraic — HLL sketches ARE mergeable): rows aggregate ONCE into one
+    HLL sketch per slide-sized pane (hash-agg with map-side partials), only
+    the k·panes sketch rows replicate, and `hll_union_agg` merges per
+    window. Shuffled volume drops from k·rows to rows + k·panes·(sketch
+    bytes); default sketch precision (lgConfigK=12, ~2 KB, ~1.6% rel.
+    error) — the standard accuracy trade every 100 TB WAU/MAU rollup makes.
+
+    Output: (window_start, window_end, <alias>) epoch-second bounds,
+    matching `sliding()`'s epoch_bounds shape.
+    """
+    assert size_seconds % slide_seconds == 0, "size must be a multiple of slide"
+    k = size_seconds // slide_seconds
+    if exact:
+        return sliding(
+            df,
+            ts_col,
+            f"{size_seconds} seconds",
+            f"{slide_seconds} seconds",
+            [F.countDistinct(col).alias(alias)],
+        )
+    pane = (
+        F.floor(F.col(ts_col).cast("long") / slide_seconds) * slide_seconds
+    ).alias("pane_start")
+    panes = df.groupBy(pane).agg(F.hll_sketch_agg(col).alias("_sk"))
+    exploded = panes.select(
+        F.explode(
+            F.array(*[F.col("pane_start") - i * slide_seconds for i in range(k)])
+        ).alias("window_start"),
+        "_sk",
+    )
+    return (
+        exploded.groupBy("window_start")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(alias))
+        .select(
+            "window_start",
+            (F.col("window_start") + size_seconds).alias("window_end"),
+            alias,
+        )
+    )
+
+
 def session(
     df: DataFrame,
     ts_col: str,

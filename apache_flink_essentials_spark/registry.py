@@ -3719,9 +3719,10 @@ _register("vec_pca_project")(
 
 
 # ---- rolling 7-day active users (sliding-window COUNT DISTINCT) ----
-# Exact form: rows replicate 7x before the distinct agg (size/slide). The
-# 100 TB path trades exactness for one HLL sketch per (user-day) merged
-# across the window — sketches.hll_* — when 2% error is acceptable.
+# Oracle checks the EXACT form (rows replicate 7x before the distinct agg).
+# exact=False is the default 100 TB path: per-day HLL pane sketches merged
+# across windows (W.sliding_count_distinct) — error-bound-tested vs exact in
+# tests/test_windows.py, ~1.6% relative error at default precision.
 _register(
     "events_wau_7d",
     """
@@ -3732,9 +3733,9 @@ _register(
       FROM events, unnest(range(0, 7)) AS t(k)
     ) GROUP BY 1, 2
     """,
-)(lambda spark, sf: W.sliding(
-    _events(spark, sf), "ts", "7 days", "1 day",
-    [F.countDistinct("user_id").alias("active_users")],
+)(lambda spark, sf: W.sliding_count_distinct(
+    _events(spark, sf), "ts", "user_id", 604800, 86400,
+    exact=True, alias="active_users",
 ))
 
 

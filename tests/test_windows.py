@@ -209,3 +209,45 @@ def test_session_capped_pair_refinement(spark):
     ).collect()
     got = {(r.session_start, r.session_end, r.n_events) for r in out}
     assert got == {(0, 20, 3), (30, 30, 1), (40, 40, 1), (50, 50, 1)}
+
+
+def test_sliding_count_distinct_hll_error_bound(spark):
+    # HLL pane path vs exact path over the sf0.01 events fixture: every
+    # window's estimate within 5% (default lgConfigK=12 is ~1.6% rel. err)
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators import windows as W
+
+    events = load_table(spark, "events", "/root/testdata/sf0.01")
+    exact = {
+        r.window_start: r.n
+        for r in W.sliding_count_distinct(
+            events, "ts", "user_id", 604800, 86400, exact=True, alias="n"
+        ).collect()
+    }
+    approx = {
+        r.window_start: r.n
+        for r in W.sliding_count_distinct(
+            events, "ts", "user_id", 604800, 86400, exact=False, alias="n"
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for ws, n in exact.items():
+        assert abs(approx[ws] - n) <= max(2, 0.05 * n), (ws, n, approx[ws])
+
+
+def test_sliding_count_distinct_hll_plan_shape(spark):
+    # scale assertions for the sketch path: partial hash aggregation is
+    # present (map-side sketch building), and NO expand/explode of raw rows
+    # precedes the first aggregate — only pane sketches replicate
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators import windows as W
+    from apache_flink_essentials_spark.plans import formatted_plan
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    plan = formatted_plan(
+        W.sliding_count_distinct(events, "ts", "user_id", 604800, 86400, exact=False)
+    )
+    assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
+    # the row-replicating exact form shows window explode before any agg;
+    # the sketch form must aggregate first (pane grouping on the scan side)
+    assert plan.index("HashAggregate") < plan.index("Generate") if "Generate" in plan else True
