@@ -286,6 +286,57 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
 
 
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+def read_cassandra(
+    spark: SparkSession, keyspace: str, table: str, **options
+) -> DataFrame:
+    """Cassandra source parity (reference build.sbt:22
+    flink-connector-cassandra, declared but unused in the reference jobs).
+
+    Thin wrapper over the Spark Cassandra Connector's DataSource
+    (``org.apache.spark.sql.cassandra``): predicate pushdown on partition/
+    clustering keys and token-range-aligned input partitions come from the
+    connector. The connector jar is not in this environment, so the wrapper
+    is option-plumbing-tested only (no cluster to integrate against).
+    """
+    return (
+        spark.read.format(CASSANDRA_FORMAT)
+        .options(keyspace=keyspace, table=table, **options)
+        .load()
+    )
+
+
+def write_cassandra(
+    df: DataFrame,
+    keyspace: str,
+    table: str,
+    mode: str = "append",
+    **options,
+) -> None:
+    """Cassandra sink parity (reference build.sbt:22). Writes go through
+    the connector's token-aware batching; idempotent upserts are Cassandra's
+    native write semantics, so ``mode='append'`` is the normal case."""
+    (
+        df.write.format(CASSANDRA_FORMAT)
+        .options(keyspace=keyspace, table=table, **options)
+        .mode(mode)
+        .save()
+    )
+
+
+def write_stream_cassandra(df: DataFrame, keyspace: str, table: str, checkpoint: str):
+    """Streaming Cassandra sink via foreachBatch (the connector has no
+    native streaming sink): each micro-batch issues one token-aware batched
+    write, with checkpointed progress for exactly-once-per-batch."""
+    return write_stream_foreach_batch(
+        df,
+        lambda batch, _id: write_cassandra(batch, keyspace, table),
+        checkpoint,
+    )
+
+
 def zorder_value_expr(cols: list[str], bits: int = 16):
     """Morton (Z-order) index over ``cols``: each column is first rank-
     normalized by the caller to an unsigned ``bits``-bit integer, then the

@@ -1,0 +1,84 @@
+"""Option-plumbing tests for the external connector wrappers (Kafka/JDBC/
+Cassandra). No broker/cluster exists in this environment, so these verify
+the exact format + options each wrapper hands to Spark via recorder stubs —
+the part of the wrapper we own; the data path belongs to the connector."""
+
+from __future__ import annotations
+
+from apache_flink_essentials_spark import io
+
+
+class _Recorder:
+    """Stands in for DataFrameReader/Writer, recording the builder chain."""
+
+    def __init__(self):
+        self.calls: dict = {"options": {}}
+
+    def format(self, fmt):
+        self.calls["format"] = fmt
+        return self
+
+    def option(self, k, v):
+        self.calls["options"][k] = v
+        return self
+
+    def options(self, **kw):
+        self.calls["options"].update(kw)
+        return self
+
+    def mode(self, m):
+        self.calls["mode"] = m
+        return self
+
+    def load(self):
+        self.calls["loaded"] = True
+        return self
+
+    def save(self):
+        self.calls["saved"] = True
+
+
+class _FakeSession:
+    def __init__(self, reader):
+        self.read = reader
+
+
+class _FakeDF:
+    def __init__(self, writer):
+        self.write = writer
+
+
+def test_read_cassandra_plumbing():
+    rec = _Recorder()
+    io.read_cassandra(
+        _FakeSession(rec), "ks", "events", **{"spark.cassandra.connection.host": "h1"}
+    )
+    assert rec.calls["format"] == io.CASSANDRA_FORMAT
+    assert rec.calls["options"]["keyspace"] == "ks"
+    assert rec.calls["options"]["table"] == "events"
+    assert rec.calls["options"]["spark.cassandra.connection.host"] == "h1"
+    assert rec.calls["loaded"]
+
+
+def test_write_cassandra_plumbing():
+    rec = _Recorder()
+    io.write_cassandra(_FakeDF(rec), "ks", "out_table", mode="overwrite")
+    assert rec.calls["format"] == io.CASSANDRA_FORMAT
+    assert rec.calls["options"] == {"keyspace": "ks", "table": "out_table"}
+    assert rec.calls["mode"] == "overwrite"
+    assert rec.calls["saved"]
+
+
+def test_read_jdbc_partitioned_plumbing():
+    rec = _Recorder()
+    io.read_jdbc(
+        _FakeSession(rec), "jdbc:postgresql://db/x", "orders",
+        num_partitions=16, partition_column="o_orderkey",
+        lower_bound=1, upper_bound=100000,
+    )
+    opts = rec.calls["options"]
+    assert rec.calls["format"] == "jdbc"
+    assert opts["dbtable"] == "orders"
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "16"
+    assert rec.calls["loaded"]
