@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -222,6 +223,7 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ids_unique: bool = True,
 ) -> DataFrame:
     """Top-k most characteristic terms per document by tf-idf, with a
     RATIO idf (score = tf * N / df) instead of the usual log idf: log() is
@@ -229,19 +231,35 @@ def tfidf_top_terms(
     IEEE division of exact integer operands is — same ranking semantics
     (N/df is a monotone transform of log(N/df)), deterministic everywhere.
 
-    Plan: the (doc, term) tf table is the only big intermediate; the df
-    table and the one-row doc count N are vocabulary-/scalar-sized and are
-    BROADCAST back onto it (no re-shuffle of the big side); the final
-    per-doc top-k is one row_number window partitioned by doc — at scale the
-    rank-1..k filter pushes into the sort as a per-partition top-k.
-    Deterministic tiebreak: (score desc, tf desc, term asc).
+    Plan: the (doc, term) tf table is the only big intermediate and is
+    PERSISTED (memory-and-disk — the same trade shuffle files already make)
+    so the vocabulary aggregation derives from it instead of re-running the
+    tokenize+aggregate subtree; the df table and the one-row doc count N
+    are vocabulary-/scalar-sized and are BROADCAST back onto it (no
+    re-shuffle of the big side); the final per-doc top-k is one row_number
+    window partitioned by doc — at scale the rank-1..k filter pushes into
+    the sort as a per-partition top-k. 4 planned exchanges total: tf agg,
+    df agg (partial-aggregated to ~vocab size per task), the scalar N agg,
+    and the rank window. Deterministic tiebreak: (score desc, tf desc,
+    term asc).
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dftab = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    # separate scalar scan of the id column only (not derived from tf: docs
+    # whose text tokenizes to nothing still count toward N). ids_unique is
+    # the documents-table contract (one row per document) and makes N a
+    # plain count — one exchange instead of count_distinct's two.
+    if ids_unique:
+        n = df.agg(F.count(F.col(id_col)).alias("n_docs"))
+    else:
+        n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dftab), "term")
         .join(F.broadcast(n))
@@ -349,10 +367,14 @@ def source_term_affinity(
     (At 100 TB promote the products to DECIMAL(38,0); counts here are far
     below 2^31 so BIGINT×BIGINT is exact.)
 
-    Plan: one explode → (stratum, term) hash-agg; per-term global counts
-    derive from a second agg OVER THE SMALL (stratum, term) table, not a
-    rescan; totals broadcast back; top-k is a per-stratum window over
-    aggregated rows only.
+    Plan: one explode → (stratum, term) hash-agg, PERSISTED (the table is
+    only |vocab|×|strata| rows — tiny next to the token stream) so the three
+    derived counts never re-run the tokenize subtree. Per-term totals attach
+    via a window keyed on term (rows per term ≤ |strata| after aggregation,
+    so no stopword skew); the scalar corpus total broadcasts back; the
+    per-stratum total and the rank share ONE stratum-keyed exchange (both
+    windows partition by source, so the planner inserts a single shuffle
+    with two sorts). 4 planned exchanges total.
     """
     pairs = (
         df.select(F.col(strata_col).alias("source"),
@@ -360,18 +382,17 @@ def source_term_affinity(
         .filter(F.col("term") != "")
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    per_term = pairs.groupBy("term").agg(F.sum("c_st").alias("c_t"))
-    per_src = pairs.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    n_total = F.broadcast(
-        per_term.agg(F.sum("c_t").alias("n_tot"))
-    )
+    n_total = F.broadcast(pairs.agg(F.sum("c_st").alias("n_tot")))
+    w_term = Window.partitionBy("term")
+    w_src = Window.partitionBy("source")
     scored = (
-        pairs.join(F.broadcast(per_term), "term")
-        .join(F.broadcast(per_src), "source")
+        pairs.withColumn("c_t", F.sum("c_st").over(w_term))
         .crossJoin(n_total)
+        .withColumn("n_s", F.sum("c_st").over(w_src))
         .select(
-            "source", "term", "c_st", "c_t",
+            "source", "term", "c_st", "c_t", "n_s", "n_tot",
             ((F.col("c_st") * F.col("n_tot")).cast("double")
              / (F.col("c_t") * F.col("n_s")).cast("double")).alias("affinity"),
         )

@@ -93,3 +93,16 @@ def test_q7_broadcasts_all_dimensions(spark):
     # touches the two fact tables
     df = E.queries()["q7_nation_volume"](spark, SF_SMOKE)
     assert formatted_plan(df).count("BroadcastHashJoin") >= 4
+
+
+def test_text_aggregate_queries_exchange_budget(spark):
+    # the derived-count queries must not re-plan their exploded-token
+    # subtree per count: persist + window/broadcast keeps each at <= 4
+    # planned exchanges (was 6 and 9)
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators import text as X
+    from apache_flink_essentials_spark.plans import count_exchanges
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    assert count_exchanges(X.tfidf_top_terms(docs, k=3)) <= 4
+    assert count_exchanges(X.source_term_affinity(docs, k=5)) <= 4
