@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from apache_flink_essentials_spark import get_spark  # noqa: E402
 from apache_flink_essentials_spark import registry  # noqa: E402
+from apache_flink_essentials_spark.schemas import ALL_TABLES  # noqa: E402
 
 HEADLINE = [
     # TPC-H-style core
@@ -131,17 +132,54 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # DuckDB anchor: the same oracle SQL on the same parquet at the same SF
+    # (the reference repo publishes no numbers — BASELINE.md — so a tuned
+    # single-node engine is the honest "within 2×" comparator). Same
+    # methodology: one warm run, min of TIMED_RUNS, full result consumption.
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ALL_TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        for name in HEADLINE:
+            sql = registry.ORACLES.get(name)
+            if not sql:
+                continue  # rows-only ops (approx/iterative) have no oracle
+            try:
+                con.sql(sql).fetchall()  # warm
+                best = float("inf")
+                for _ in range(TIMED_RUNS):
+                    t0 = time.perf_counter()
+                    con.sql(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duck_timings[name] = round(best, 3)
+            except Exception as ex:  # noqa: BLE001
+                print(f"# duckdb {name} failed: {str(ex)[:120]}", file=sys.stderr)
+    except ImportError:
+        pass
+
+    common = [n for n in timings if n in duck_timings]
+    duck_total = round(sum(duck_timings[n] for n in common), 3)
+    spark_common = round(sum(timings[n] for n in common), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "duck_queries": duck_timings,
+        "duck_total_common": duck_total,
+        "spark_total_common": spark_common,
+        "spark_over_duck_ratio": (
+            round(spark_common / duck_total, 3) if duck_total > 0 else None
+        ),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
