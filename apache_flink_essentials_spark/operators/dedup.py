@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from apache_flink_essentials_spark.operators.text import tokens_expr
 
@@ -670,3 +671,87 @@ def near_dedup_with_signatures(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup stats: per document, the fraction of tokens
+    covered by some k-token gram that also appears in >= ``min_docs``
+    documents (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — the ExactSubstr criterion, token-windowed instead of
+    suffix-array'd so it distributes).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_fraction), one row per
+    document with at least k tokens.
+
+    Scale design — the naive form self-joins documents on raw k-gram
+    strings, shuffling ~k copies of the corpus text. This implementation
+    never shuffles text:
+      1. per-row (narrow, codegen'd): tokenize, build the n-k+1 sliding
+         k-gram md5 fingerprints with transform(sequence, slice) — raw
+         grams die inside the row.
+      2. ONE hash-agg shuffle on (16-byte fingerprint) to count distinct
+         docs per gram; grams seen in >= min_docs docs survive (tiny
+         relation — duplicated grams are the exception, so AQE broadcasts
+         the semi-join side).
+      3. semi-join positions against duplicated grams, then a per-doc
+         window pass computes the size of the UNION of [pos, pos+k)
+         intervals: sorted by pos, covered = min(k, next_pos - pos)
+         (k for the last) — no interval materialization.
+    Exchange payload is (id, pos, 16B hash) throughout: ~28 bytes per gram
+    vs k * avg_token_len for the naive join. md5 keeps it engine-portable
+    (bit-identical in DuckDB), which makes this oracle-checkable; a 128-bit
+    fingerprint makes collisions irrelevant at corpus scale.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    # sliding k-grams: pos i in [0, n-k], fingerprint of tokens[i, i+k)
+    grams = base.select(
+        id_col,
+        F.size("_toks").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+                ),
+            )
+        ).alias("pos", "gram_fp"),
+    )
+    dup_grams = (
+        grams.groupBy("gram_fp")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_fp")
+    )
+    matched = grams.join(dup_grams, "gram_fp").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = F.least(
+        F.lit(k),
+        F.coalesce(F.lead("pos").over(w), F.col("pos") + k) - F.col("pos"),
+    )
+    dup_tokens = (
+        matched.withColumn("_cov", covered)
+        .groupBy(id_col)
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum("_cov").alias("dup_tokens"),
+        )
+    )
+    return base.select(id_col, F.size("_toks").alias("n_tokens")).join(
+        dup_tokens.select(id_col, "dup_tokens"), id_col, "left"
+    ).select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias(
+            "dup_fraction"
+        ),
+    )

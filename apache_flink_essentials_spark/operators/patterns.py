@@ -1,0 +1,119 @@
+"""CEP-style event-pattern detection (Flink CEP analog, reference's
+ProcessFunction territory — `/root/reference/src/main/scala/.../
+ProcessFunctions` has no CEP job, but CEP is the canonical Flink
+"what the process function is for" workload, and the north-star's
+stream-analytics surface needs it).
+
+Two pattern families, both expressed as per-key WINDOW passes — a single
+sort-shuffle on the key, no self-joins, no Python:
+
+  * strict contiguity (Flink `next()`): the pattern types must occur on
+    CONSECUTIVE events of the key's timeline. `lead()` chains check the
+    next L-1 event types and the time span in one window.
+  * absence (Flink `notFollowedBy` + within): event A with NO event B for
+    the same key in (ts, ts + within]. A reverse-prefix `min()` window
+    finds the next B timestamp without a join.
+
+The relaxed-contiguity family (`followedBy`) is `transform.funnel_steps`.
+
+Scale: both ops cost exactly one Exchange (hash on the key) + per-partition
+sort — the same shape as any keyed window aggregation, so they inherit
+Spark's spill-safe sort-based window execution at 100 TB. Pattern length L
+adds L-1 `lead()` columns, not extra passes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def match_strict_sequence(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    within_seconds: int | None = None,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All strict-contiguity matches of ``pattern`` on each key's timeline.
+
+    A match at event e_i requires type(e_i)=pattern[0],
+    type(e_{i+1})=pattern[1], ... on CONSECUTIVE events (Flink CEP
+    ``next``), and optionally last.ts - first.ts <= within_seconds.
+
+    Returns (key, start_ts, end_ts, span_seconds), one row per match
+    (overlapping matches all reported, as in CEP's default after-match
+    skip-to-next-row policy).
+
+    ``order_cols`` breaks timestamp ties deterministically (e.g. event_id).
+    """
+    L = len(pattern)
+    if L < 1:
+        raise ValueError("pattern must have at least one step")
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    out = df.select(
+        key_col,
+        F.col(ts_col).alias("start_ts"),
+        F.col(type_col).alias("_t0"),
+        *[
+            F.lead(type_col, i).over(w).alias(f"_t{i}")
+            for i in range(1, L)
+        ],
+        (F.lead(ts_col, L - 1).over(w) if L > 1 else F.col(ts_col)).alias(
+            "end_ts"
+        ),
+    )
+    cond = F.col("_t0") == pattern[0]
+    for i in range(1, L):
+        cond = cond & (F.col(f"_t{i}") == pattern[i])
+    span = F.col("end_ts").cast("long") - F.col("start_ts").cast("long")
+    if within_seconds is not None:
+        cond = cond & (span <= within_seconds)
+    return out.filter(cond).select(
+        key_col, "start_ts", "end_ts", span.alias("span_seconds")
+    )
+
+
+def match_absence(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first: str,
+    absent: str,
+    within_seconds: int,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Events of type ``first`` with NO event of type ``absent`` for the
+    same key in (ts, ts + within_seconds] — Flink CEP's
+    ``notFollowedBy().within()`` (e.g. view with no purchase in 30 min).
+
+    Joinless: the next ``absent`` timestamp at or after each row is a
+    running ``min`` over the FOLLOWING rows of the key's sorted timeline
+    (one window pass over the same sort the match needs anyway). Returns
+    (key, ts, next_<absent>_ts nullable).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_absent = F.min(
+        F.when(F.col(type_col) == absent, F.col(ts_col))
+    ).over(w)
+    flagged = df.select(
+        key_col,
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("_type"),
+        next_absent.alias("next_absent_ts"),
+    )
+    gap = F.col("next_absent_ts").cast("long") - F.col("ts").cast("long")
+    return flagged.filter(
+        (F.col("_type") == first)
+        & (F.col("next_absent_ts").isNull() | (gap > within_seconds))
+    ).select(key_col, "ts", "next_absent_ts")

@@ -203,3 +203,74 @@ def time_weighted_avg(
             ).alias("twap"),
         )
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+    seq_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dense per-key grid like `gapfill_locf`, but missing buckets are
+    LINEARLY INTERPOLATED between the surrounding observations
+    (TimescaleDB's ``interpolate`` counterpart to ``locf``). Observed
+    buckets keep their (last-write-wins) value exactly: the interpolation
+    weight degenerates to 0 there, so no float drift on real observations.
+
+    Portability: the fill is ``prev + (next - prev) * ((bucket - pb) /
+    (nb - pb))`` — one IEEE division of exact integer bucket deltas, then
+    one multiply-add, evaluated in this exact order in the DuckDB oracle
+    too, so results are bit-identical across engines.
+
+    Scale: same shape as LOCF — grid from each key's own span (never
+    keys x calendar), one (key) sort carrying BOTH direction passes
+    (Spark evaluates the preceding- and following-frame windows over the
+    same sorted partition without re-shuffling; the plan has exactly one
+    exchange for the window stage).
+    """
+    order = [F.col(ts_col).cast("long").desc()] + [
+        F.desc(c) for c in (seq_cols or [])
+    ]
+    win_last = Window.partitionBy(key_col, "bucket").orderBy(*order)
+    obs = (
+        df.withColumn("bucket", bucket_expr(ts_col, step_s))
+        .withColumn("_rn", F.row_number().over(win_last))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "bucket", F.col(value_col).alias("_v"))
+    )
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step_s))
+            ).alias("bucket"),
+        )
+    )
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+    joined = grid.join(obs, [key_col, "bucket"], "left").select(
+        key_col,
+        "bucket",
+        F.last("_v", ignorenulls=True).over(wp).alias("_pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("_pb"),
+        F.first("_v", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("_nb"),
+    )
+    frac = (F.col("bucket") - F.col("_pb")) / (F.col("_nb") - F.col("_pb"))
+    interp = F.when(F.col("_nb") == F.col("_pb"), F.col("_pv")).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    )
+    return joined.select(key_col, "bucket", interp.alias("value_interp"))

@@ -3769,3 +3769,147 @@ _register(
     )
     .agg(F.count(F.lit(1)).alias("n_events"))
 ))
+
+
+# ---- substring-level dedup: duplicated k-gram span coverage per doc ----
+_register(
+    "dedup_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 20
+    ), flat AS (
+      SELECT doc_id, n, g.pos AS pos, g.fp AS fp FROM (
+        SELECT doc_id, n, unnest(list_transform(range(1, n - 20 + 2),
+            i -> struct_pack(pos := i - 1,
+                             fp := md5(array_to_string(t[i:i+19], ' '))))) AS g
+        FROM base) q
+    ), dup AS (
+      SELECT fp FROM flat GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT doc_id, n, pos FROM flat WHERE fp IN (SELECT fp FROM dup)
+    ), cov AS (
+      SELECT doc_id, n,
+             least(20, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos),
+                                pos + 20) - pos) AS c
+      FROM m
+    ), agg AS (
+      SELECT doc_id, sum(c)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n::INT AS n_tokens,
+           coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(a.dup_tokens, 0) / b.n AS dup_fraction
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)(lambda spark, sf: D.substring_dup_spans(
+    load_table(spark, "documents", sf), k=20, min_docs=2
+))
+
+
+# ---- CEP-style pattern detection (Flink CEP analog) ----
+from apache_flink_essentials_spark.operators import patterns as PT  # noqa: E402
+
+_register(
+    "events_cep_error_triple",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(ts, 2) OVER w AS end_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           floor(epoch(ts))::BIGINT AS start_s,
+           floor(epoch(end_ts))::BIGINT AS end_s,
+           (floor(epoch(end_ts)) - floor(epoch(ts)))::BIGINT AS span_seconds
+    FROM o
+    WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+      AND floor(epoch(end_ts)) - floor(epoch(ts)) <= 86400
+    """,
+)(lambda spark, sf: PT.match_strict_sequence(
+    _events(spark, sf), "user_id", "ts", "event_type",
+    ["error", "error", "error"], within_seconds=86400,
+    order_cols=["event_id"],
+).select(
+    "user_id",
+    F.col("start_ts").cast("long").alias("start_s"),
+    F.col("end_ts").cast("long").alias("end_s"),
+    "span_seconds",
+))
+
+
+_register(
+    "events_cep_abandoned_view",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+      FROM events
+    )
+    SELECT user_id, floor(epoch(ts))::BIGINT AS view_s,
+           floor(epoch(next_p))::BIGINT AS next_purchase_s
+    FROM o
+    WHERE event_type = 'view'
+      AND (next_p IS NULL OR floor(epoch(next_p)) - floor(epoch(ts)) > 1800)
+    """,
+)(lambda spark, sf: PT.match_absence(
+    _events(spark, sf), "user_id", "ts", "event_type",
+    first="view", absent="purchase", within_seconds=1800,
+    order_cols=["event_id"],
+).select(
+    "user_id",
+    F.col("ts").cast("long").alias("view_s"),
+    F.col("next_absent_ts").cast("long").alias("next_purchase_s"),
+))
+
+
+# ---- gapfill with linear interpolation (TimescaleDB `interpolate`) ----
+_register(
+    "ts_interpolate_hourly",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch(ts) / 3600)
+               ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+      FROM events
+    ), obs AS (
+      SELECT user_id, bucket, value FROM ranked WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.bucket,
+             last_value(o.value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN o.value IS NOT NULL THEN g.bucket END
+                        IGNORE NULLS) OVER wp AS pb,
+             first_value(o.value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN o.value IS NOT NULL THEN g.bucket END
+                         IGNORE NULLS) OVER wf AS nb
+      FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN nb = pb THEN pv
+                ELSE pv + (nv - pv) * ((bucket - pb) / (nb - pb))
+           END AS value_interp
+    FROM joined
+    """,
+)(lambda spark, sf: TS.gapfill_interpolate(
+    _events(spark, sf), "user_id", "ts", "value", 3600, seq_cols=["event_id"]
+))

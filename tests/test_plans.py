@@ -103,6 +103,10 @@ def test_text_aggregate_queries_exchange_budget(spark):
     from apache_flink_essentials_spark.operators import text as X
     from apache_flink_essentials_spark.plans import count_exchanges
 
+    # budget is defined on a FRESH plan: if an earlier test materialized the
+    # ops' persisted tf table, explain("formatted") embeds the
+    # InMemoryRelation's build plan and its exchanges double-count
+    spark.catalog.clearCache()
     docs = load_table(spark, "documents", SF_SMOKE)
     assert count_exchanges(X.tfidf_top_terms(docs, k=3)) <= 4
     assert count_exchanges(X.source_term_affinity(docs, k=5)) <= 4

@@ -412,3 +412,32 @@ def test_signature_table_path_matches_direct_near_dedup(spark, tmp_path):
     sigs = spark.read.parquet(sig_path)
     via_table = {r.doc_id for r in D.near_dedup_with_signatures(new, sigs).collect()}
     assert via_table == direct
+
+
+def test_substring_dup_spans_planted(spark):
+    # doc 0 and 1 share an 8-token prefix; doc 2 is unrelated; doc 3 too short
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " unique tail zero one two", ),
+        (1, shared + " other ending words here now", ),
+        (2, "nothing in common with anything else at all nine ten", ),
+        (3, "tiny", ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.substring_dup_spans(df, k=8, min_docs=2).collect()}
+    # doc 3 (< k tokens) excluded entirely
+    assert set(out) == {0, 1, 2}
+    # exactly the 8 shared prefix tokens are covered in docs 0 and 1
+    assert out[0].dup_tokens == 8 and out[1].dup_tokens == 8
+    assert out[0].n_tokens == 13 and out[0].dup_fraction == 8 / 13
+    assert out[2].dup_tokens == 0 and out[2].dup_fraction == 0.0
+
+
+def test_substring_dup_spans_overlapping_intervals(spark):
+    # doc 0 fully inside doc 1: every 4-gram of doc 0 duplicated -> full cover
+    a = "one two three four five six"
+    rows = [(0, a), (1, a + " seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.substring_dup_spans(df, k=4, min_docs=2).collect()}
+    assert out[0].dup_fraction == 1.0          # overlapping spans union to n
+    assert out[1].dup_tokens == 6 and out[1].n_tokens == 8

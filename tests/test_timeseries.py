@@ -101,3 +101,26 @@ def test_time_weighted_avg_hand_example(spark):
     assert set(out) == {1}
     assert out[1].total_seconds == 40
     assert out[1].twap == (10.0 * 10 + 20.0 * 30) / 40  # = 17.5
+
+
+def test_gapfill_interpolate_exact(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (2, 1, "2024-01-01 03:00:00", 40.0),   # 3h gap -> 20, 30 interpolated
+        (3, 2, "2024-01-01 00:30:00", 5.0),    # single obs -> nb == pb branch
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, r.bucket): r.value_interp
+           for r in TS.gapfill_interpolate(
+               df, "user_id", "ts", "value", 3600, seq_cols=["event_id"]
+           ).collect()}
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out[(1, base)] == 10.0
+    assert out[(1, base + 3600)] == 20.0
+    assert out[(1, base + 7200)] == 30.0
+    assert out[(1, base + 10800)] == 40.0
+    assert out[(2, base)] == 5.0 and len(out) == 5

@@ -104,3 +104,45 @@ def test_funnel_steps_greedy_first_semantics_pinned(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
     r = funnel_steps(df, "user_id", "ts", "event_type", ["A", "B", "C"], 10).collect()[0]
     assert (r.t0, r.t1, r.t2, r.completed_steps) == (0, 1, None, 2)
+
+
+def test_cep_strict_sequence_and_absence(spark):
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    rows = [
+        # user 1: error,error,error contiguous; then view with purchase in time
+        (1, 1, "2024-01-01 00:00:00", "error"),
+        (2, 1, "2024-01-01 00:01:00", "error"),
+        (3, 1, "2024-01-01 00:02:00", "error"),
+        (4, 1, "2024-01-01 01:00:00", "view"),
+        (5, 1, "2024-01-01 01:10:00", "purchase"),
+        # user 2: errors broken by a view -> no strict triple; abandoned view
+        (6, 2, "2024-01-01 00:00:00", "error"),
+        (7, 2, "2024-01-01 00:01:00", "view"),
+        (8, 2, "2024-01-01 00:02:00", "error"),
+        (9, 2, "2024-01-01 00:03:00", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    m = PT.match_strict_sequence(
+        df, "user_id", "ts", "event_type", ["error"] * 3,
+        within_seconds=600, order_cols=["event_id"],
+    ).collect()
+    assert [(r.user_id, r.span_seconds) for r in m] == [(1, 120)]
+
+    # too-slow triple excluded by within
+    none = PT.match_strict_sequence(
+        df, "user_id", "ts", "event_type", ["error"] * 3,
+        within_seconds=60, order_cols=["event_id"],
+    ).collect()
+    assert none == []
+
+    ab = PT.match_absence(
+        df, "user_id", "ts", "event_type",
+        first="view", absent="purchase", within_seconds=1800,
+        order_cols=["event_id"],
+    ).collect()
+    # user 1's view converts within 10 min; user 2's never converts
+    assert [(r.user_id, r.next_absent_ts) for r in ab] == [(2, None)]
