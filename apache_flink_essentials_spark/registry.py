@@ -3913,3 +3913,89 @@ _register(
 )(lambda spark, sf: TS.gapfill_interpolate(
     _events(spark, sf), "user_id", "ts", "value", 3600, seq_cols=["event_id"]
 ))
+
+
+# ---- URL canonicalization + canonical-URL dedup (crawl curation) ----
+from apache_flink_essentials_spark.io import from_elements  # noqa: E402
+from apache_flink_essentials_spark.operators import web as WB  # noqa: E402
+
+_URL_FIXTURE = [
+    (1, "https://Example.COM/Path/Page"),
+    (2, "https://example.com:443/Path/Page#sec2"),
+    (3, "http://example.com:80/a?utm_source=news&id=2&utm_campaign=x#f"),
+    (4, "http://example.com/a?id=2"),
+    (5, "https://example.com/list/"),
+    (6, "https://example.com/list"),
+    (7, "https://EXAMPLE.com/"),
+    (8, "https://example.com"),
+    (9, "https://example.com/a?fbclid=abc"),
+    (10, "https://example.com/a?gclid=1&x=2"),
+    (11, "https://other.org:8080/a/"),
+    (12, "http://example.com/CaseSensitive"),
+    (13, "http://example.com/casesensitive"),
+    (14, "https://example.com/b?utm_a=1&utm_b=2&q=3"),
+]
+
+_URL_VALUES = ", ".join(f"({i}, '{u}')" for i, u in _URL_FIXTURE)
+
+_register(
+    "web_url_dedup",
+    rf"""
+    WITH urls(page_id, url) AS (VALUES {_URL_VALUES}),
+    a AS (SELECT page_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+    b AS (SELECT page_id,
+                 lower(regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1))
+                 || regexp_replace(u,
+                   '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') AS u
+          FROM a),
+    c AS (SELECT page_id,
+                 regexp_replace(regexp_replace(u,
+                   '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                   '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS u
+          FROM b),
+    d AS (SELECT page_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(u,
+                     '([?&])(utm_[^&#=]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+                   '\?&+', '?', 'g'), '&&+', '&', 'g'),
+                   '[?&]+$', '') AS u
+          FROM c),
+    e AS (SELECT page_id, regexp_replace(u, '/$', '') AS u FROM d)
+    SELECT u AS canonical_url,
+           min(page_id)::BIGINT AS keep_id,
+           count(*)::BIGINT AS n_dups
+    FROM e GROUP BY u
+    """,
+)(lambda spark, sf: WB.canonical_url_dedup(
+    from_elements(spark, _URL_FIXTURE, "page_id long, url string")
+))
+
+
+# ---- per-source dedup-rate observability report ----
+_register(
+    "curation_dedup_report",
+    r"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(array_to_string(
+             string_split_regex(lower(text), '\s+'), ' ')))::BIGINT
+             AS n_unique,
+           1 - count(DISTINCT md5(array_to_string(
+             string_split_regex(lower(text), '\s+'), ' '))) / count(*)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)(lambda spark, sf: (lambda d: d.groupBy("source").agg(
+    F.count(F.lit(1)).alias("n_docs"),
+    F.count_distinct(
+        F.md5(F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+")))
+    ).alias("n_unique"),
+    (
+        1
+        - F.count_distinct(
+            F.md5(F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+")))
+        )
+        / F.count(F.lit(1))
+    ).alias("dup_rate"),
+))(load_table(spark, "documents", sf)))
