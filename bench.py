@@ -101,6 +101,13 @@ HEADLINE = [
     "vec_pca_project",
     "events_wau_7d",
     "events_daily_top_types",
+    # round-2 additions: substring dedup, CEP, interpolation, web curation
+    "dedup_substring_spans",
+    "events_cep_error_triple",
+    "events_cep_abandoned_view",
+    "ts_interpolate_hourly",
+    "web_url_dedup",
+    "curation_dedup_report",
 ]
 
 
