@@ -107,3 +107,66 @@ def pivot_agg(
     if fill is not None:
         out = out.fillna(fill, subset=list(values))
     return out
+
+
+# ---- incremental materialized-rollup maintenance ----------------------------
+#
+# The continuous-aggregate pattern (TimescaleDB continuous aggregates /
+# Flink's upsert sinks): a persisted rollup table is refreshed from a DELTA
+# batch by merging mergeable aggregate states, never by re-scanning the
+# 100 TB base table. Correctness rests on the aggregates being
+# DECOMPOSABLE: count/sum merge by +, min/max by min/max; avg is carried as
+# (sum, count) and finalized at read time.
+
+ADDITIVE = ("count", "sum")
+
+
+def additive_rollup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Mapping[str, Column] | None = None,
+    min_cols: Mapping[str, Column] | None = None,
+    max_cols: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """One grain of a maintainable rollup: per key, row count plus named
+    sum/min/max states. The OUTPUT SCHEMA doubles as the MERGE STATE —
+    every column is mergeable, so `merge_rollups` can fold any number of
+    partial rollups (yesterday's table + today's delta + a backfill batch)
+    without touching base rows."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in (sum_cols or {}).items():
+        aggs.append(F.sum(c).alias(name))
+    for name, c in (min_cols or {}).items():
+        aggs.append(F.min(c).alias(name))
+    for name, c in (max_cols or {}).items():
+        aggs.append(F.max(c).alias(name))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_rollups(
+    parts: Sequence[DataFrame],
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge rollup partials produced by `additive_rollup` into one rollup
+    equal to aggregating the union of their inputs.
+
+    Plan shape: union → ONE hash aggregate keyed on the rollup keys. The
+    exchange carries rollup rows (distinct keys × parts), never base rows —
+    at 100 TB the delta partial is typically 1e6× smaller than the base
+    table, and Spark's partial aggregation merges same-key rows map-side
+    before the shuffle. If the persisted side is bucketed on the keys
+    (io.write_bucketed), the merge is shuffle-free on that side.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    aggs += [F.sum(c).alias(c) for c in sum_cols]
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return merged.groupBy(*key_cols).agg(*aggs)

@@ -3999,3 +3999,60 @@ _register(
         / F.count(F.lit(1))
     ).alias("dup_rate"),
 ))(load_table(spark, "documents", sf)))
+
+
+# ---- incremental materialized-rollup maintenance ----
+# Split at 2024-01-16 00:00 UTC (epoch 1705363200): the "yesterday's
+# rollup" half and the "new delta" half; merged partials must equal the
+# full recompute — the continuous-aggregate refresh contract.
+def _olap_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import olap as OL
+
+    ev = _events(spark, sf).select(
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400)
+        .cast("long").alias("day_start"),
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cut = 1705363200
+    base, delta = ev.filter(F.col("ts_s") < cut), ev.filter(
+        F.col("ts_s") >= cut
+    )
+    mk = lambda d: OL.additive_rollup(  # noqa: E731
+        d,
+        ["day_start", "event_type"],
+        sum_cols={"sum_value": F.col("v")},
+        min_cols={"min_value": F.col("v")},
+        max_cols={"max_value": F.col("v")},
+    )
+    merged = OL.merge_rollups(
+        [mk(base), mk(delta)],
+        ["day_start", "event_type"],
+        sum_cols=["sum_value"],
+        min_cols=["min_value"],
+        max_cols=["max_value"],
+    )
+    return merged.select(
+        "day_start",
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+_register(
+    "olap_incremental_rollup",
+    """
+    SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_start,
+           event_type,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)(_olap_incremental)

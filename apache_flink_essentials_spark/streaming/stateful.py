@@ -498,3 +498,87 @@ def reorder_buffer_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def strict_sequence_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: list[str],
+    within_seconds: int | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming twin of `patterns.match_strict_sequence` (Flink CEP
+    ``next()`` chain): per key, emit a match whenever the last L event
+    types equal ``pattern`` on consecutive events, optionally spanning
+    ≤ ``within_seconds``.
+
+    State per key: the last L-1 (ts, type) pairs — constant size, O(L)
+    bytes, GC-free. Rows are processed in per-batch timestamp order;
+    ACROSS batches the operator assumes per-key in-order delivery
+    (compose with `reorder_buffer_stream` ahead of it for out-of-order
+    streams — same two-query topology as reorder → sessions).
+
+    Emits (key, start_ts, end_ts, span_seconds) epoch-second rows,
+    matching the batch operator's output after `.cast("long")`.
+    """
+    L = len(pattern)
+    if L < 1:
+        raise ValueError("pattern must have at least one step")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tail_ts, tail_types = state.get
+            tail = list(zip(tail_ts, tail_types))
+        else:
+            tail = []
+        rows = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            if col.dtype.kind == "M":
+                col = col.astype("int64") // 1_000_000_000
+            rows.extend(zip(col.astype("int64").tolist(),
+                            pdf[type_col].tolist()))
+        rows.sort(key=lambda tp: tp[0])
+        out = []
+        for ts, typ in rows:
+            tail.append((ts, typ))
+            if len(tail) > L:
+                tail = tail[-L:]
+            if len(tail) == L and [t for _, t in tail] == pattern:
+                span = tail[-1][0] - tail[0][0]
+                if within_seconds is None or span <= within_seconds:
+                    out.append((str(key[0]), tail[0][0], tail[-1][0], span))
+        tail = tail[-(L - 1):] if L > 1 else []
+        state.update(([t for t, _ in tail], [ty for _, ty in tail]))
+        yield pd.DataFrame(
+            out, columns=[key_col, "start_ts", "end_ts", "span_seconds"]
+        )
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=T.StructType(
+                [
+                    T.StructField(key_col, T.StringType(), True),
+                    T.StructField("start_ts", T.LongType(), False),
+                    T.StructField("end_ts", T.LongType(), False),
+                    T.StructField("span_seconds", T.LongType(), False),
+                ]
+            ),
+            stateStructType=T.StructType(
+                [
+                    T.StructField("tail_ts", T.ArrayType(T.LongType()), True),
+                    T.StructField(
+                        "tail_types", T.ArrayType(T.StringType()), True
+                    ),
+                ]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

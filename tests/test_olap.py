@@ -88,3 +88,32 @@ def test_range_band_join_is_broadcast_no_shuffle(spark):
     assert got == {"lo": 1}
     n_hi = sum(1 for r in joined.collect() if r.band == "hi")
     assert n_hi == 1000 - sum(1 for r in joined.collect() if r.band == "lo")
+
+
+def test_merge_rollups_equals_full_recompute(spark):
+    from apache_flink_essentials_spark.operators import olap as OL
+
+    rows = [(d, t, float(v)) for d, t, v in [
+        (0, "a", 1), (0, "a", 2), (0, "b", 5),
+        (1, "a", 3), (1, "b", 4), (1, "b", 9),
+    ]]
+    df = spark.createDataFrame(rows, "day long, typ string, v double")
+    mk = lambda d: OL.additive_rollup(  # noqa: E731
+        d, ["day", "typ"],
+        sum_cols={"s": F.col("v")},
+        min_cols={"mn": F.col("v")},
+        max_cols={"mx": F.col("v")},
+    )
+    full = {tuple(r[:2]): r[2:] for r in mk(df).collect()}
+    # three-way split with one empty part and disjoint/overlapping keys
+    parts = [
+        mk(df.filter("day = 0")),
+        mk(df.filter("day = 1 and typ = 'a'")),
+        mk(df.filter("day = 1 and typ = 'b'")),
+        mk(df.filter("day = 99")),            # empty partial
+    ]
+    merged = OL.merge_rollups(
+        parts, ["day", "typ"], sum_cols=["s"], min_cols=["mn"], max_cols=["mx"]
+    )
+    got = {tuple(r[:2]): r[2:] for r in merged.collect()}
+    assert got == full

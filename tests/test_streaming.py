@@ -529,3 +529,35 @@ def test_reorder_then_sessions_two_query_composition(spark):
     )
     with _pytest.raises(Exception, match="[Mm]ultiple.*applyInPandasWithState"):
         run_stream_to_df(chained, output_mode="append")
+
+
+def test_strict_sequence_stream_equals_batch(spark, events):
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    pattern = ["error", "error"]
+    batch = {
+        (r.user_id, r.start_s, r.end_s)
+        for r in PT.match_strict_sequence(
+            events, "user_id", "ts", "event_type", pattern,
+            within_seconds=86400, order_cols=["event_id"],
+        ).select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("start_ts").cast("long").alias("start_s"),
+            F.col("end_ts").cast("long").alias("end_s"),
+        ).collect()
+    }
+    stream = replay_as_stream(
+        events.select("user_id", "ts", "event_type", "event_id"),
+        num_files=3, order_by="ts",
+    )
+    got = {
+        (r.user_id, r.start_ts, r.end_ts)
+        for r in run_stream_to_df(
+            stateful.strict_sequence_stream(
+                stream, "user_id", "ts", "event_type", pattern,
+                within_seconds=86400,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0
