@@ -454,3 +454,71 @@ def boilerplate_chunk_stats(
             F.col("n_boilerplate_chunks").cast("double") / F.col("n_chunks"),
         )
     )
+
+
+def contrastive_pairs(
+    positives: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_neg: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Contrastive training-pair construction: label-1 rows from a mined
+    positive-pair table (near-duplicates — `dedup.minhash_lsh_pairs`
+    output with columns id_a/id_b), label-0 rows by deterministic ring
+    sampling — every document gets ``n_neg`` pseudo-random partners.
+
+    Ring sampling (the scale-correct "random negatives"): each doc's ring
+    position is row_number over md5(seed:id) — a seeded uniform shuffle —
+    and its negatives are the next ``n_neg`` docs around the ring
+    (modulo wrap). Uniform-random in aggregate, deterministic under
+    replay, and O(n · n_neg) with ONE narrow sort-shuffle carrying
+    (id, 8-byte hash) — never a per-anchor corpus scan. Negatives that
+    collide with a mined positive pair are anti-joined away (the positive
+    table is the smaller side → broadcast).
+
+    Output: (anchor_id, other_id, label) with label 1 for positives,
+    0 for negatives.
+    """
+    ring = docs.select(
+        F.col(id_col).alias("anchor_id"),
+        uniform_hash_expr(id_col, seed).alias("_r"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy("_r", "anchor_id")),
+    )
+    n_total = ring.agg(F.count(F.lit(1)).alias("_n"))
+    anchors = ring.join(F.broadcast(n_total))
+    # j-th negative of the doc at ring position rn is the doc at
+    # ((rn - 1 + j) mod n) + 1
+    probes = anchors.select(
+        "anchor_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_neg)),
+                lambda j: (F.col("_rn") - 1 + j) % F.col("_n") + 1,
+            )
+        ).alias("_target_rn"),
+    )
+    negs = probes.join(
+        ring.select(F.col("anchor_id").alias("other_id"),
+                    F.col("_rn").alias("_target_rn")),
+        "_target_rn",
+    ).select("anchor_id", "other_id").filter(
+        F.col("anchor_id") != F.col("other_id")
+    )
+    pos_pairs = positives.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("other_id")
+    )
+    # drop ring negatives that are actually mined positives (either order)
+    pos_sym = pos_pairs.unionByName(
+        pos_pairs.select(
+            F.col("other_id").alias("anchor_id"),
+            F.col("anchor_id").alias("other_id"),
+        )
+    )
+    negs = negs.join(F.broadcast(pos_sym), ["anchor_id", "other_id"],
+                     "left_anti")
+    return pos_pairs.withColumn("label", F.lit(1)).unionByName(
+        negs.withColumn("label", F.lit(0))
+    )

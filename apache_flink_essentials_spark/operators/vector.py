@@ -899,3 +899,73 @@ def pca_project(
         for comp in model["components"]
     ]
     return staged.select(F.col(id_col), F.array(*dots).alias(out_col))
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    from each query's candidate list, greedily pick k items maximizing
+    ``lam * relevance - (1 - lam) * max_cosine_to_already_picked`` — the
+    diversity-aware selection step of retrieval/training-data pipelines
+    (plain top-k returns near-duplicates; MMR spends the budget on
+    coverage).
+
+    Scale shape: MMR is inherently sequential in k but independent ACROSS
+    queries — so the distribution axis is the query set. Candidates arrive
+    per query (typically the top 100-1000 from `knn_cosine_bruteforce` /
+    IVF / LSH — already bounded), and the greedy loop runs inside one
+    `applyInPandas` group per query: O(k·|cand|) dot products on a few
+    hundred rows, never a corpus-wide pass. One exchange on query_id.
+    This is a BY-DESIGN pandas op (float-iterative greedy — same tier as
+    IVF assignment / PCA / semantic dedup).
+
+    Deterministic: ties broken by ascending id at every step. Output:
+    (query, rank 1..k, id, score) — `rank` is selection order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, rank int, {id_col} long, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if picked:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = lam * rel
+            mmr[picked] = -np.inf
+            # argmax with ascending-id tiebreak: ids are sorted, argmax
+            # returns the first (lowest-id) maximal entry
+            best = int(np.argmax(mmr))
+            rows.append(
+                (int(pdf[query_col].iloc[0]), rank, int(ids[best]),
+                 float(mmr[best]))
+            )
+            picked.append(best)
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            rows, columns=[query_col, "rank", id_col, "mmr_score"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)

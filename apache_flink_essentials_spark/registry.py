@@ -4056,3 +4056,77 @@ _register(
     GROUP BY 1, 2
     """,
 )(_olap_incremental)
+
+
+# MMR is float-iterative (greedy selection) → rows-only driver check; the
+# diversity-vs-top-k semantics are pinned in tests (SURVEY §5 model)
+def _vec_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    cands = V.knn_cosine_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=50
+    ).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return V.mmr_diversify(
+        cands, "query_id", "neighbor_id", "embedding", "cosine",
+        k=5, lam=0.7,
+    )
+
+
+_register("vec_mmr_diversify")(_vec_mmr)
+
+
+# ---- contrastive training-pair construction ----
+def _contrastive_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("_f"),
+    )
+    pos = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a._f") == F.col("b._f"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return CU.contrastive_pairs(pos, docs, n_neg=2, seed=0)
+
+
+_register(
+    "curation_contrastive_pairs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, md5(array_to_string(
+               string_split_regex(lower(text), '\s+'), ' ')) AS f
+      FROM documents
+    ), pos AS (
+      SELECT a.doc_id AS anchor_id, b.doc_id AS other_id
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ), ring AS (
+      SELECT doc_id AS anchor_id,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT
+                        / 4294967296.0, doc_id) AS rn
+      FROM documents
+    ), n AS (SELECT count(*) AS n FROM documents),
+    probes AS (
+      SELECT anchor_id, ((rn - 1 + j) % n) + 1 AS target_rn
+      FROM ring, n, unnest(range(1, 3)) AS u(j)
+    ), negs AS (
+      SELECT p.anchor_id, r.anchor_id AS other_id
+      FROM probes p JOIN ring r ON p.target_rn = r.rn
+      WHERE p.anchor_id != r.anchor_id
+        AND NOT EXISTS (
+          SELECT 1 FROM pos s
+          WHERE (s.anchor_id = p.anchor_id AND s.other_id = r.anchor_id)
+             OR (s.anchor_id = r.anchor_id AND s.other_id = p.anchor_id))
+    )
+    SELECT anchor_id, other_id, 1 AS label FROM pos
+    UNION ALL SELECT anchor_id, other_id, 0 AS label FROM negs
+    """,
+)(_contrastive_q)

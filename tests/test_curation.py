@@ -230,3 +230,31 @@ def test_boilerplate_chunk_stats_hand_example(spark):
     assert out[1].boilerplate_fraction == 0.5
     assert out[2].n_boilerplate_chunks == 1
     assert out[3].n_boilerplate_chunks == 0 and out[3].boilerplate_fraction == 0.0
+
+
+def test_contrastive_pairs_labels_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pos = spark.createDataFrame([(0, 4)], "id_a long, id_b long")
+    out = CU.contrastive_pairs(pos, docs, n_neg=2, seed=0)
+    rows = out.collect()
+    pos_rows = [(r.anchor_id, r.other_id) for r in rows if r.label == 1]
+    neg_rows = {(r.anchor_id, r.other_id) for r in rows if r.label == 0}
+    assert pos_rows == [(0, 4)]
+    # every doc anchors <= 2 negatives; no self-pairs; no positive leakage
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _ in neg_rows)
+    assert all(c <= 2 for c in per_anchor.values())
+    assert all(a != b for a, b in neg_rows)
+    assert (0, 4) not in neg_rows and (4, 0) not in neg_rows
+    # deterministic under replay
+    again = {(r.anchor_id, r.other_id, r.label)
+             for r in CU.contrastive_pairs(pos, docs, n_neg=2, seed=0).collect()}
+    assert again == {(r.anchor_id, r.other_id, r.label) for r in rows}
+    # different seed -> different ring (with overwhelming probability)
+    other = {(r.anchor_id, r.other_id)
+             for r in CU.contrastive_pairs(pos, docs, n_neg=2, seed=7).collect()
+             if r.label == 0}
+    assert other != neg_rows

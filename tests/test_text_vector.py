@@ -441,3 +441,43 @@ def test_substring_dup_spans_overlapping_intervals(spark):
     out = {r.doc_id: r for r in D.substring_dup_spans(df, k=4, min_docs=2).collect()}
     assert out[0].dup_fraction == 1.0          # overlapping spans union to n
     assert out[1].dup_tokens == 6 and out[1].n_tokens == 8
+
+
+def test_mmr_diversify_prefers_coverage(spark):
+    # query 1 candidates: two near-identical high-scoring vectors and one
+    # orthogonal lower-scoring vector — plain top-2 takes the twins, MMR
+    # must take one twin + the orthogonal doc
+    rows = [
+        (1, 10, [1.0, 0.0, 0.0], 0.95),
+        (1, 11, [0.999, 0.01, 0.0], 0.94),   # near-dup of 10
+        (1, 12, [0.0, 1.0, 0.0], 0.80),      # diverse
+        (2, 20, [1.0, 0.0, 0.0], 0.9),       # second query group
+        (2, 21, [0.0, 0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, embedding array<double>, cosine double",
+    )
+    out = V.mmr_diversify(df, k=2, lam=0.5)
+    got = {
+        q: [r.neighbor_id for r in rs]
+        for q, rs in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r.query_id, r.rank)),
+            key=lambda r: r.query_id,
+        )
+    }
+    assert got[1] == [10, 12]          # not [10, 11]
+    assert got[2] == [20, 21]
+
+
+def test_mmr_rank1_is_plain_argmax_and_deterministic(spark):
+    rows = [
+        (1, 5, [1.0, 0.0], 0.9),
+        (1, 3, [0.0, 1.0], 0.9),   # tie on score -> lower id wins rank 1
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, embedding array<double>, cosine double"
+    )
+    out = sorted(V.mmr_diversify(df, k=1, lam=1.0).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.rank, r.neighbor_id) for r in out] == [(1, 3)]
