@@ -522,3 +522,43 @@ def contrastive_pairs(
     return pos_pairs.withColumn("label", F.lit(1)).unionByName(
         negs.withColumn("label", F.lit(0))
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    quality_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-order construction: documents ranked best-first WITHIN each
+    source, then round-robin interleaved ACROSS sources — the standard
+    curriculum/mixing order that keeps every batch source-diverse while
+    front-loading quality (a greedy pass over per-source quality-sorted
+    queues).
+
+    Deterministic: within a source ties break by id; across sources the
+    round-robin position orders by (per-source rank, source name).
+
+    Scale: one window shuffle keyed by source for the per-source rank, one
+    global sort for the final order — the global sort carries only
+    (id, rank, source), and Spark's range-partitioned sort is the same
+    O(n log n) any total ordering costs. Emitting `train_order` as
+    row_number makes the output a materializable ordering, not an
+    implicit sort.
+    """
+    ws = Window.partitionBy(source_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(quality_col),
+        F.row_number().over(ws).alias("rank_in_source"),
+    )
+    wg = Window.orderBy("rank_in_source", source_col, id_col)
+    return ranked.select(
+        id_col,
+        source_col,
+        "rank_in_source",
+        F.row_number().over(wg).cast("long").alias("train_order"),
+    )

@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # --- map (T1/T2: Transformations.scala:18,21-24) ---------------------------
@@ -194,3 +195,41 @@ def funnel_steps(
         c = F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
         completed = c if completed is None else completed + c
     return cur.withColumn("completed_steps", completed)
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition statistics over each key's event
+    timeline: for every (current_type, next_type) adjacency, the global
+    count and the row-conditional probability P(next | current).
+
+    One keyed sort-shuffle for the lead() pass, then one hash aggregate on
+    the (from, to) pair — the pair space is |types|², so the second
+    exchange carries a bounded relation regardless of corpus size. The
+    probability is ONE IEEE division of two exact counts (portable).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wt)
+        ).alias("p_next"),
+    )

@@ -4130,3 +4130,45 @@ _register(
     UNION ALL SELECT anchor_id, other_id, 0 AS label FROM negs
     """,
 )(_contrastive_q)
+
+
+# ---- first-order Markov transition matrix over user timelines ----
+_register(
+    "events_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+           count(*) / sum(count(*)) OVER (PARTITION BY from_type) AS p_next
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)(lambda spark, sf: T.transition_counts(
+    _events(spark, sf), "user_id", "ts", "event_type",
+    order_cols=["event_id"],
+))
+
+
+# ---- curriculum/training-order construction ----
+_register(
+    "curation_curriculum_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             )::INT AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source, rank_in_source,
+           row_number() OVER (
+             ORDER BY rank_in_source, source, doc_id)::BIGINT AS train_order
+    FROM ranked
+    """,
+)(lambda spark, sf: CU.curriculum_order(
+    load_table(spark, "documents", sf), "n_chars"
+))

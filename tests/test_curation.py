@@ -258,3 +258,17 @@ def test_contrastive_pairs_labels_and_determinism(spark):
              for r in CU.contrastive_pairs(pos, docs, n_neg=2, seed=7).collect()
              if r.label == 0}
     assert other != neg_rows
+
+
+def test_curriculum_order_round_robin_interleave(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", 90), (2, "s1", 80), (3, "s1", 70),
+            (4, "s2", 99), (5, "s2", 10),
+        ],
+        "doc_id long, source string, q long",
+    )
+    out = [r.doc_id for r in CU.curriculum_order(docs, "q")
+           .orderBy("train_order").collect()]
+    # rank-1 docs of each source first (s1 then s2), then rank-2, ...
+    assert out == [1, 4, 2, 5, 3]

@@ -146,3 +146,21 @@ def test_cep_strict_sequence_and_absence(spark):
     ).collect()
     # user 1's view converts within 10 min; user 2's never converts
     assert [(r.user_id, r.next_absent_ts) for r in ab] == [(2, None)]
+
+
+def test_transition_counts_hand_example(spark):
+    rows = [
+        (1, 1, 1, "a"), (2, 1, 2, "b"), (3, 1, 3, "a"), (4, 1, 4, "b"),
+        (5, 2, 1, "a"), (6, 2, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {(r.from_type, r.to_type): (r.n_transitions, r.p_next)
+           for r in T.transition_counts(
+               df, "user_id", "ts", "event_type", order_cols=["event_id"]
+           ).collect()}
+    # user1: a>b, b>a, a>b ; user2: a>a
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "a")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
