@@ -274,3 +274,68 @@ def gapfill_interpolate(
         F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
     )
     return joined.select(key_col, "bucket", interp.alias("value_interp"))
+
+
+def _ewma_steps(rows, alpha: float, z: float, state=(0.0, 0.0, 0)):
+    """Shared EWMA/EW-variance recurrence (Hunter '86 EWMA control chart):
+    identical float operations in the batch and streaming operators, so
+    stream output is BIT-equal to batch replay. ``state`` seeds
+    (ewma, ewvar, n) so the streaming twin resumes mid-series."""
+    out = []
+    ewma, ewvar, n = state
+    for ts, x in rows:
+        if n == 0:
+            anomaly = False
+            ewma, ewvar = x, 0.0
+        else:
+            dev = x - ewma
+            anomaly = ewvar > 0.0 and dev * dev > z * z * ewvar
+            ewma = ewma + alpha * dev
+            ewvar = (1.0 - alpha) * (ewvar + alpha * dev * dev)
+        n += 1
+        out.append((ts, x, ewma, anomaly))
+    return out, (ewma, ewvar, n)
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-key EWMA control-chart anomaly detection: each value is compared
+    to the exponentially-weighted mean/variance of its PREDECESSORS
+    (so an anomalous spike flags itself rather than first polluting the
+    baseline it is judged against).
+
+    The recurrence is inherently sequential per key → one `applyInPandas`
+    group per key (BY-DESIGN pandas op, same tier as MMR/IVF/PCA): keys
+    distribute across the cluster, each key's pass is O(rows). Streaming
+    twin: `stateful.ewma_anomaly_stream` runs the SAME `_ewma_steps`
+    recurrence on GroupState — equivalence is asserted bit-for-bit in
+    tests. Rows-only driver check (float-iterative, like PCA/semantic
+    dedup).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, ts_s long, value double, ewma double, "
+        "is_anomaly boolean"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        col = pdf[ts_col]
+        if col.dtype.kind == "M":
+            col = col.astype("int64") // 1_000_000_000
+        rows = sorted(zip(col.astype("int64").tolist(),
+                          pdf[value_col].astype(float).tolist()))
+        steps, _ = _ewma_steps(rows, alpha, z)
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            [(key, ts, x, m, a) for ts, x, m, a in steps],
+            columns=[key_col, "ts_s", "value", "ewma", "is_anomaly"],
+        )
+
+    return df.groupBy(key_col).applyInPandas(fn, out_schema)

@@ -4172,3 +4172,10 @@ _register(
 )(lambda spark, sf: CU.curriculum_order(
     load_table(spark, "documents", sf), "n_chars"
 ))
+
+
+# EWMA control chart is float-iterative (sequential recurrence) → rows-only
+# driver check; planted-spike + stream==batch bit-equality pinned in tests
+_register("ts_ewma_anomaly")(lambda spark, sf: TS.ewma_anomaly(
+    _events(spark, sf), "user_id", "ts", "value", alpha=0.3, z=3.0
+))

@@ -582,3 +582,73 @@ def strict_sequence_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ewma_anomaly_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    z: float = 3.0,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming twin of `timeseries.ewma_anomaly`: per-key EWMA
+    control-chart state (3 floats — constant per key) advanced by the SAME
+    `_ewma_steps` recurrence, so replaying a batch through this operator
+    yields bit-identical ewma/anomaly values (asserted in tests). Assumes
+    per-key in-order delivery across batches (compose with
+    `reorder_buffer_stream` otherwise); within a batch rows are sorted by
+    timestamp."""
+    from apache_flink_essentials_spark.operators.timeseries import (
+        _ewma_steps,
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ewma, ewvar, n = state.get
+        else:
+            ewma, ewvar, n = 0.0, 0.0, 0
+        rows = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            if col.dtype.kind == "M":
+                col = col.astype("int64") // 1_000_000_000
+            rows.extend(zip(col.astype("int64").tolist(),
+                            pdf[value_col].astype(float).tolist()))
+        rows.sort()
+        steps, (ewma, ewvar, n) = _ewma_steps(
+            rows, alpha, z, state=(ewma, ewvar, n)
+        )
+        state.update((ewma, ewvar, n))
+        yield pd.DataFrame(
+            [(int(key[0]), ts, x, m, a) for ts, x, m, a in steps],
+            columns=[key_col, "ts_s", "value", "ewma", "is_anomaly"],
+        )
+
+    return (
+        df.groupBy(F.col(key_col).cast("long").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=T.StructType(
+                [
+                    T.StructField(key_col, T.LongType(), True),
+                    T.StructField("ts_s", T.LongType(), False),
+                    T.StructField("value", T.DoubleType(), False),
+                    T.StructField("ewma", T.DoubleType(), False),
+                    T.StructField("is_anomaly", T.BooleanType(), False),
+                ]
+            ),
+            stateStructType=T.StructType(
+                [
+                    T.StructField("ewma", T.DoubleType(), False),
+                    T.StructField("ewvar", T.DoubleType(), False),
+                    T.StructField("n", T.LongType(), False),
+                ]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

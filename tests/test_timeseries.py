@@ -124,3 +124,39 @@ def test_gapfill_interpolate_exact(spark):
     assert out[(1, base + 7200)] == 30.0
     assert out[(1, base + 10800)] == 40.0
     assert out[(2, base)] == 5.0 and len(out) == 5
+
+
+def test_ewma_anomaly_flags_planted_spike(spark):
+    rows = [(1, t, 10.0 + (0.1 if t % 2 else -0.1)) for t in range(1, 21)]
+    rows.append((1, 21, 50.0))      # planted spike
+    rows.append((1, 22, 10.0))
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = {r.ts_s: r for r in TS.ewma_anomaly(
+        df, "user_id", "ts", "value", alpha=0.3, z=3.0).collect()}
+    assert out[21].is_anomaly
+    assert not any(out[t].is_anomaly for t in range(1, 21))
+
+
+def test_ewma_stream_bitwise_equals_batch(spark, events):
+    from apache_flink_essentials_spark.streaming import stateful
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+
+    sample = events.filter(F.col("user_id") < 20).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    batch = {
+        (r.user_id, r.ts_s): (r.value, r.ewma, r.is_anomaly)
+        for r in TS.ewma_anomaly(sample, "user_id", "ts", "value").collect()
+    }
+    stream = replay_as_stream(sample, num_files=3, order_by="ts")
+    got = {
+        (r.user_id, r.ts_s): (r.value, r.ewma, r.is_anomaly)
+        for r in run_stream_to_df(
+            stateful.ewma_anomaly_stream(stream, "user_id", "ts", "value"),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0   # exact float equality
