@@ -108,6 +108,12 @@ HEADLINE = [
     "ts_interpolate_hourly",
     "web_url_dedup",
     "curation_dedup_report",
+    "olap_incremental_rollup",
+    "events_markov_transitions",
+    "curation_curriculum_order",
+    "curation_contrastive_pairs",
+    "vec_mmr_diversify",
+    "ts_ewma_anomaly",
 ]
 
 
