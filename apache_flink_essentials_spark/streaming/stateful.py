@@ -652,3 +652,94 @@ def ewma_anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def timeout_session_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    watermark_delay: str = "10 seconds",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Per-key gap sessions emitted by TIMER, not by the next event — the
+    Flink ``onTimer`` analog (ProcessFunction registers a timer at
+    last_ts + gap; when event time passes it with no new event, the
+    session closes). The NoTimeout stateful ops above only close a key's
+    session when that key's NEXT event arrives; a key that goes quiet
+    forever would hold its last session open. Here
+    ``GroupStateTimeout.EventTimeTimeout`` fires the close when the
+    WATERMARK passes last_ts + gap — quiet keys emit, state is dropped,
+    and per-key state stays one fixed-width row.
+
+    Requires an event-time watermark on ``ts_col`` (applied here via
+    ``withWatermark``); timer granularity is therefore micro-batch +
+    watermark delay, exactly like Flink's event-time timers firing on
+    watermark advance.
+
+    Emits (key, session_start, session_end, n_events) for CLOSED sessions:
+    closed by a gap-exceeding event (same rule as the batch session
+    window) or by the event-time timer.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            # timer fired: the watermark passed last_ts + gap with no new
+            # event for this key — close and drop the session
+            sess_start, last_ts, n = state.get
+            out.append((str(key[0]), sess_start, last_ts, n))
+            state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=["key", "session_start", "session_end", "n_events"],
+            )
+            return
+        if state.exists:
+            sess_start, last_ts, n = state.get
+            has = True
+        else:
+            sess_start = last_ts = n = 0
+            has = False
+        all_ts: list[int] = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            if col.dtype.kind == "M":
+                col = col.astype("int64") // 1_000_000_000
+            all_ts.extend(col.astype("int64").tolist())
+        for ts in sorted(all_ts):
+            if not has:
+                sess_start, last_ts, n = ts, ts, 0
+                has = True
+            elif ts - last_ts > gap_seconds:
+                out.append((str(key[0]), sess_start, last_ts, n))
+                sess_start, last_ts, n = ts, ts, 0
+            last_ts = ts
+            n += 1
+        state.update((sess_start, last_ts, n))
+        # register the event-time timer: fire when the watermark passes
+        # the session's gap horizon (milliseconds, per GroupState API)
+        state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000)
+        yield pd.DataFrame(
+            out, columns=["key", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CAPPED_SESSION_OUTPUT,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("sess_start", T.LongType(), False),
+                    T.StructField("last_ts", T.LongType(), False),
+                    T.StructField("n", T.LongType(), False),
+                ]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -561,3 +561,28 @@ def test_strict_sequence_stream_equals_batch(spark, events):
         ).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_timeout_session_stream_closes_quiet_keys_by_timer(spark):
+    rows = (
+        [(1, t) for t in (100, 101, 102, 103, 104)]   # key 1 then silence
+        + [(2, 100), (2, 5000), (2, 9000)]            # key 2 keeps advancing
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = run_stream_to_df(
+        stateful.timeout_session_stream(
+            replay_as_stream(df, num_files=8, order_by="ts"),
+            "user_id", "ts", gap_seconds=60, watermark_delay="10 seconds",
+        ),
+        output_mode="append",
+    )
+    got = {(r.key, r.session_start, r.session_end, r.n_events)
+           for r in out.collect()}
+    # key 1's only session closes via the EVENT-TIME TIMER (no later event
+    # for key 1 ever arrives); key 2's first two sessions close by gap
+    assert ("1", 100, 104, 5) in got
+    assert ("2", 100, 100, 1) in got and ("2", 5000, 5000, 1) in got
+    # key 2's last session stays open: the watermark never passes 9000+gap
+    assert not any(k == "2" and s == 9000 for k, s, _, _ in got)
