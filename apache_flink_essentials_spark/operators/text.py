@@ -522,3 +522,65 @@ def bm25_rank(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD '03 — the MOSS algorithm): hash every k-token gram, then keep
+    the MINIMUM hash of each window of ``w`` consecutive gram hashes.
+    Guarantees: every shared substring of length >= w + k - 1 tokens
+    contributes at least one shared fingerprint, while only ~2/(w+1) of
+    grams are kept — the standard density/recall trade of local
+    fingerprinting.
+
+    Output: (doc_id, fingerprint) — DISTINCT selected hashes per document,
+    ready for an equi-join candidate step (same shuffle shape as the LSH
+    band join: 16-byte hashes + ids only).
+
+    All-expression implementation: grams via transform(sequence, slice),
+    window minima via one per-doc window pass ordered by position (rows
+    frame [0, w-1] ahead) — the min is ENGINE-PORTABLE because md5 hex
+    compares identically as strings everywhere. One narrow projection +
+    one window sort per doc partition + the final distinct.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= k + w - 1
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+                ),
+            )
+        ).alias("pos", "_h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select(
+            id_col, F.min("_h").over(win).alias("fingerprint"),
+            F.col("pos"),
+        )
+        # only full windows select fingerprints (pos <= n_grams - w): the
+        # trailing partial windows re-select suffix minima and would
+        # over-sample the tail
+        .withColumn(
+            "_n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        .filter(F.col("pos") <= F.col("_n_grams") - w)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

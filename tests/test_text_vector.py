@@ -481,3 +481,24 @@ def test_mmr_rank1_is_plain_argmax_and_deterministic(spark):
     out = sorted(V.mmr_diversify(df, k=1, lam=1.0).collect(),
                  key=lambda r: r.rank)
     assert [(r.rank, r.neighbor_id) for r in out] == [(1, 3)]
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    # identical docs share ALL fingerprints; a doc sharing a long substring
+    # shares at least one (the winnowing guarantee: len >= w + k - 1)
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, shared),
+        (1, shared),                                   # identical
+        (2, shared + " lambda mu nu xi omicron pi"),   # superstring
+        (3, "totally different words with no overlap here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in X.winnow_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[0] == fps[1]
+    assert fps[0] & fps[2]                  # guarantee: >=1 shared
+    assert not (fps[0] & fps[3])
+    # density: far fewer fingerprints than grams (10 tokens -> 6 grams)
+    assert len(fps[0]) <= 3
