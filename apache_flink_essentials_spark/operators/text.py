@@ -584,3 +584,32 @@ def winnow_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected fingerprints (the MOSS match step).
+    Same shuffle economics as the LSH band join — the equi-join key is a
+    16-byte hash, pair generation happens within fingerprint buckets, and
+    the aggregate counts shared fingerprints per (id_a, id_b). Winnowing's
+    guarantee makes this candidate set COMPLETE for substring overlaps of
+    >= w + k - 1 tokens (no false negatives at that granularity), unlike
+    probabilistic MinHash bands.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -4210,3 +4210,39 @@ _register(
 )(lambda spark, sf: X.winnow_fingerprints(
     load_table(spark, "documents", sf), k=5, w=4
 ))
+
+
+_register(
+    "text_winnow_candidates",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5 + 4 - 1
+    ), grams AS (
+      SELECT doc_id, g.pos AS pos, g.h AS h, n - 5 + 1 AS n_grams FROM (
+        SELECT doc_id, n, unnest(list_transform(range(1, n - 5 + 2),
+            i -> struct_pack(pos := i - 1,
+                             h := md5(array_to_string(t[i:i+4], ' '))))) AS g
+        FROM base) q
+    ), mins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint,
+             pos, n_grams
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fingerprint
+      FROM mins WHERE pos <= n_grams - 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*)::BIGINT AS n_shared
+    FROM fps a JOIN fps b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)(lambda spark, sf: X.winnow_candidate_pairs(
+    load_table(spark, "documents", sf), k=5, w=4, min_shared=2
+))

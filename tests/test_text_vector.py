@@ -502,3 +502,17 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     assert not (fps[0] & fps[3])
     # density: far fewer fingerprints than grams (10 tokens -> 6 grams)
     assert len(fps[0]) <= 3
+
+
+def test_winnow_candidate_pairs_finds_planted_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (0, shared + " tail one two three four five"),
+        (1, "prefix words here then " + shared),
+        (2, "unrelated text with completely different content in every way"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in X.winnow_candidate_pairs(
+        df, k=5, w=4, min_shared=1).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
