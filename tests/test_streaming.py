@@ -586,3 +586,58 @@ def test_timeout_session_stream_closes_quiet_keys_by_timer(spark):
     assert ("2", 100, 100, 1) in got and ("2", 5000, 5000, 1) in got
     # key 2's last session stays open: the watermark never passes 9000+gap
     assert not any(k == "2" and s == 9000 for k, s, _, _ in got)
+
+
+def test_stateful_ewma_recovers_groupstate_across_restart(spark, events):
+    # GroupState recovery: run the EWMA stream over the first time-half,
+    # stop, append the second half, restart from the SAME checkpoint — the
+    # final output must be BIT-equal to batch EWMA over the full input,
+    # which only holds if (ewma, ewvar, n) state survived the restart.
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from apache_flink_essentials_spark.io import write_stream_files
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    sample = events.filter(F.col("user_id") < 10).select(
+        "user_id", "ts", "value"
+    )
+    cut = sample.agg(
+        F.expr("percentile_approx(cast(ts as long), 0.5)")
+    ).collect()[0][0]
+    first = sample.filter(F.col("ts").cast("long") < cut)
+    second = sample.filter(F.col("ts").cast("long") >= cut)
+
+    src = tempfile.mkdtemp(prefix="ewma_src_")
+    out = tempfile.mkdtemp(prefix="ewma_out_")
+    ckpt = tempfile.mkdtemp(prefix="ewma_ckpt_")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = write_stream_files(
+            stateful.ewma_anomaly_stream(stream, "user_id", "ts", "value"),
+            out, ckpt, trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (now, now))
+    run_once()
+
+    got = {
+        (r.user_id, r.ts_s): (r.value, r.ewma, r.is_anomaly)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.user_id, r.ts_s): (r.value, r.ewma, r.is_anomaly)
+        for r in TS.ewma_anomaly(sample, "user_id", "ts", "value").collect()
+    }
+    assert got == batch and len(batch) > 0
