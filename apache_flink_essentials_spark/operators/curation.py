@@ -480,12 +480,19 @@ def contrastive_pairs(
     Output: (anchor_id, other_id, label) with label 1 for positives,
     0 for negatives.
     """
-    ring = docs.select(
-        F.col(id_col).alias("anchor_id"),
-        uniform_hash_expr(id_col, seed).alias("_r"),
-    ).withColumn(
-        "_rn",
-        F.row_number().over(Window.orderBy("_r", "anchor_id")),
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
+    # ring positions via the DISTRIBUTED two-phase row_number — a plain
+    # Window.orderBy would funnel the whole corpus through one task
+    ring = global_row_number(
+        docs.select(
+            F.col(id_col).alias("anchor_id"),
+            uniform_hash_expr(id_col, seed).alias("_r"),
+        ),
+        ["_r", "anchor_id"],
+        out_col="_rn",
     )
     n_total = ring.agg(F.count(F.lit(1)).alias("_n"))
     anchors = ring.join(F.broadcast(n_total))
@@ -539,26 +546,27 @@ def curriculum_order(
     Deterministic: within a source ties break by id; across sources the
     round-robin position orders by (per-source rank, source name).
 
-    Scale: one window shuffle keyed by source for the per-source rank, one
-    global sort for the final order — the global sort carries only
-    (id, rank, source), and Spark's range-partitioned sort is the same
-    O(n log n) any total ordering costs. Emitting `train_order` as
-    row_number makes the output a materializable ordering, not an
-    implicit sort.
+    Scale: one window shuffle keyed by source for the per-source rank; the
+    global train_order uses `transform.global_row_number` — range-partition
+    on the order key, local rank, broadcast offsets — so the total ordering
+    is distributed (a plain Window.orderBy row_number would be a
+    single-task sort). The ordered relation carries only (id, rank,
+    source).
     """
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
     ws = Window.partitionBy(source_col).orderBy(
         F.desc(quality_col), F.asc(id_col)
     )
     ranked = df.select(
         F.col(id_col),
         F.col(source_col),
-        F.col(quality_col),
         F.row_number().over(ws).alias("rank_in_source"),
     )
-    wg = Window.orderBy("rank_in_source", source_col, id_col)
-    return ranked.select(
-        id_col,
-        source_col,
-        "rank_in_source",
-        F.row_number().over(wg).cast("long").alias("train_order"),
-    )
+    return global_row_number(
+        ranked,
+        ["rank_in_source", source_col, id_col],
+        out_col="train_order",
+    ).select(id_col, source_col, "rank_in_source", "train_order")

@@ -233,3 +233,54 @@ def transition_counts(
             / F.sum("n_transitions").over(wt)
         ).alias("p_next"),
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over a TOTAL order — the scalable
+    replacement for ``row_number().over(Window.orderBy(...))``, which
+    funnels every row through ONE task (Spark's empty-frame warning is a
+    scale-stopper, not a nit).
+
+    Two-phase ranking: range-partition on the order columns (sampled
+    boundaries — Spark's own sort machinery), rank locally within each
+    range, then add per-partition offsets computed from a tiny
+    (num_partitions)-row count relation that is broadcast back. Ranks are
+    IDENTICAL to the single-partition form whenever ``order_cols`` is a
+    total order (ties could straddle sampled boundaries; with a total
+    order no two rows compare equal, so the result is deterministic).
+
+    Cost: one range exchange + one pid-hash exchange of the data, plus a
+    broadcast of the offsets — every stage distributed.
+    """
+    p = df.repartitionByRange(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism,
+        *order_cols,
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = p.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    local = p.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*order_cols)
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

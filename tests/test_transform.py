@@ -164,3 +164,22 @@ def test_transition_counts_hand_example(spark):
     assert out[("a", "b")] == (2, 2 / 3)
     assert out[("a", "a")] == (1, 1 / 3)
     assert out[("b", "a")] == (1, 1.0)
+
+
+def test_global_row_number_matches_single_partition_form(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 5000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id")
+    )
+    got = {
+        (r.k, r.id): r.rn
+        for r in T.global_row_number(df, ["k", "id"], "rn", 8).collect()
+    }
+    ref = {
+        (r.k, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+        ).collect()
+    }
+    assert got == ref
