@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -261,23 +262,30 @@ def global_row_number(
         num_partitions or df.sparkSession.sparkContext.defaultParallelism,
         *order_cols,
     ).withColumn("_pid", F.spark_partition_id())
-    counts = p.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_cnt").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_off"),
-    )
+    # the locally-ranked relation feeds BOTH the offsets aggregate and the
+    # final join — persist it so the range-partition + window pass runs
+    # once (the same shuffle-files trade tfidf's tf table makes); offsets
+    # derive from max(local rank) per pid, no separate count pass
     local = p.withColumn(
         "_lrn",
         F.row_number().over(
             Window.partitionBy("_pid").orderBy(*order_cols)
         ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_lrn").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
