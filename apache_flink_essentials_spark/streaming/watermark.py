@@ -20,6 +20,7 @@ analog of setAutoWatermarkInterval (E3).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def with_event_time(df: DataFrame, ts_col: str, max_out_of_orderness: str) -> DataFrame:
@@ -56,3 +57,41 @@ def enrich_with_static(stream: "DataFrame", dim: "DataFrame", on, how: str = "le
     aggregations after the join follow normal streaming semantics.
     """
     return stream.join(dim, on, how)
+
+
+def enrich_with_dynamic(
+    stream: "DataFrame",
+    dim_path: str,
+    on,
+    sink_path: str,
+    checkpoint: str,
+    how: str = "left",
+    trigger: dict | None = None,
+):
+    """Broadcast-state with UPDATES (Flink BroadcastProcessFunction): the
+    dimension is re-read from ``dim_path`` inside EVERY micro-batch, so
+    rule/dim changes written between batches apply to the next batch with
+    no restart. `enrich_with_static` relies on Spark re-planning the
+    static side, which caches file listings in some paths; the
+    ``foreachBatch`` form makes the re-read EXPLICIT and guaranteed.
+
+    Writes enriched rows to ``sink_path`` (parquet, exactly-once via the
+    checkpoint). Returns the query handle. At scale: the dim is a small
+    table (it is re-read per batch); Catalyst broadcasts it into the join
+    each time, so the stream side never shuffles.
+    """
+
+    def _enrich(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        batch_df.join(dim, on, how).withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

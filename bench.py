@@ -114,6 +114,8 @@ HEADLINE = [
     "curation_contrastive_pairs",
     "vec_mmr_diversify",
     "ts_ewma_anomaly",
+    "text_winnow_fingerprints",
+    "text_winnow_candidates",
 ]
 
 

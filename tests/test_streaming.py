@@ -641,3 +641,55 @@ def test_stateful_ewma_recovers_groupstate_across_restart(spark, events):
         for r in TS.ewma_anomaly(sample, "user_id", "ts", "value").collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_dynamic_enrichment_picks_up_dim_updates_between_runs(spark, events):
+    # Flink broadcast-state update analog: the dim parquet is OVERWRITTEN
+    # between two checkpointed availableNow runs; rows processed after the
+    # update must join against the NEW dim version, earlier rows keep the
+    # old enrichment (recorded in the sink, exactly-once via checkpoint).
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from apache_flink_essentials_spark.streaming.watermark import (
+        enrich_with_dynamic,
+    )
+
+    src = tempfile.mkdtemp(prefix="dyn_src_")
+    dim_path = tempfile.mkdtemp(prefix="dyn_dim_")
+    out = tempfile.mkdtemp(prefix="dyn_out_")
+    ckpt = tempfile.mkdtemp(prefix="dyn_ckpt_")
+
+    sample = events.filter(F.col("user_id") < 5).select("event_id", "user_id")
+    first = sample.filter(F.col("event_id") % 2 == 0)
+    second = sample.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, "v1") for i in range(5)], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+        q = enrich_with_dynamic(
+            stream, dim_path, "user_id", out, ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        [(i, "v2") for i in range(5)], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    second.coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (now, now))
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    tiers = {r.event_id: r.tier for r in rows}
+    assert len(rows) == sample.count()                      # exactly once
+    assert all(t == "v1" for e, t in tiers.items() if e % 2 == 0)
+    assert all(t == "v2" for e, t in tiers.items() if e % 2 == 1)
