@@ -484,6 +484,14 @@ def contrastive_pairs(
         global_row_number,
     )
 
+    pos_pairs = positives.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("other_id")
+    )
+    if n_neg < 1:
+        # guard: Spark's sequence(1, 0) would DESCEND to [1, 0] and emit a
+        # phantom negative per doc instead of zero
+        return pos_pairs.withColumn("label", F.lit(1))
+
     # ring positions via the DISTRIBUTED two-phase row_number — a plain
     # Window.orderBy would funnel the whole corpus through one task
     ring = global_row_number(
@@ -513,9 +521,6 @@ def contrastive_pairs(
         "_target_rn",
     ).select("anchor_id", "other_id").filter(
         F.col("anchor_id") != F.col("other_id")
-    )
-    pos_pairs = positives.select(
-        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("other_id")
     )
     # drop ring negatives that are actually mined positives (either order)
     pos_sym = pos_pairs.unionByName(

@@ -26,11 +26,19 @@ from pyspark.sql.window import Window
 from apache_flink_essentials_spark.operators.text import tokens_expr
 
 
+def text_fingerprint_expr(text_col: str = "text") -> Column:
+    """md5 of whitespace-normalized lower-cased text — THE whole-document
+    fingerprint every exact-dedup consumer (operators, registry oracles,
+    reports) must share; one definition so tokenization changes cannot
+    silently diverge between them."""
+    return F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on normalized text: keep the min-id
     representative, count members. One hash-agg shuffle on a 128-bit md5 key
     (never shuffles the raw text payload at full width)."""
-    normalized = F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+    normalized = text_fingerprint_expr(text_col)
     return (
         df.select(normalized.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
@@ -55,7 +63,7 @@ def exact_dedup_stream(
     The fingerprint (md5 of normalized tokens) is the dedup key, so state
     holds 16-byte keys, not documents — same scale argument as the batch op.
     """
-    normalized = F.md5(F.concat_ws(" ", tokens_expr(text_col)))
+    normalized = text_fingerprint_expr(text_col)
     return (
         df.withColumn("fingerprint", normalized)
         .withWatermark(ts_col, watermark_delay)

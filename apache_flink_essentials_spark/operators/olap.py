@@ -118,8 +118,6 @@ def pivot_agg(
 # DECOMPOSABLE: count/sum merge by +, min/max by min/max; avg is carried as
 # (sum, count) and finalized at read time.
 
-ADDITIVE = ("count", "sum")
-
 
 def additive_rollup(
     df: DataFrame,

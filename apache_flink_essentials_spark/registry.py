@@ -3989,12 +3989,12 @@ _register(
 )(lambda spark, sf: (lambda d: d.groupBy("source").agg(
     F.count(F.lit(1)).alias("n_docs"),
     F.count_distinct(
-        F.md5(F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+")))
+        D.text_fingerprint_expr("text")
     ).alias("n_unique"),
     (
         1
         - F.count_distinct(
-            F.md5(F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+")))
+            D.text_fingerprint_expr("text")
         )
         / F.count(F.lit(1))
     ).alias("dup_rate"),

@@ -507,6 +507,7 @@ def strict_sequence_stream(
     type_col: str,
     pattern: list[str],
     within_seconds: int | None = None,
+    order_cols: list[str] | None = None,
     output_mode: str = "append",
 ) -> DataFrame:
     """Streaming twin of `patterns.match_strict_sequence` (Flink CEP
@@ -515,10 +516,13 @@ def strict_sequence_stream(
     ≤ ``within_seconds``.
 
     State per key: the last L-1 (ts, type) pairs — constant size, O(L)
-    bytes, GC-free. Rows are processed in per-batch timestamp order;
-    ACROSS batches the operator assumes per-key in-order delivery
-    (compose with `reorder_buffer_stream` ahead of it for out-of-order
-    streams — same two-query topology as reorder → sessions).
+    bytes, GC-free. Rows are processed in per-batch (ts, *order_cols)
+    order — pass the SAME tiebreakers as the batch operator (e.g.
+    ``["event_id"]``), or same-second events tie-break by arrival and can
+    diverge from batch; ACROSS batches the operator assumes per-key
+    in-order delivery (compose with `reorder_buffer_stream` ahead of it
+    for out-of-order streams — same two-query topology as reorder →
+    sessions).
 
     Emits (key, start_ts, end_ts, span_seconds) epoch-second rows,
     matching the batch operator's output after `.cast("long")`.
@@ -540,11 +544,17 @@ def strict_sequence_stream(
             col = pdf[ts_col]
             if col.dtype.kind == "M":
                 col = col.astype("int64") // 1_000_000_000
+            tiebreaks = (
+                zip(*[pdf[c].tolist() for c in order_cols])
+                if order_cols
+                else ((),) * len(pdf)
+            )
             rows.extend(zip(col.astype("int64").tolist(),
+                            tiebreaks,
                             pdf[type_col].tolist()))
-        rows.sort(key=lambda tp: tp[0])
+        rows.sort(key=lambda tp: (tp[0], tp[1]))
         out = []
-        for ts, typ in rows:
+        for ts, _tb, typ in rows:
             tail.append((ts, typ))
             if len(tail) > L:
                 tail = tail[-L:]
@@ -598,8 +608,10 @@ def ewma_anomaly_stream(
     `_ewma_steps` recurrence, so replaying a batch through this operator
     yields bit-identical ewma/anomaly values (asserted in tests). Assumes
     per-key in-order delivery across batches (compose with
-    `reorder_buffer_stream` otherwise); within a batch rows are sorted by
-    timestamp."""
+    `reorder_buffer_stream` otherwise); within a batch rows sort by
+    (ts, value) — the same tuple order the batch op uses — but equal-ts
+    rows SPLIT ACROSS micro-batches process in arrival order, one more
+    facet of the in-order-delivery assumption."""
     from apache_flink_essentials_spark.operators.timeseries import (
         _ewma_steps,
     )
@@ -716,7 +728,13 @@ def timeout_session_stream(
             elif ts - last_ts > gap_seconds:
                 out.append((str(key[0]), sess_start, last_ts, n))
                 sess_start, last_ts, n = ts, ts, 0
-            last_ts = ts
+            # a LATE event (within the watermark, earlier than state's
+            # last_ts from a prior batch) folds into the open session
+            # without corrupting its bounds: never move last_ts backwards
+            # (that would mis-register the timer and emit end < start),
+            # never leave sess_start above an accepted earlier event
+            sess_start = min(sess_start, ts)
+            last_ts = max(last_ts, ts)
             n += 1
         state.update((sess_start, last_ts, n))
         # register the event-time timer: fire when the watermark passes

@@ -84,9 +84,15 @@ def enrich_with_dynamic(
     def _enrich(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         dim = spark.read.parquet(dim_path)
+        # idempotent retry: each micro-batch owns its _batch_id partition
+        # and dynamic-partition OVERWRITES it — a batch replayed after a
+        # post-write/pre-commit failure rewrites the same partition instead
+        # of appending duplicates (blind append would be at-least-once)
         batch_df.join(dim, on, how).withColumn(
             "_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(sink_path)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(sink_path)
 
     writer = (
         stream.writeStream.foreachBatch(_enrich)

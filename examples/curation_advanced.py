@@ -31,21 +31,25 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     spark = spark or get_spark(app_name="curation-advanced")
     docs = load_table(spark, "documents", sf_dir)
 
-    # 1. substring-level dedup: drop docs that are >50% duplicated spans
+    # 1. substring-level dedup: drop docs that are >50% duplicated spans.
+    # Docs shorter than k tokens have NO spans row (they cannot contain a
+    # k-gram) — LEFT join and keep the null-fraction rows, or short docs
+    # would silently vanish from the corpus while the report showed
+    # nothing dropped.
     spans = substring_dup_spans(docs, k=20, min_docs=2)
-    keep = spans.filter(F.col("dup_fraction") <= 0.5).select("doc_id")
-    curated = docs.join(keep, "doc_id")
+    flagged = docs.join(
+        spans.select("doc_id", "dup_fraction"), "doc_id", "left"
+    )
+    curated = flagged.filter(
+        F.col("dup_fraction").isNull() | (F.col("dup_fraction") <= 0.5)
+    ).drop("dup_fraction")
 
     # 2. observability: what did the gate drop, per source?
-    report = (
-        docs.join(spans.select("doc_id", "dup_fraction"), "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("dup_fraction") > 0.5, 1).otherwise(0)
-            ).alias("n_dropped"),
-        )
+    report = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("dup_fraction") > 0.5, 1).otherwise(0)
+        ).alias("n_dropped"),
     )
 
     # 3. curriculum: best-first within source, round-robin across sources

@@ -555,7 +555,7 @@ def test_strict_sequence_stream_equals_batch(spark, events):
         for r in run_stream_to_df(
             stateful.strict_sequence_stream(
                 stream, "user_id", "ts", "event_type", pattern,
-                within_seconds=86400,
+                within_seconds=86400, order_cols=["event_id"],
             ),
             output_mode="append",
         ).collect()
