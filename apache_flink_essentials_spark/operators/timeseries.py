@@ -339,3 +339,68 @@ def ewma_anomaly(
         )
 
     return df.groupBy(key_col).applyInPandas(fn, out_schema)
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    z: float = 3.0,
+    period_s: int = 3600,
+    cycle: int = 24,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: per (series, phase) — by
+    default (event_type, hour-of-day) — compute the seasonal mean and
+    stddev, then flag values more than ``z`` sigma from THEIR OWN phase's
+    baseline (a value normal at the daily peak is anomalous at 3am; a
+    global z-score can't see that). The additive-seasonality half of an
+    STL decomposition, kept closed-form so it oracles exactly.
+
+    Portability: mean/stddev derive from EXACT DECIMAL sums of value and
+    value² (one IEEE division/sqrt at the end — same recipe as the zscore
+    op); the phase is integer epoch arithmetic, no calendar functions.
+
+    Scale: one partial-aggregated shuffle on (series, phase) — at most
+    |types| x cycle groups, a broadcast-sized relation joined back onto
+    the stream; the flagging filter is narrow.
+    """
+    phase = (
+        F.floor(F.col(ts_col).cast("long") / period_s) % cycle
+    ).alias("phase")
+    dec = F.col(value_col).cast("decimal(18,4)")
+    stats = (
+        df.select(F.col(type_col), phase, dec.alias("_v"))
+        .groupBy(type_col, "phase")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").cast("double").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("double").alias("_ss"),
+        )
+        .select(
+            type_col,
+            "phase",
+            (F.col("_s") / F.col("_n")).alias("_mu"),
+            F.sqrt(
+                F.col("_ss") / F.col("_n")
+                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))
+            ).alias("_sigma"),
+        )
+    )
+    flagged = df.select(
+        F.col(id_col),
+        F.col(type_col),
+        phase,
+        F.col(value_col).cast("double").alias("value"),
+    ).join(F.broadcast(stats), [type_col, "phase"])
+    # constant phases (sigma = 0) flag nothing: guard INSIDE a when() so
+    # ANSI mode never evaluates the division for them (x/0 errors in
+    # Spark 4 ANSI; the DuckDB oracle mirrors with `sigma > 0`)
+    resid = F.when(
+        F.col("_sigma") > 0,
+        (F.col("value") - F.col("_mu")) / F.col("_sigma"),
+    )
+    return flagged.filter(F.abs(resid) > z).select(
+        id_col, type_col, "phase", "value", resid.alias("z_seasonal")
+    )

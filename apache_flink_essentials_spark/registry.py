@@ -4246,3 +4246,76 @@ _register(
 )(lambda spark, sf: X.winnow_candidate_pairs(
     load_table(spark, "documents", sf), k=5, w=4, min_shared=2
 ))
+
+
+# ---- entity resolution: fuzzy match -> transitive clusters ----
+def _er_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf).select("c_custkey", "c_name")
+    pairs = (
+        J.fuzzy_join(c, c, "c_name", "c_name", max_distance=1,
+                     block_chars=16)
+        .filter(F.col("l_c_custkey") < F.col("r_c_custkey"))
+        .select(
+            F.col("l_c_custkey").alias("id_a"),
+            F.col("r_c_custkey").alias("id_b"),
+        )
+    )
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("c_custkey"),
+        F.col("component").cast("long").alias("entity_id"),
+    )
+
+
+_register(
+    "er_customer_entities",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS c_custkey, least(a, min(b))::BIGINT AS entity_id
+    FROM reach GROUP BY a
+    """,
+)(_er_customers)
+
+
+# ---- seasonal-baseline anomalies (hour-of-day phase z-score) ----
+_register(
+    "ts_seasonal_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             (floor(epoch(ts) / 3600)::BIGINT % 24) AS phase,
+             count(*) AS n,
+             sum(value::DECIMAL(18,4))::DOUBLE AS s,
+             sum(value::DECIMAL(18,4) * value::DECIMAL(18,4))::DOUBLE AS ss
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, phase, s / n AS mu,
+             sqrt(ss / n - (s / n) * (s / n)) AS sigma
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           (floor(epoch(e.ts) / 3600)::BIGINT % 24) AS phase,
+           e.value::DOUBLE AS value,
+           (e.value::DOUBLE - mu) / sigma AS z_seasonal
+    FROM events e
+    JOIN mu ON e.event_type = mu.event_type
+           AND (floor(epoch(e.ts) / 3600)::BIGINT % 24) = mu.phase
+    WHERE sigma > 0 AND abs((e.value::DOUBLE - mu) / sigma) > 3.0
+    """,
+)(lambda spark, sf: TS.seasonal_residuals(
+    _events(spark, sf), "event_type", "ts", "value", "event_id", z=3.0
+))

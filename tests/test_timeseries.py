@@ -160,3 +160,23 @@ def test_ewma_stream_bitwise_equals_batch(spark, events):
         ).collect()
     }
     assert got == batch and len(batch) > 0   # exact float equality
+
+
+def test_seasonal_residuals_flags_off_phase_value(spark):
+    # type "a": value 10 at hour 0, value 100 at hour 1, across many days;
+    # one day has a 100 at hour 0 — normal globally, anomalous for phase 0
+    rows = []
+    eid = 0
+    for day in range(30):
+        base = day * 86400
+        rows.append((eid, "a", base, 10.0)); eid += 1
+        rows.append((eid, "a", base + 3600, 100.0)); eid += 1
+    rows.append((eid, "a", 30 * 86400, 100.0))  # planted phase-0 outlier
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts long, value double"
+    )
+    out = TS.seasonal_residuals(
+        df, "event_type", "ts", "value", "event_id", z=3.0
+    ).collect()
+    assert [(r.event_id, r.phase) for r in out] == [(eid, 0)]
+    assert out[0].z_seasonal > 3.0
