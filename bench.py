@@ -116,6 +116,7 @@ HEADLINE = [
     "ts_ewma_anomaly",
     "text_winnow_fingerprints",
     "text_winnow_candidates",
+    "ts_seasonal_anomalies",
 ]
 
 
