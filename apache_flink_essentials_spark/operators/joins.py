@@ -84,10 +84,18 @@ def interval_join(
     upper: str,
     lower_exclusive: bool = True,
     upper_exclusive: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """J3 ≙ keyed interval (band) join (MultipleStreams.scala:61-103):
     pairs with equal key where lower < tL − tR < upper (bounds exclusive per
     ``lowerBoundExclusive``/``upperBoundExclusive``, :88-89).
+
+    ``how``: ``"inner"`` (reference semantics) or ``"left_outer"`` — keep
+    unmatched left rows with null right columns (the "clicks that never
+    converted" form). In the streaming twin an outer join additionally
+    requires watermarks on BOTH sides; Spark emits the null-extended rows
+    once the watermark passes the band's upper bound (state GC point), the
+    exact analog of Flink's interval-join cleanup timers.
 
     ``lower``/``upper`` are SQL interval strings, e.g. ``"2 seconds"`` with
     sign conveyed by the reference semantics: between(-2s, 2s) ⇒
@@ -109,7 +117,7 @@ def interval_join(
     band_lo = F.expr(f"l_{left_ts} {lo_op} r_{right_ts} + interval '{lower}'")
     band_hi = F.expr(f"l_{left_ts} {hi_op} r_{right_ts} + interval '{upper}'")
     cond = (F.col(f"l_{key}") == F.col(f"r_{key}")) & band_lo & band_hi
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def interval_join_bucketed(

@@ -4319,3 +4319,31 @@ _register(
 )(lambda spark, sf: TS.seasonal_residuals(
     _events(spark, sf), "event_type", "ts", "value", "event_id", z=3.0
 ))
+
+
+# ---- left-outer interval join: clicks that never converted ----
+_register(
+    "j3_interval_join_left",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL '10 minutes'
+     AND c.ts < p.ts + INTERVAL '10 minutes'
+    """,
+)(lambda spark, sf: J.interval_join(
+    T.filter_event_type(_events(spark, sf), "click"),
+    T.filter_event_type(_events(spark, sf), "purchase"),
+    key="user_id",
+    left_ts="ts",
+    right_ts="ts",
+    lower="-10 minutes",
+    upper="10 minutes",
+    how="left_outer",
+).select(
+    F.col("l_user_id").alias("user_id"),
+    F.col("l_event_id").alias("click_id"),
+    F.col("r_event_id").alias("purchase_id"),
+))

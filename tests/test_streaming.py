@@ -693,3 +693,39 @@ def test_dynamic_enrichment_picks_up_dim_updates_between_runs(spark, events):
     assert len(rows) == sample.count()                      # exactly once
     assert all(t == "v1" for e, t in tiers.items() if e % 2 == 0)
     assert all(t == "v2" for e, t in tiers.items() if e % 2 == 1)
+
+
+def test_stream_stream_left_outer_interval_join_equals_batch(spark):
+    # outer variant: unmatched left rows emit with null right columns once
+    # the watermark passes the band (Flink interval-join cleanup-timer
+    # analog); sentinel rows push the watermark past every real band
+    from apache_flink_essentials_spark.operators.joins import interval_join
+
+    carts = shopping_cart_events_batch(spark, 40)
+    catalog = catalog_events_batch(spark, 30)
+    batch = interval_join(
+        carts, catalog, "user_id", "time", "time",
+        "-2 seconds", "2 seconds", how="left_outer",
+    )
+    ls = with_event_time(
+        replay_as_stream(carts, 2, "time", flush_sentinel_col="time"),
+        "time", "2 seconds",
+    )
+    rs = with_event_time(
+        replay_as_stream(catalog, 2, "time", flush_sentinel_col="time"),
+        "time", "2 seconds",
+    )
+    streamed = run_stream_to_df(
+        interval_join(ls, rs, "user_id", "time", "time",
+                      "-2 seconds", "2 seconds", how="left_outer"),
+        output_mode="append",
+    )
+    b = sorted((r.l_user_id, r.l_time, r.r_time) for r in batch.collect())
+    s = sorted(
+        (r.l_user_id, r.l_time, r.r_time)
+        for r in streamed.collect()
+        if r.l_time.year < 2025
+        and (r.r_time is None or r.r_time.year < 2025)
+    )
+    assert b == s
+    assert any(rt is None for _, _, rt in b)   # outer rows exist
