@@ -52,10 +52,11 @@ def _verified_names() -> set[str]:
     The driver oracle-checks a bounded prefix of ``queries()`` insertion
     order (round 1 covered 49 of 132), so we rotate: queries without a green
     driver row yet are registered first, already-verified ones last. A row
-    counts as green when it has no err and no explicit False in any *_match
-    field (rows-only checks — oracle-less ops — can never do better than
-    that, so re-submitting them wastes checked-prefix slots). Later rounds'
-    files override earlier ones for the same name.
+    counts as settled when it hash-matched, OR when its only "failure" is
+    ``err == "no_oracle"`` — a rows-only check is the best an oracle-less op
+    can ever achieve, so re-submitting it wastes checked-prefix slots (round
+    2 burned 7 slots this way). Later rounds' files override earlier ones
+    for the same name.
     """
     status: dict[str, bool] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -70,7 +71,8 @@ def _verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            good = not row.get("err") and not any(
+            err = row.get("err")
+            good = (not err or err == "no_oracle") and not any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )
@@ -83,14 +85,19 @@ def _family(name: str) -> str:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """Unverified first — round-robin across op families so every family
-    gets at least one row inside whatever prefix the driver checks — then
-    the already-verified names in registration order."""
+    """Unverified oracle-backed names first — round-robin across op
+    families so every family gets at least one row inside whatever prefix
+    the driver checks — then unverified oracle-less names (whose rows-only
+    check is weaker but still new signal), then already-settled names in
+    registration order."""
     verified = _verified_names()
+    has_oracle = set(registry.ORACLES)
     pending = [n for n in names if n not in verified]
+    pending_oracle = [n for n in pending if n in has_oracle]
+    pending_rows_only = [n for n in pending if n not in has_oracle]
     done = [n for n in names if n in verified]
     by_family: dict[str, list[str]] = {}
-    for n in pending:
+    for n in pending_oracle:
         by_family.setdefault(_family(n), []).append(n)
     interleaved: list[str] = []
     queues = list(by_family.values())
@@ -99,7 +106,7 @@ def _driver_order(names: list[str]) -> list[str]:
         for q in queues:
             if q:
                 interleaved.append(q.pop(0))
-    return interleaved + done
+    return interleaved + pending_rows_only + done
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -428,25 +428,30 @@ def boilerplate_chunk_stats(
     templated paragraphs light up long before whole-document dedup fires
     (the paragraph-level complement of `dedup.exact_dedup`).
 
-    Scale shape: chunking is the zero-shuffle `chunk_documents` projection;
-    chunk occurrences reduce to (fingerprint, doc) BEFORE the distinct-doc
-    aggregation, so both exchanges carry 16-byte hashes + ids, never chunk
-    text; the frequency table joins back on the fingerprint. Output is one
-    row per document.
+    Scale shape: chunking is the zero-shuffle `chunk_documents` projection,
+    and each chunk is reduced to an 8-byte xxhash64 IN THE SCAN STAGE (the
+    hash is only a grouping key — never exposed — so the cheapest hash
+    wins; a collision merely merges two chunk groups, indistinguishable
+    from two identical chunks, and at 64 bits is ~n²/2⁶⁵ likely). From
+    there the plan is join-free: partial-agg to (fingerprint, doc,
+    n_occurrences), a count window over the fingerprint for the
+    distinct-document frequency, then the per-document rollup — three slim
+    hash exchanges, no chunk text ever shuffled.
     """
     chunks = chunk_documents(
         df, max_tokens, overlap=0, id_col=id_col, text_col=text_col
-    ).select(F.col(id_col), F.md5(F.col("chunk_text")).alias("_fp"))
-    freq = chunks.groupBy("_fp").agg(
-        F.countDistinct(id_col).alias("_docs_with_chunk")
-    )
+    ).select(F.col(id_col), F.xxhash64(F.col("chunk_text")).alias("_fp"))
+    occ = chunks.groupBy("_fp", id_col).agg(F.count(F.lit(1)).alias("_n_occ"))
+    docs_with_chunk = F.count(F.lit(1)).over(Window.partitionBy("_fp"))
     return (
-        chunks.join(freq, "_fp")
+        occ.withColumn("_docs_with_chunk", docs_with_chunk)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_n_occ").alias("n_chunks"),
             F.sum(
-                F.when(F.col("_docs_with_chunk") >= min_docs, 1).otherwise(0)
+                F.when(
+                    F.col("_docs_with_chunk") >= min_docs, F.col("_n_occ")
+                ).otherwise(0)
             ).alias("n_boilerplate_chunks"),
         )
         .withColumn(
@@ -466,7 +471,10 @@ def contrastive_pairs(
     """Contrastive training-pair construction: label-1 rows from a mined
     positive-pair table (near-duplicates — `dedup.minhash_lsh_pairs`
     output with columns id_a/id_b), label-0 rows by deterministic ring
-    sampling — every document gets ``n_neg`` pseudo-random partners.
+    sampling — every document gets UP TO ``n_neg`` pseudo-random partners
+    (fewer when the corpus has n <= n_neg documents — the ring would wrap
+    onto the anchor itself — or when a sampled negative collides with a
+    mined positive pair and is anti-joined away).
 
     Ring sampling (the scale-correct "random negatives"): each doc's ring
     position is row_number over md5(seed:id) — a seeded uniform shuffle —

@@ -13,8 +13,10 @@ Execution shape per iteration (the part that must survive 100 TB):
     every iteration's join reuses that partitioning, so each round pays
     ONE exchange (ranks → src hash) + ONE aggregation exchange (contribs →
     dst hash); the edge table itself never moves again.
-  * dangling mass (nodes with no out-edges) is a one-row aggregate,
-    broadcast back as a literal — no cross join.
+  * dangling mass (nodes with no out-edges) is a one-row aggregate that
+    broadcast-cross-joins onto the rank update — it never leaves the
+    cluster, so each iteration is ONE job (the eager checkpoint), with no
+    per-iteration driver round-trip.
   * ``localCheckpoint`` per iteration truncates lineage so the physical
     plan stays O(1) per round instead of O(iterations) (same pattern as
     `dedup.connected_components`).
@@ -73,10 +75,11 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "outdeg")
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass stays IN the plan as a one-row aggregate that
+        # broadcast-cross-joins onto the rank update — one job per
+        # iteration (the eager localCheckpoint), no driver round-trip
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             e.join(with_deg.filter(F.col("outdeg").isNotNull()),
@@ -85,12 +88,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base)
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
                  + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                  ).alias("rank"),
             )

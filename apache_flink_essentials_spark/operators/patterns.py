@@ -90,8 +90,11 @@ def match_absence(
     order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Events of type ``first`` with NO event of type ``absent`` for the
-    same key in (ts, ts + within_seconds] — Flink CEP's
-    ``notFollowedBy().within()`` (e.g. view with no purchase in 30 min).
+    same key in ``[ts, ts + within_seconds]`` among rows ordered AFTER the
+    ``first`` event (so an ``absent`` event at the identical timestamp but
+    later in the (ts, *order_cols) sort also suppresses the match — the
+    left boundary is closed) — Flink CEP's ``notFollowedBy().within()``
+    (e.g. view with no purchase in 30 min).
 
     Joinless: the next ``absent`` timestamp at or after each row is a
     running ``min`` over the FOLLOWING rows of the key's sorted timeline

@@ -320,8 +320,11 @@ def ewma_anomaly(
     """
     import pandas as pd
 
+    # key column keeps its incoming type (string keys are as valid as
+    # numeric ones; hardcoding `long` here would miscast or fail them)
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, ts_s long, value double, ewma double, "
+        f"{key_col} {key_type}, ts_s long, value double, ewma double, "
         "is_anomaly boolean"
     )
 

@@ -14,13 +14,30 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
 # --- map (T1/T2: Transformations.scala:18,21-24) ---------------------------
+
+def floor_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan is under-parallel — the
+    mitigation for CPU-heavy-per-byte stages (per-token hashing, gram
+    explosion, codec work) running over a source whose byte size gives it
+    too few input splits. A 600 KB parquet file is one split, so 32 cores
+    watch one do millions of hashes; the cure is one cheap exchange of the
+    raw rows. No-op (zero plan change) when the input already has enough
+    partitions — which is always true at real scale, where a 100 TB scan
+    has ~10⁶ splits; the floor only triggers on small inputs where the
+    exchange it adds is correspondingly tiny."""
+    n = min_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
 
 def map_columns(df: DataFrame, **exprs: Column) -> DataFrame:
     """1→1 transform ≙ ``DataStream.map``. Each kwarg is an output column."""
@@ -263,15 +280,20 @@ def global_row_number(
         *order_cols,
     ).withColumn("_pid", F.spark_partition_id())
     # the locally-ranked relation feeds BOTH the offsets aggregate and the
-    # final join — persist it so the range-partition + window pass runs
-    # once (the same shuffle-files trade tfidf's tf table makes); offsets
-    # derive from max(local rank) per pid, no separate count pass
+    # final join — localCheckpoint (lazy) materializes the range-partition
+    # + window pass once and, unlike persist(), is released when the
+    # result goes out of scope (no session-lifetime cache pin, and no
+    # cache-manager plan substitution leaking into unrelated queries);
+    # offsets derive from max(local rank) per pid, no separate count pass.
+    # Downstream needs no particular partitioning (the offsets aggregate
+    # is partial-agg'd and the join side is broadcast), so losing the
+    # plan's partitioning info at the checkpoint boundary costs nothing.
     local = p.withColumn(
         "_lrn",
         F.row_number().over(
             Window.partitionBy("_pid").orderBy(*order_cols)
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.max("_lrn").alias("_cnt"))

@@ -932,8 +932,13 @@ def mmr_diversify(
     import numpy as np
     import pandas as pd
 
+    # query/id columns keep their incoming types (string ids are as valid
+    # as numeric ones; hardcoding `long` would miscast or fail them)
+    q_type = candidates.schema[query_col].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_col} long, rank int, {id_col} long, mmr_score double"
+        f"{query_col} {q_type}, rank int, {id_col} {id_type}, "
+        "mmr_score double"
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -4190,22 +4190,26 @@ _register(
       FROM documents
     ), base AS (
       SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5 + 4 - 1
-    ), grams AS (
-      SELECT doc_id, g.pos AS pos, g.h AS h, n - 5 + 1 AS n_grams FROM (
-        SELECT doc_id, n, unnest(list_transform(range(1, n - 5 + 2),
-            i -> struct_pack(pos := i - 1,
-                             h := md5(array_to_string(t[i:i+4], ' '))))) AS g
-        FROM base) q
-    ), mins AS (
+    ), hashed AS (
       SELECT doc_id,
-             min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-               AS fingerprint,
-             pos, n_grams
-      FROM grams
+             list_transform(t, s ->
+               ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS th,
+             n
+      FROM base
+    ), grammed AS (
+      SELECT doc_id,
+             list_transform(range(1, n - 5 + 2), i ->
+               list_reduce(th[i:i+4], (a, b) -> (a*31 + b) % 2147483647))
+               AS g,
+             n - 5 + 1 AS n_grams
+      FROM hashed
     )
-    SELECT DISTINCT doc_id, fingerprint
-    FROM mins WHERE pos <= n_grams - 4
+    SELECT DISTINCT doc_id, fingerprint FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n_grams - 4 + 2),
+                                   j -> list_min(g[j:j+3]))) AS fingerprint
+      FROM grammed
+    )
     """,
 )(lambda spark, sf: X.winnow_fingerprints(
     load_table(spark, "documents", sf), k=5, w=4
@@ -4220,22 +4224,26 @@ _register(
       FROM documents
     ), base AS (
       SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5 + 4 - 1
-    ), grams AS (
-      SELECT doc_id, g.pos AS pos, g.h AS h, n - 5 + 1 AS n_grams FROM (
-        SELECT doc_id, n, unnest(list_transform(range(1, n - 5 + 2),
-            i -> struct_pack(pos := i - 1,
-                             h := md5(array_to_string(t[i:i+4], ' '))))) AS g
-        FROM base) q
-    ), mins AS (
+    ), hashed AS (
       SELECT doc_id,
-             min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-               AS fingerprint,
-             pos, n_grams
-      FROM grams
+             list_transform(t, s ->
+               ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS th,
+             n
+      FROM base
+    ), grammed AS (
+      SELECT doc_id,
+             list_transform(range(1, n - 5 + 2), i ->
+               list_reduce(th[i:i+4], (a, b) -> (a*31 + b) % 2147483647))
+               AS g,
+             n - 5 + 1 AS n_grams
+      FROM hashed
     ), fps AS (
-      SELECT DISTINCT doc_id, fingerprint
-      FROM mins WHERE pos <= n_grams - 4
+      SELECT DISTINCT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, n_grams - 4 + 2),
+                                     j -> list_min(g[j:j+3]))) AS fingerprint
+        FROM grammed
+      )
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*)::BIGINT AS n_shared

@@ -692,6 +692,16 @@ def timeout_session_stream(
     Emits (key, session_start, session_end, n_events) for CLOSED sessions:
     closed by a gap-exceeding event (same rule as the batch session
     window) or by the event-time timer.
+
+    DOCUMENTED DIVERGENCE from batch session-window semantics for late
+    data: a late-but-within-watermark event folds into the key's OPEN
+    session via ``sess_start = min(...)`` even when it precedes the
+    current session start by more than ``gap_seconds`` — the batch window
+    would emit it as a separate earlier session. Closed-and-emitted
+    sessions are never reopened; only the open session's bounds can
+    stretch. This is the standard streaming trade (state holds one open
+    session per key, not the full history needed to re-segment); with a
+    watermark delay below ``gap_seconds`` the divergence cannot occur.
     """
 
     def fn(

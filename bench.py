@@ -134,7 +134,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    TIMED_RUNS = 2
+    TIMED_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
@@ -182,20 +182,56 @@ def main() -> None:
     common = [n for n in timings if n in duck_timings]
     duck_total = round(sum(duck_timings[n] for n in common), 3)
     spark_common = round(sum(timings[n] for n in common), 3)
-    out = {
+    ratio = round(spark_common / duck_total, 3) if duck_total > 0 else None
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-precision record (incl. per-query DuckDB times) goes to a side
+    # file; stdout gets ONE compact line. The driver records only a bounded
+    # tail of stdout, so the line is kept short (2-decimal per-query times,
+    # no whitespace) and the headline scalars are serialized LAST so they
+    # survive even if a future longer line gets tail-truncated.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "sf": sf_num,
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "duck_queries": duck_timings,
         "duck_total_common": duck_total,
         "spark_total_common": spark_common,
-        "spark_over_duck_ratio": (
-            round(spark_common / duck_total, 3) if duck_total > 0 else None
-        ),
+        "spark_over_duck_ratio": ratio,
     }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
+    # The driver parses the final JSON line only if it fits inside its
+    # 2000-char output tail (round 2's 4.6k-char line came back unparsed).
+    # Report per-query times slowest-first and trim the fastest entries
+    # until the line fits; the trimmed ones are sub-0.1 s fixed-overhead
+    # queries whose full times live in bench_detail.json.
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while keep > 0:
+        out = {
+            "metric": "headline_queries_total_wall",
+            "unit": "sec",
+            "sf": sf_num,
+            "n_queries": len(timings),
+            "queries": {n: round(timings[n], 2) for n in by_cost[:keep]},
+            "duck_total_common": duck_total,
+            "spark_total_common": spark_common,
+            "value": total,
+            "spark_over_duck_ratio": ratio,
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        keep -= 1
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2,7 +2,8 @@
 """Replicates the driver's correctness gate locally: every registered query
 vs its DuckDB oracle. Usage:
 
-    python scripts/sweep.py [sf_dir]        # default /root/testdata/sf0.01
+    python scripts/sweep.py [sf_dir] [name ...]   # default /root/testdata/sf0.01
+                                                  # names: check only these
 """
 
 from __future__ import annotations
@@ -23,10 +24,13 @@ from oracle_utils import compare, duck_connection  # noqa: E402
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="sweep")
     con = duck_connection(sf)
     fails = 0
     for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf)

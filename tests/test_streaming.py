@@ -729,3 +729,86 @@ def test_stream_stream_left_outer_interval_join_equals_batch(spark):
     )
     assert b == s
     assert any(rt is None for _, _, rt in b)   # outer rows exist
+
+
+def test_left_outer_interval_join_state_survives_restart(spark):
+    # J3 durability: buffered outer-join state (left rows still waiting
+    # for the watermark to pass their band) must survive a checkpointed
+    # stop/restart — the streaming analog of Flink's interval-join state
+    # snapshot. The final sink equals the batch left-outer join over the
+    # full input, which only holds if rows buffered before the restart
+    # were restored from the checkpoint.
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from apache_flink_essentials_spark.io import write_stream_files
+    from apache_flink_essentials_spark.operators.joins import interval_join
+
+    carts = shopping_cart_events_batch(spark, 40)
+    catalog = catalog_events_batch(spark, 30)
+    batch = interval_join(
+        carts, catalog, "user_id", "time", "time",
+        "-2 seconds", "2 seconds", how="left_outer",
+    )
+
+    cut = carts.agg(
+        F.expr("percentile_approx(cast(time as long), 0.5)")
+    ).collect()[0][0]
+    lsrc = tempfile.mkdtemp(prefix="ioj_l_")
+    rsrc = tempfile.mkdtemp(prefix="ioj_r_")
+    out = tempfile.mkdtemp(prefix="ioj_out_")
+    ckpt = tempfile.mkdtemp(prefix="ioj_ckpt_")
+    carts.filter(F.col("time").cast("long") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(lsrc)
+    catalog.filter(F.col("time").cast("long") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(rsrc)
+
+    def run_once():
+        ls = with_event_time(
+            spark.readStream.schema(carts.schema).parquet(lsrc),
+            "time", "2 seconds",
+        )
+        rs = with_event_time(
+            spark.readStream.schema(catalog.schema).parquet(rsrc),
+            "time", "2 seconds",
+        )
+        q = write_stream_files(
+            interval_join(ls, rs, "user_id", "time", "time",
+                          "-2 seconds", "2 seconds", how="left_outer"),
+            out, ckpt, trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second halves + far-future sentinels that push both watermarks past
+    # every real band so all buffered outer rows flush
+    sentinel_t = F.expr("timestamp'2030-01-01 00:00:00'")
+    carts.filter(F.col("time").cast("long") >= cut).unionByName(
+        carts.limit(1).withColumn("time", sentinel_t)
+        .withColumn("user_id", F.lit("sentinel"))
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    catalog.filter(F.col("time").cast("long") >= cut).unionByName(
+        catalog.limit(1).withColumn("time", sentinel_t)
+        .withColumn("user_id", F.lit("sentinel"))
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+    now = time.time()
+    for d in (lsrc, rsrc):
+        for f in glob.glob(f"{d}/*.parquet"):
+            os.utime(f, (now, now))
+    run_once()  # restart from the SAME checkpoint
+
+    got = sorted(
+        (r.l_user_id, r.l_time, r.r_time)
+        for r in spark.read.parquet(out).collect()
+        if r.l_time.year < 2025
+        and (r.r_time is None or r.r_time.year < 2025)
+    )
+    want = sorted((r.l_user_id, r.l_time, r.r_time) for r in batch.collect())
+    assert got == want
+    assert any(rt is None for _, _, rt in want)  # outer rows exist
+    # pre-restart rows are present: their state crossed the restart
+    assert any(lt.timestamp() < cut for _, lt, _ in got)
