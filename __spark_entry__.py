@@ -92,8 +92,10 @@ def _driver_order(names: list[str]) -> list[str]:
     registration order."""
     verified = _verified_names()
     has_oracle = set(registry.ORACLES)
+    late = getattr(registry, "LATE_ADDITIONS", set())
     pending = [n for n in names if n not in verified]
-    pending_oracle = [n for n in pending if n in has_oracle]
+    pending_oracle = [n for n in pending if n in has_oracle and n not in late]
+    pending_late = [n for n in pending if n in has_oracle and n in late]
     pending_rows_only = [n for n in pending if n not in has_oracle]
     done = [n for n in names if n in verified]
     by_family: dict[str, list[str]] = {}
@@ -106,7 +108,7 @@ def _driver_order(names: list[str]) -> list[str]:
         for q in queues:
             if q:
                 interleaved.append(q.pop(0))
-    return interleaved + pending_rows_only + done
+    return interleaved + pending_late + pending_rows_only + done
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -480,24 +480,27 @@ def bm25_rank(
     dag derives from exact integers (tf, df, dl, N, Σdl) → the whole
     pipeline hash-matches the oracle.
 
-    Scale shape: the token stream is filtered to QUERY terms before any
-    shuffle (a few terms → tiny tf table); df/N/avgdl are query-sized or
-    scalar aggregates broadcast back; dl is a zero-shuffle projection.
-    Final top-k is TakeOrdered — no global sort. One corpus scan total.
+    Scale shape: tokens are filtered to QUERY terms ARRAY-SIDE, before the
+    explode ever materializes a row (the corpus token stream never exists
+    as rows — only the few query-term hits do); the slim
+    (id, dl, query-hits) projection is tokenized ONCE and lazily
+    localCheckpointed so the scalar aggregate and the tf table don't each
+    re-run the regex split over the corpus; df/N/avgdl are query-sized or
+    scalar aggregates broadcast back. Final top-k is TakeOrdered — no
+    global sort. One corpus scan, one tokenize pass total.
     """
     toks = tokens_expr(text_col)
     docs = df.select(
         F.col(id_col),
-        toks.alias("_toks"),
         F.size(toks).alias("dl"),
-    )
+        F.filter(toks, lambda t: t.isin(query_terms)).alias("_qt"),
+    ).localCheckpoint(eager=False)
     scalars = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
     tf = (
-        docs.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(*query_terms))
+        docs.select(F.col(id_col), "dl", F.explode("_qt").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -630,4 +633,128 @@ def winnow_candidate_pairs(
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log10 unigram probability under the corpus's OWN
+    unigram distribution — the cheap statistical-LM quality signal (a doc
+    of rare/garbled tokens scores far below fluent text; the
+    perplexity-proxy complement of `quality_score`'s surface heuristics).
+
+    Engine-portable exactness: per-token log-probs are quantized to
+    integer micro-logs (``round(log10(cnt) * 1e6)``) BEFORE summation, so
+    the per-doc aggregate is an exact integer sum — order-independent,
+    hence identical across engines — and one final float division plus the
+    shared ``log10(total)`` shift recovers the mean
+    (``avg(log10(cnt)) - log10(total) = avg(log10(cnt/total))``).
+
+    Scale shape: one (doc, token) partial-agg shuffle, one token-count
+    rollup reusing it, a single-row corpus total broadcast-cross-joined,
+    and one hash join of slim count tables — token text shuffles once.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    occ = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n_occ"))
+    cnt = occ.groupBy("_tok").agg(F.sum("_n_occ").alias("_cnt"))
+    total = cnt.agg(F.sum("_cnt").alias("_total"))
+    micro_log = F.round(F.log10(F.col("_cnt").cast("double")) * 1e6).cast(
+        "long"
+    )
+    return (
+        occ.join(cnt, "_tok")
+        .select(F.col(id_col), "_n_occ", micro_log.alias("_ml"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_occ").alias("n_tokens"),
+            F.sum(F.col("_n_occ") * F.col("_ml")).alias("_s"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("_s") / (F.lit(1e6) * F.col("n_tokens"))
+                - F.log10(F.col("_total").cast("double"))
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 64,
+    min_pair_docs: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over
+    document-level co-occurrence — the collocation/phrase-mining signal
+    (``pmi = log10(P(a,b) / (P(a)·P(b)))`` with document-frequency
+    probabilities).
+
+    The quadratic step is BOUNDED BY CONSTRUCTION: only the corpus-top
+    ``vocab_size`` tokens (by document frequency; ties broken
+    alphabetically) participate, so a document contributes at most
+    C(vocab_size, 2) pairs regardless of its length — the vocabulary is a
+    driver-free broadcast (vocab_size rows), per-doc pairs come from the
+    sorted in-doc vocab array via the posexplode+slice idiom (no self
+    join), and the pair count is one hash aggregation. PMI inputs are all
+    exact integers; the single log10 per OUTPUT row makes the float
+    engine-portable.
+
+    Output: (tok_a, tok_b, pair_docs, df_a, df_b, pmi), pmi descending
+    with (tok_a, tok_b) tiebreak, limited to ``top_k``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    docfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    vocab = docfreq.orderBy(F.desc("_df"), F.asc("_tok")).limit(vocab_size)
+    in_vocab = toks.join(F.broadcast(vocab), "_tok")
+    doc_vocab = in_vocab.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_tok")).alias("_vt")
+    )
+    pairs = doc_vocab.select(
+        F.posexplode("_vt").alias("_i", "tok_a"), F.col("_vt")
+    ).select(
+        "tok_a",
+        F.explode(
+            F.slice(F.col("_vt"), F.col("_i") + 2, F.size("_vt"))
+        ).alias("tok_b"),
+    )
+    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_docs")
+    ).filter(F.col("pair_docs") >= min_pair_docs)
+    va = vocab.select(
+        F.col("_tok").alias("tok_a"), F.col("_df").alias("df_a")
+    )
+    vb = vocab.select(
+        F.col("_tok").alias("tok_b"), F.col("_df").alias("df_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_docs",
+            "df_a",
+            "df_b",
+            F.log10(
+                F.col("pair_docs").cast("double") * F.col("_n_docs")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(top_k)
     )

@@ -654,12 +654,21 @@ def knn_cosine_quantized(
     per-query top-k window; the quantization itself is a zero-shuffle
     projection folded into the scan.
     """
+    # norms hoisted per ROW (same trade as the exact variant: one dot per
+    # pair instead of three array folds — measured, the exchange cost of a
+    # parallelism floor here LOSES to the single-task pairwise stage at
+    # broadcast-scale candidate counts, so none is applied)
     emb = _quant_staged(
         embeddings, [F.col(id_col).alias("neighbor_id")], vec_col
-    ).select("neighbor_id", _quant_codes_col().alias("_qe"))
+    ).select(
+        "neighbor_id",
+        _quant_codes_col().alias("_qe"),
+    ).withColumn("_e_norm", norm_expr(F.col("_qe")))
     qry = _quant_staged(
         queries, [F.col(id_col).alias("query_id")], vec_col
-    ).select("query_id", _quant_codes_col().alias("_qq"))
+    ).select("query_id", _quant_codes_col().alias("_qq")).withColumn(
+        "_q_norm", norm_expr(F.col("_qq"))
+    )
     scored = (
         emb.join(F.broadcast(qry))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -668,7 +677,7 @@ def knn_cosine_quantized(
             "neighbor_id",
             F.round(
                 dot_expr(F.col("_qq"), F.col("_qe"))
-                / (norm_expr(F.col("_qq")) * norm_expr(F.col("_qe"))),
+                / (F.col("_q_norm") * F.col("_e_norm")),
                 round_dp,
             ).alias("cosine"),
         )

@@ -44,12 +44,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Names registered AFTER the round-2 correctness snapshot. The driver
+# oracle-checks a bounded prefix of the query ordering per round;
+# `__spark_entry__._driver_order` uses this set to queue brand-new names
+# BEHIND the older not-yet-checked ones, so adding breadth never pushes a
+# pending name back out of the checked window.
+LATE_ADDITIONS: set[str] = set()
 
-def _register(name: str, oracle: str | None = None):
+
+def _register(name: str, oracle: str | None = None, late: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if late:
+            LATE_ADDITIONS.add(name)
         return fn
 
     return deco
@@ -4355,3 +4364,73 @@ _register(
     F.col("l_event_id").alias("click_id"),
     F.col("r_event_id").alias("purchase_id"),
 ))
+
+
+# =========================================================================
+# round-3 additions (late=True: queued behind older unchecked names in the
+# driver's bounded correctness prefix — see LATE_ADDITIONS)
+# =========================================================================
+
+_register(
+    "text_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS n_occ
+      FROM tok WHERE tok != '' GROUP BY doc_id, tok
+    ), cnt AS (
+      SELECT tok, sum(n_occ)::BIGINT AS cnt FROM occ GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt)::BIGINT AS total FROM cnt
+    ), s AS (
+      SELECT o.doc_id,
+             sum(o.n_occ)::BIGINT AS n_tokens,
+             sum(o.n_occ * round(log10(c.cnt::DOUBLE) * 1e6)::BIGINT)::BIGINT
+               AS s
+      FROM occ o JOIN cnt c USING (tok) GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           s / (1e6 * n_tokens)
+             - log10((SELECT total FROM tot)::DOUBLE) AS mean_logprob
+    FROM s
+    """,
+    late=True,
+)(lambda spark, sf: X.unigram_logprob(load_table(spark, "documents", sf)))
+
+
+_register(
+    "text_pmi_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), tok2 AS (
+      SELECT DISTINCT doc_id, tok FROM tok WHERE tok != ''
+    ), docfreq AS (
+      SELECT tok, count(*)::BIGINT AS df FROM tok2 GROUP BY tok
+    ), vocab AS (
+      SELECT tok, df FROM docfreq ORDER BY df DESC, tok ASC LIMIT 64
+    ), n AS (
+      SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+    ), pair_counts AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS pair_docs
+      FROM (SELECT t.doc_id, t.tok FROM tok2 t JOIN vocab v USING (tok)) a
+      JOIN (SELECT t.doc_id, t.tok FROM tok2 t JOIN vocab v USING (tok)) b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b, p.pair_docs,
+           va.df AS df_a, vb.df AS df_b,
+           log10(p.pair_docs::DOUBLE * (SELECT n_docs FROM n)
+                 / (va.df::DOUBLE * vb.df)) AS pmi
+    FROM pair_counts p
+    JOIN vocab va ON p.tok_a = va.tok
+    JOIN vocab vb ON p.tok_b = vb.tok
+    ORDER BY pmi DESC, p.tok_a ASC, p.tok_b ASC LIMIT 50
+    """,
+    late=True,
+)(lambda spark, sf: X.pmi_pairs(load_table(spark, "documents", sf)))

@@ -516,3 +516,39 @@ def test_winnow_candidate_pairs_finds_planted_overlap(spark):
         df, k=5, w=4, min_shared=1).collect()}
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "a c" → counts a=3, b=1, c=1, total=5.
+    # doc 0 mean = (2*log10(3) + log10(1))/3 - log10(5)
+    # doc 1 mean = (log10(3) + log10(1))/2 - log10(5)
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in X.unigram_logprob(docs).collect()}
+    ml3 = round(math.log10(3) * 1e6) / 1e6  # the operator's micro-log grid
+    assert got[0][0] == 3 and got[1][0] == 2
+    assert abs(got[0][1] - (2 * ml3 / 3 - math.log10(5))) < 1e-9
+    assert abs(got[1][1] - (ml3 / 2 - math.log10(5))) < 1e-9
+    # rarer tokens → lower mean logprob
+    assert got[1][1] < got[0][1]
+
+
+def test_pmi_pairs_flags_collocation(spark):
+    # "x y" always co-occur (5 docs); "x z" co-occur in only 5 of 10 docs
+    # where z appears → PMI(x,y) > PMI(x,z); pairs below min_pair_docs drop
+    rows = [(i, "x y z w") for i in range(5)]
+    rows += [(5 + i, "z w") for i in range(5)]
+    rows += [(10 + i, "w", ) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.pmi_pairs(docs, vocab_size=4, min_pair_docs=2, top_k=10)
+    got = {(r.tok_a, r.tok_b): (r.pair_docs, r.pmi) for r in out.collect()}
+    assert got[("x", "y")][0] == 5
+    assert got[("w", "z")][0] == 10
+    # x,y co-occur perfectly (df 5 each, 14 docs): pmi = log10(5*14/25) > 0
+    assert got[("x", "y")][1] > got[("x", "z")][1]
+    # symmetric ordering: tok_a < tok_b always
+    assert all(a < b for a, b in got)
