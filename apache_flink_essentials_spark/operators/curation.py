@@ -583,3 +583,57 @@ def curriculum_order(
         ["rank_in_source", source_col, id_col],
         out_col="train_order",
     ).select(id_col, source_col, "rank_in_source", "train_order")
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+    budget_tokens: int = 100_000,
+) -> DataFrame:
+    """α-temperature source re-weighting — the multilingual/source sampling
+    policy (XLM-R style): sampling weight ∝ (natural token share)^α, so
+    low-resource sources are up-sampled as α → 0 and the natural mix is
+    recovered at α = 1. Returns per source its document/token counts,
+    natural share, normalized sampling weight, and the integer token
+    allocation under ``budget_tokens``.
+
+    Engine-portable floats via the micro-unit trick (see
+    `text.unigram_logprob`): each pow() result is quantized to an integer
+    (×1e9, rounded) BEFORE normalization, so the weight denominator is an
+    exact integer sum and every emitted ratio/allocation is integer
+    arithmetic — no float-summation order anywhere.
+
+    Scale shape: one (source) hash aggregation over the corpus — partial
+    aggregation collapses each task to its source inventory — then two
+    single-row broadcast cross joins; nothing else moves.
+    """
+    from .text import tokens_expr
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    w_micro = F.round(
+        F.pow(F.col("n_tokens").cast("double") / F.col("_total"), alpha)
+        * 1e9
+    ).cast("long")
+    base = per.crossJoin(F.broadcast(tot)).withColumn("_w", w_micro)
+    wsum = base.agg(F.sum("_w").alias("_wsum"))
+    return (
+        base.crossJoin(F.broadcast(wsum))
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("_total")).alias(
+                "nat_share"
+            ),
+            (F.col("_w").cast("double") / F.col("_wsum")).alias("weight"),
+            F.floor(
+                F.lit(budget_tokens) * F.col("_w") / F.col("_wsum")
+            ).cast("long").alias("alloc_tokens"),
+        )
+    )

@@ -120,3 +120,62 @@ def match_absence(
         (F.col("_type") == first)
         & (F.col("next_absent_ts").isNull() | (gap > within_seconds))
     ).select(key_col, "ts", "next_absent_ts")
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    target: str = "purchase",
+    within_seconds: int = 3600,
+) -> DataFrame:
+    """Last-touch attribution: each ``target`` event is credited to the most
+    recent PRECEDING event of any other type for the same key within
+    ``within_seconds`` — the marketing-attribution primitive (Flink-side a
+    keyed ProcessFunction holding last-seen state; here one window pass).
+
+    Joinless: the running max of (ts, id, type) STRUCTS over
+    strictly-preceding non-target rows rides the per-key sort the timeline
+    needs anyway; lexicographic struct ordering makes the tiebreak (latest
+    ts, then highest id) explicit and engine-portable. Output: one row per
+    target event with the attributed (type, id, gap) or nulls when nothing
+    qualifies inside the window.
+    """
+    ts_s = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max(
+        F.when(
+            F.col(type_col) != target,
+            F.struct(
+                ts_s.alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(type_col).alias("t"),
+            ),
+        )
+    ).over(w)
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(type_col),
+        ts_s.alias("_ts_s"),
+        prev.alias("_prev"),
+    )
+    qualified = F.col("_prev").isNotNull() & (
+        F.col("_ts_s") - F.col("_prev.ts") <= within_seconds
+    )
+    return base.filter(F.col(type_col) == target).select(
+        F.col(key_col),
+        F.col(id_col).alias("target_id"),
+        F.col("_ts_s").alias("target_ts_s"),
+        F.when(qualified, F.col("_prev.t")).alias("attributed_type"),
+        F.when(qualified, F.col("_prev.id")).alias("attributed_id"),
+        F.when(qualified, F.col("_ts_s") - F.col("_prev.ts")).alias(
+            "gap_seconds"
+        ),
+    )

@@ -4434,3 +4434,64 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: X.pmi_pairs(load_table(spark, "documents", sf)))
+
+
+_register(
+    "curation_temperature_weights",
+    r"""
+    WITH per AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len(string_split_regex(lower(text), '\s+')))::BIGINT
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_tokens)::BIGINT AS total FROM per
+    ), w AS (
+      SELECT per.*, tot.total,
+             round(pow(per.n_tokens::DOUBLE / tot.total, 0.3)
+                   * 1e9)::BIGINT AS w
+      FROM per, tot
+    ), ws AS (
+      SELECT sum(w)::BIGINT AS wsum FROM w
+    )
+    SELECT w.source, w.n_docs, w.n_tokens,
+           w.n_tokens::DOUBLE / w.total AS nat_share,
+           w.w::DOUBLE / ws.wsum AS weight,
+           floor(100000 * w.w / ws.wsum)::BIGINT AS alloc_tokens
+    FROM w, ws
+    """,
+    late=True,
+)(lambda spark, sf: CU.temperature_weights(
+    load_table(spark, "documents", sf), alpha=0.3, budget_tokens=100_000
+))
+
+
+_register(
+    "events_attribution_last_touch",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             floor(epoch(ts))::BIGINT AS ts_s,
+             max(CASE WHEN event_type <> 'purchase'
+                 THEN struct_pack(ts := floor(epoch(ts))::BIGINT,
+                                  id := event_id, t := event_type) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev
+      FROM events
+    )
+    SELECT user_id, event_id AS target_id, ts_s AS target_ts_s,
+           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
+                THEN prev.t END AS attributed_type,
+           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
+                THEN prev.id END AS attributed_id,
+           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
+                THEN ts_s - prev.ts END AS gap_seconds
+    FROM o WHERE event_type = 'purchase'
+    """,
+    late=True,
+)(lambda spark, sf: PT.last_touch_attribution(
+    _events(spark, sf), "user_id", "ts", "event_type", "event_id",
+    target="purchase", within_seconds=3600,
+))

@@ -272,3 +272,26 @@ def test_curriculum_order_round_robin_interleave(spark):
            .orderBy("train_order").collect()]
     # rank-1 docs of each source first (s1 then s2), then rank-2, ...
     assert out == [1, 4, 2, 5, 3]
+
+
+def test_temperature_weights_flattens_mix(spark):
+    # two sources 90/10 by tokens: at alpha=0.3 the minority source's
+    # weight must exceed its natural share (up-sampling), weights sum to 1,
+    # allocations sum to <= budget with integer floors
+    from apache_flink_essentials_spark.operators import curation as CU
+
+    rows = [(i, "big", "t " * 9) for i in range(9)]
+    rows += [(9, "small", "t " * 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in CU.temperature_weights(
+        docs, alpha=0.3, budget_tokens=1000).collect()}
+    assert out["big"].n_tokens == 9 * out["small"].n_tokens
+    assert abs(out["small"].nat_share - 0.1) < 1e-12
+    assert out["small"].weight > out["small"].nat_share
+    assert out["big"].weight < out["big"].nat_share
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+    assert out["big"].alloc_tokens + out["small"].alloc_tokens <= 1000
+    # alpha=1 recovers the natural mix exactly (ratio of quantized pows)
+    nat = {r.source: r for r in CU.temperature_weights(
+        docs, alpha=1.0, budget_tokens=1000).collect()}
+    assert abs(nat["small"].weight - 0.1) < 1e-6

@@ -183,3 +183,39 @@ def test_global_row_number_matches_single_partition_form(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_last_touch_attribution_hand_timeline(spark):
+    from apache_flink_essentials_spark.operators.patterns import (
+        last_touch_attribution,
+    )
+
+    # user 1: click(t=100) -> view(t=200) -> purchase(t=250): credit view.
+    #         purchase(t=5000): gap to view 4800 > 3600 -> unattributed.
+    # user 2: purchase(t=50) with no prior event -> unattributed.
+    #         click(t=60) and view(t=60) tie -> higher event_id (view) wins
+    #         for purchase(t=70).
+    rows = [
+        (1, 10, "click", 100), (1, 11, "view", 200), (1, 12, "purchase", 250),
+        (1, 13, "purchase", 5000),
+        (2, 20, "purchase", 50), (2, 21, "click", 60), (2, 22, "view", 60),
+        (2, 23, "purchase", 70),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, float(s)) for u, e, t, s in rows],
+        "user_id long, event_id long, event_type string, sec double",
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("sec").cast("timestamp").alias("ts"),
+    )
+    out = {r.target_id: r for r in last_touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id",
+        target="purchase", within_seconds=3600,
+    ).collect()}
+    assert out[12].attributed_type == "view" and out[12].attributed_id == 11
+    assert out[12].gap_seconds == 50
+    assert out[13].attributed_type is None          # outside the window
+    assert out[20].attributed_type is None          # nothing precedes
+    assert out[23].attributed_id == 22              # tie -> max id
+    # a purchase never credits another purchase
+    assert all(r.attributed_type != "purchase" for r in out.values())
