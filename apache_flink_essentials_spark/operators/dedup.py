@@ -763,3 +763,38 @@ def substring_dup_spans(
             "dup_fraction"
         ),
     )
+
+
+def exact_dedup_best(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware exact dedup: one row per duplicate group keeping the
+    BEST member — max ``score_col``, id DESC tiebreak — instead of
+    `exact_dedup`'s min-id convention. This is the real pipeline policy
+    ("among duplicates keep the longest / highest-quality copy"); the
+    selection is an argmax via lexicographic max over (score, id) structs,
+    so it stays ONE hash-agg shuffle carrying (fingerprint, score, id) —
+    never the text payload — and is deterministic and engine-portable
+    (struct comparison is field-order lexicographic in both engines).
+    """
+    normalized = text_fingerprint_expr(text_col)
+    best = F.max(F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i")))
+    return (
+        df.select(
+            normalized.alias("fingerprint"), F.col(id_col), F.col(score_col)
+        )
+        .groupBy("fingerprint")
+        .agg(
+            best.alias("_best"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            "fingerprint",
+            F.col("_best.i").alias("keep_id"),
+            F.col("_best.s").alias("keep_score"),
+            "n_dups",
+        )
+    )

@@ -293,3 +293,80 @@ def expect(
             "left",
         )
     return reports
+
+
+def value_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact grouped percentiles — the p50/p95/p99 latency-style rollup.
+    Uses Spark's EXACT ``percentile`` aggregate (linear interpolation over
+    the sorted group, the same arithmetic DuckDB's ``quantile_cont`` runs,
+    so doubles match bit-for-bit and the oracle hashes clean).
+
+    Cost model: exact grouped percentiles sort each group — fine for
+    bounded group counts (event types, endpoints, tenants). For a
+    continuous 100 TB profile swap in `sketches.py` quantile sketches
+    (mergeable partials, no sort) and keep this output contract.
+    """
+    arr = ",".join(repr(float(p)) for p in percentiles)
+    pct = F.expr(f"percentile({value_col}, array({arr}))")
+    cols = [
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.element_at(pct, i + 1).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(percentiles)
+        ],
+    ]
+    return df.groupBy(group_col).agg(*cols)
+
+
+def ab_conversion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    success_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: per-unit conversion
+    (a unit converts if ANY of its rows has ``success_col`` true) rolled up
+    to per-variant counts, then the pooled z-statistic
+    ``(p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))``.
+
+    Engine-portable without quantization: the float dag's only inputs are
+    the four exact integers (n_a, conv_a, n_b, conv_b), and IEEE division/
+    sqrt of identical operands is bit-identical across engines — the same
+    argument `zscore_anomalies` makes. One (unit, variant) partial-agg
+    shuffle then a single-row reduction; nothing else moves at any scale.
+
+    Output: one row — n/conversions/rate per variant, rate_diff, z_stat.
+    """
+    v = F.col(variant_col)
+    per_unit = df.groupBy(unit_col, variant_col).agg(
+        F.max(F.col(success_col).cast("int")).alias("_s")
+    )
+    agg = per_unit.agg(
+        F.sum(F.when(v == variant_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(v == variant_a, F.col("_s")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(v == variant_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(v == variant_b, F.col("_s")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        (p_a - p_b).alias("rate_diff"),
+        F.when(se > 0, (p_a - p_b) / se).alias("z_stat"),
+    )

@@ -4495,3 +4495,76 @@ _register(
     _events(spark, sf), "user_id", "ts", "event_type", "event_id",
     target="purchase", within_seconds=3600,
 ))
+
+
+_register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           quantile_cont(value::DOUBLE, 0.5) AS p50,
+           quantile_cont(value::DOUBLE, 0.95) AS p95,
+           quantile_cont(value::DOUBLE, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    late=True,
+)(lambda spark, sf: P.value_percentiles(
+    _events(spark, sf), "event_type", "value"
+))
+
+
+_register(
+    "events_ab_conversion_ztest",
+    """
+    WITH per_unit AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 'a' THEN s ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN variant = 'b' THEN s ELSE 0 END)::BIGINT AS conv_b
+      FROM per_unit
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           conv_a::DOUBLE / n_a AS rate_a,
+           conv_b::DOUBLE / n_b AS rate_b,
+           conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b AS rate_diff,
+           CASE WHEN sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                     * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)) > 0
+                THEN (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                     / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                            * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b))
+           END AS z_stat
+    FROM agg
+    """,
+    late=True,
+)(lambda spark, sf: P.ab_conversion_ztest(
+    _events(spark, sf).select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    ),
+    "user_id", "variant", "converted",
+))
+
+
+_register(
+    "dedup_exact_best",
+    r"""
+    SELECT md5(array_to_string(string_split_regex(lower(text), '\s+'), ' '))
+             AS fingerprint,
+           max(struct_pack(s := n_chars, i := doc_id)).i AS keep_id,
+           max(struct_pack(s := n_chars, i := doc_id)).s AS keep_score,
+           count(*)::BIGINT AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    late=True,
+)(lambda spark, sf: D.exact_dedup_best(
+    load_table(spark, "documents", sf), score_col="n_chars"
+))

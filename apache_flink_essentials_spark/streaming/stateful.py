@@ -771,3 +771,96 @@ def timeout_session_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def last_touch_attribution_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    target: str = "purchase",
+    within_seconds: int = 3600,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming twin of `patterns.last_touch_attribution` — and the
+    literal Flink keyed-ProcessFunction shape the batch docstring alludes
+    to: ONE fixed-width value state per key holding the latest non-target
+    (ts, id, type); every target event reads it and emits its attribution
+    immediately. State is O(1) bytes per key forever — no timeline
+    retention, no timers.
+
+    Ordering contract (same as `strict_sequence_stream`): rows are
+    processed in per-batch (ts, id) order, so same-timestamp ties resolve
+    identically to the batch operator's (ts, id) sort; across batches the
+    operator assumes per-key in-order delivery — compose with
+    `reorder_buffer_stream` ahead of it for out-of-order streams.
+
+    Emits (key, target_id, target_ts_s, attributed_type, attributed_id,
+    gap_seconds), nulls when nothing qualifies inside ``within_seconds`` —
+    matching the batch operator's rows with the key cast to string.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            if col.dtype.kind == "M":
+                col = col.astype("int64") // 1_000_000_000
+            rows.extend(
+                zip(
+                    col.astype("int64").tolist(),
+                    pdf[id_col].astype("int64").tolist(),
+                    pdf[type_col].tolist(),
+                )
+            )
+        rows.sort()
+        out = []
+        for ts, rid, typ in rows:
+            if typ == target:
+                if best is not None and ts - best[0] <= within_seconds:
+                    out.append(
+                        (str(key[0]), rid, ts, best[2], best[1], ts - best[0])
+                    )
+                else:
+                    out.append((str(key[0]), rid, ts, None, None, None))
+            elif best is None or (ts, rid) > (best[0], best[1]):
+                best = (ts, rid, typ)
+        if best is not None:
+            state.update(best)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                key_col, "target_id", "target_ts_s",
+                "attributed_type", "attributed_id", "gap_seconds",
+            ],
+        )
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=T.StructType(
+                [
+                    T.StructField(key_col, T.StringType(), True),
+                    T.StructField("target_id", T.LongType(), False),
+                    T.StructField("target_ts_s", T.LongType(), False),
+                    T.StructField("attributed_type", T.StringType(), True),
+                    T.StructField("attributed_id", T.LongType(), True),
+                    T.StructField("gap_seconds", T.LongType(), True),
+                ]
+            ),
+            stateStructType=T.StructType(
+                [
+                    T.StructField("last_ts", T.LongType(), False),
+                    T.StructField("last_id", T.LongType(), False),
+                    T.StructField("last_type", T.StringType(), False),
+                ]
+            ),
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -140,3 +140,42 @@ def test_expect_counts_and_samples(spark):
     assert with_samples["x_nonneg"].examples == ["2", "3"]
     assert with_samples["cat_known"].examples == ["4"]
     assert with_samples["id_positive"].examples is None
+
+
+def test_value_percentiles_hand_computed(spark):
+    from apache_flink_essentials_spark.operators.profiling import (
+        value_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("x", float(v)) for v in range(1, 5)] + [("y", 10.0)],
+        "g string, v double",
+    )
+    got = {r.g: r for r in value_percentiles(df, "g", "v").collect()}
+    # sorted x = [1,2,3,4]: p50 = 2.5 (linear midpoint), p95 = 3.85, p99 = 3.97
+    assert got["x"].n == 4 and abs(got["x"].p50 - 2.5) < 1e-12
+    assert abs(got["x"].p95 - 3.85) < 1e-12
+    assert abs(got["x"].p99 - 3.97) < 1e-12
+    # single-value group: every percentile is that value
+    assert got["y"].p50 == got["y"].p95 == got["y"].p99 == 10.0
+
+
+def test_ab_conversion_ztest_hand_computed(spark):
+    import math
+
+    from apache_flink_essentials_spark.operators.profiling import (
+        ab_conversion_ztest,
+    )
+
+    # variant a: units 1,2 (1 converts); variant b: units 3,4,5 (3 convert)
+    rows = [
+        (1, "a", True), (1, "a", False), (2, "a", False),
+        (3, "b", True), (4, "b", True), (5, "b", True),
+    ]
+    df = spark.createDataFrame(rows, "u long, variant string, conv boolean")
+    r = ab_conversion_ztest(df, "u", "variant", "conv").collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (2, 1, 3, 3)
+    p_a, p_b, p = 0.5, 1.0, 4 / 5
+    se = math.sqrt(p * (1 - p) * (1 / 2 + 1 / 3))
+    assert abs(r.rate_diff - (p_a - p_b)) < 1e-12
+    assert abs(r.z_stat - (p_a - p_b) / se) < 1e-12

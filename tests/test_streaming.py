@@ -812,3 +812,37 @@ def test_left_outer_interval_join_state_survives_restart(spark):
     assert any(rt is None for _, _, rt in want)  # outer rows exist
     # pre-restart rows are present: their state crossed the restart
     assert any(lt.timestamp() < cut for _, lt, _ in got)
+
+
+def test_last_touch_attribution_stream_equals_batch(spark, events):
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    batch = {
+        (r.user_id, r.target_id, r.target_ts_s,
+         r.attributed_type, r.attributed_id, r.gap_seconds)
+        for r in PT.last_touch_attribution(
+            events, "user_id", "ts", "event_type", "event_id",
+            target="purchase", within_seconds=3600,
+        ).select(
+            F.col("user_id").cast("string").alias("user_id"),
+            "target_id", "target_ts_s",
+            "attributed_type", "attributed_id", "gap_seconds",
+        ).collect()
+    }
+    stream = replay_as_stream(
+        events.select("user_id", "ts", "event_type", "event_id"),
+        num_files=3, order_by="ts",
+    )
+    got = {
+        (r.user_id, r.target_id, r.target_ts_s,
+         r.attributed_type, r.attributed_id, r.gap_seconds)
+        for r in run_stream_to_df(
+            stateful.last_touch_attribution_stream(
+                stream, "user_id", "ts", "event_type", "event_id",
+                target="purchase", within_seconds=3600,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0
+    assert any(t is not None for _, _, _, t, _, _ in batch)

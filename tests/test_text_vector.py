@@ -552,3 +552,14 @@ def test_pmi_pairs_flags_collocation(spark):
     assert got[("x", "y")][1] > got[("x", "z")][1]
     # symmetric ordering: tok_a < tok_b always
     assert all(a < b for a, b in got)
+
+
+def test_exact_dedup_best_keeps_highest_score(spark, docs):
+    # docs 0 and 1 share identical text; scoring by doc_id*10 must keep 1
+    scored = docs.withColumn("score", F.col("doc_id") * 10)
+    out = {r.keep_id: r for r in D.exact_dedup_best(
+        scored, score_col="score").collect()}
+    assert 1 in out and out[1].n_dups == 2 and out[1].keep_score == 10
+    assert 0 not in out
+    # singleton groups keep themselves
+    assert out[3].n_dups == 1
