@@ -274,7 +274,19 @@ def global_row_number(
 
     Cost: one range exchange + one pid-hash exchange of the data, plus a
     broadcast of the offsets — every stage distributed.
+
+    Single-partition inputs take the plain ``Window.orderBy`` path: with
+    one input split the two-phase machinery (range sampling job + two
+    exchanges + offsets broadcast) costs three extra jobs to produce the
+    SAME single-task sort the simple form runs directly — the adaptive
+    choice mirrors what AQE does for exchanges, keyed on actual input
+    parallelism rather than a size guess.
     """
+    if df.rdd.getNumPartitions() <= 1:
+        return df.withColumn(
+            out_col,
+            F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
+        )
     p = df.repartitionByRange(
         num_partitions or df.sparkSession.sparkContext.defaultParallelism,
         *order_cols,
