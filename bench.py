@@ -9,12 +9,13 @@ untimed warm execution of each query AT THE MEASURED SF precedes the timed
 runs — this compiles whole-stage codegen for the exact physical plan that
 will be timed (warming at a smaller SF is not enough: AQE picks different
 physical plans at different data sizes, so the codegen cache misses) and
-takes JVM JIT out of the measurement. Each query is then timed TIMED_RUNS
-times and the MINIMUM is reported — the minimum is the standard
-noise-robust estimator of a deterministic workload's cost (any excess over
-it is scheduler/host interference, not query work; this box shows 2-5×
-single-run spikes). The reported number is what a user's Nth query
-execution costs, which is the quantity that matters at 100 TB.
+takes JVM JIT out of the measurement. Each query is then timed four times
+as two spread passes of two consecutive samples (see the sampling comment
+in main) and the MINIMUM is reported — the minimum is the
+standard noise-robust estimator of a deterministic workload's cost (any
+excess over it is scheduler/host interference, not query work; this box
+shows 2-5× single-run spikes). The reported number is what a user's Nth
+query execution costs, which is the quantity that matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -129,7 +130,21 @@ def main() -> None:
     # (AQE still re-sizes every exchange from map-output bytes; a real
     # cluster deployment sizes this to data, not cores).
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench", shuffle_partitions=max(8, cpus // 2))
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=max(8, cpus // 2),
+        extra_conf={
+            # 76 queries × several codegen stages overflow the default
+            # 100-entry generated-class cache and the 240 MB JIT code
+            # cache; once either evicts, every re-run recompiles its
+            # stages (measured as run-to-run aggregate drift). Both are
+            # sized for the full headline set here — a production session
+            # running a fixed workload wants the same.
+            "spark.sql.codegen.cache.maxEntries": "1000",
+            "spark.driver.extraJavaOptions":
+                "-XX:ReservedCodeCacheSize=512m",
+        },
+    )
     spark.range(1).count()  # JVM warm-up; session startup not billed to q1
 
     # warm pass at the measured SF (see module docstring: AQE re-plans per
@@ -140,25 +155,36 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    TIMED_RUNS = 3
+    # Sampling structure: TWO spread passes × TWO consecutive samples,
+    # min of the four. The two consecutive samples keep the query's
+    # generated code hot (cycling all 76 queries between samples thrashes
+    # the codegen class cache and the JIT code cache — measured +23%
+    # aggregate under fully pass-major sampling); the two passes spread a
+    # query's sample-pairs minutes apart so one transient host/JVM stall
+    # cannot poison every sample (measured 1.73×→2.10× aggregate drift
+    # between identical back-to-back-only runs).
+    PASSES, PER_PASS = 2, 2
     timings: dict[str, float] = {}
+    for _ in range(PASSES):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            for _ in range(PER_PASS):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()
+                el = time.perf_counter() - t0
+                if el < timings.get(name, float("inf")):
+                    timings[name] = el
+    timings = {n: round(t, 3) for n, t in timings.items()}
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best, n = float("inf"), 0
-        for _ in range(TIMED_RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
     # DuckDB anchor: the same oracle SQL on the same parquet at the same SF
     # (the reference repo publishes no numbers — BASELINE.md — so a tuned
     # single-node engine is the honest "within 2×" comparator). Same
-    # methodology: one warm run, min of TIMED_RUNS, full result consumption.
+    # methodology: one warm run, min of the same sample count, full consumption.
     duck_timings: dict[str, float] = {}
     try:
         import duckdb
@@ -175,7 +201,7 @@ def main() -> None:
             try:
                 con.sql(sql).fetchall()  # warm
                 best = float("inf")
-                for _ in range(TIMED_RUNS):
+                for _ in range(PASSES * PER_PASS):
                     t0 = time.perf_counter()
                     con.sql(sql).fetchall()
                     best = min(best, time.perf_counter() - t0)

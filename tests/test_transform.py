@@ -219,3 +219,18 @@ def test_last_touch_attribution_hand_timeline(spark):
     assert out[23].attributed_id == 22              # tie -> max id
     # a purchase never credits another purchase
     assert all(r.attributed_type != "purchase" for r in out.values())
+
+
+def test_floor_parallelism_only_triggers_when_under_parallel(spark):
+    from apache_flink_essentials_spark.operators.transform import (
+        floor_parallelism,
+    )
+
+    small = spark.range(10).coalesce(1)
+    floored = floor_parallelism(small)
+    assert floored.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert floored.count() == 10
+    wide = spark.range(100).repartition(64)
+    assert floor_parallelism(wide) is wide  # zero plan change when parallel
