@@ -983,3 +983,80 @@ def mmr_diversify(
         )
 
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
+
+
+def knn_cosine_matryoshka(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_dims: int = 16,
+    coarse_keep: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Staged (matryoshka-style) exact-rerank KNN: score every pair on only
+    the FIRST ``coarse_dims`` dimensions, keep each query's ``coarse_keep``
+    best coarse candidates, then re-rank just those with the full-dimension
+    cosine — the two-tier retrieval pattern of matryoshka/truncation
+    embeddings (coarse pass reads dim/coarse_dims of the vector bytes; the
+    expensive full scoring touches only keep/N of the corpus).
+
+    Unlike LSH/IVF this is NOT approximate-by-construction per tier — both
+    tiers are exact arithmetic, so the whole operator is deterministic and
+    oracle-checkable; recall vs full brute force depends on how front-loaded
+    the embedding's information is (the matryoshka training objective).
+    Same plan shape as `knn_cosine_bruteforce` twice: broadcast(queries) ×
+    embeddings with window top-m, then window top-k over the slim candidate
+    set. Coarse scores are rounded before ranking (id tiebreak) so the kept
+    candidate set is identical across engines and partitionings.
+    """
+    prefix = F.slice(F.col(vec_col), 1, coarse_dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        prefix.alias("q_pre"),
+    ).withColumn("q_pre_norm", norm_expr(F.col("q_pre"))).withColumn(
+        "q_norm", norm_expr(F.col("q_vec"))
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        prefix.alias("n_pre"),
+    ).withColumn("n_pre_norm", norm_expr(F.col("n_pre"))).withColumn(
+        "n_norm", norm_expr(F.col("n_vec"))
+    )
+    coarse = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "q_vec", "n_vec", "q_norm", "n_norm",
+            F.round(
+                dot_expr(F.col("q_pre"), F.col("n_pre"))
+                / (F.col("q_pre_norm") * F.col("n_pre_norm")),
+                round_dp,
+            ).alias("_coarse"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("_coarse"), F.asc("neighbor_id")
+    )
+    cand = coarse.withColumn("_crank", F.row_number().over(wc)).filter(
+        F.col("_crank") <= coarse_keep
+    )
+    full = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_norm") * F.col("n_norm")),
+            round_dp,
+        ).alias("cosine"),
+    )
+    wf_ = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(wf_))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

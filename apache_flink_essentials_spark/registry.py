@@ -4568,3 +4568,53 @@ _register(
 )(lambda spark, sf: D.exact_dedup_best(
     load_table(spark, "documents", sf), score_col="n_chars"
 ))
+
+
+_register(
+    "vec_knn_matryoshka",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         coarse AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  q.embedding AS qv, e.embedding AS ev,
+                  round(
+                    list_aggregate(list_transform(range(1, 17),
+                        i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')
+                    / (sqrt(list_aggregate(list_transform(range(1, 17),
+                        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), 'sum'))
+                     * sqrt(list_aggregate(list_transform(range(1, 17),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))),
+                  6) AS c
+           FROM q, e WHERE q.vec_id != e.vec_id
+         ), cand AS (
+           SELECT query_id, neighbor_id, qv, ev FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY c DESC, neighbor_id ASC) AS cr
+             FROM coarse) WHERE cr <= 50
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+                  round(
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> qv[i]::DOUBLE * ev[i]::DOUBLE), 'sum')
+                    / (sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+                     * sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> ev[i]::DOUBLE * ev[i]::DOUBLE), 'sum'))),
+                  6) AS cosine
+           FROM cand
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC)::INT
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    late=True,
+)(lambda spark, sf: V.knn_cosine_matryoshka(
+    load_table(spark, "embeddings", sf),
+    load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+    k=5, coarse_dims=16, coarse_keep=50,
+))

@@ -563,3 +563,39 @@ def test_exact_dedup_best_keeps_highest_score(spark, docs):
     assert 0 not in out
     # singleton groups keep themselves
     assert out[3].n_dups == 1
+
+
+def test_matryoshka_knn_exact_at_full_prefix(spark):
+    # with coarse_dims == full dim and coarse_keep >= corpus, the staged
+    # form must equal brute force exactly; with a small prefix it still
+    # returns k rows per query ranked by exact full-dim cosine
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in V.knn_cosine_bruteforce(emb, q, k=4).collect()
+    )
+    staged_full = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in V.knn_cosine_matryoshka(
+            emb, q, k=4, coarse_dims=8, coarse_keep=100
+        ).collect()
+    )
+    assert staged_full == exact
+    pruned = V.knn_cosine_matryoshka(
+        emb, q, k=4, coarse_dims=2, coarse_keep=8
+    ).collect()
+    assert len(pruned) == 12  # 3 queries x k
+    # within each query, ranks are 1..k and cosines non-increasing
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for rs in by_q.values():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3, 4]
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
