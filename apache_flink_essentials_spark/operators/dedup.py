@@ -798,3 +798,75 @@ def exact_dedup_best(
             "n_dups",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |S_A ∩ S_B| / |S_A|
+    (Broder's containment, the directional complement of resemblance/
+    Jaccard). Catches subset duplication that symmetric Jaccard
+    structurally misses — a short doc fully embedded in a much longer one
+    (quoted article, aggregator page, chunk-of-larger-doc) has Jaccard
+    ≈ |A|/|B| → 0 but containment 1.0. The standard curation use is
+    dropping the contained (smaller) side.
+
+    Output is DIRECTIONAL: (src_id, dst_id, containment) meaning src's
+    shingle set is ≥ ``threshold`` contained in dst's. Both directions of
+    a pair can appear (near-exact dups).
+
+    Scale shape: identical blocked-pair economics to
+    ``ngram_jaccard_pairs`` — the ``block_cols`` equi-join confines the
+    quadratic step to blocks; the intersection is computed ONCE per
+    unordered pair (id_a < id_b) and both ordered directions are emitted
+    array-side via explode, halving the pairwise set work vs a directional
+    self-join. Use MinHash/LSH when no natural blocking key exists.
+    """
+    block_cols = block_cols or ["lang", "source"]
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles_expr(text_col, shingle_k).alias("sh"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), *block_cols
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), *block_cols
+    )
+    pairs = (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_i"),
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+        )
+        .filter(F.col("_i") > 0)
+    )
+    # int/int division is exact IEEE double in both engines (see
+    # ngram_jaccard_pairs) — the oracle reproduces it bit-for-bit
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    (F.col("_i") / F.col("_na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    (F.col("_i") / F.col("_nb")).alias("containment"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.src_id", "_d.dst_id", "_d.containment")
+    return directed.filter(F.col("containment") >= threshold)

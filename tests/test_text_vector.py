@@ -599,3 +599,22 @@ def test_matryoshka_knn_exact_at_full_prefix(spark):
         rs.sort()
         assert [x[0] for x in rs] == [1, 2, 3, 4]
         assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_containment_directional(spark):
+    big = "the quick brown fox jumps over the lazy dog near the old river bank"
+    small = "the quick brown fox jumps over"   # strict subset of big's shingles
+    far = "completely different words about spark engines and planning"
+    df = spark.createDataFrame(
+        [(0, big, "en", "s0", len(big)), (1, small, "en", "s0", len(small)),
+         (2, far, "en", "s0", len(far)), (3, big, "en", "s0", len(big))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.src_id, r.dst_id): r.containment
+           for r in D.containment_pairs(df, threshold=0.6).collect()}
+    # small fully contained in big; big NOT contained in small (asymmetric)
+    assert out[(1, 0)] == 1.0 and (0, 1) not in out
+    # exact dups contained both ways
+    assert out[(0, 3)] == 1.0 and out[(3, 0)] == 1.0
+    # unrelated doc absent entirely
+    assert not any(2 in p for p in out)
