@@ -549,12 +549,15 @@ def winnow_fingerprints(
     ZERO-SHUFFLE implementation — everything happens array-side inside the
     scan stage: per-token 31-bit hashes (md5-prefix arithmetic, identical
     in Spark and DuckDB so the oracle reproduces it bit-for-bit), gram
-    hashes as a polynomial fold over each k-token slice (O(k) multiply-
-    adds instead of an md5 over the concatenated gram — measured ~2×
-    cheaper), window minima as array_min over each w-slice (O(n·w)
-    comparisons, no per-doc window sort), and per-doc dedup via
-    array_distinct before the explode. The old plan paid a window sort +
-    a global distinct (two exchanges); this plan shuffles nothing.
+    hashes as a polynomial fold over k SHIFTED SLICES combined with
+    zip_with (O(k) multiply-adds per gram and no per-position array
+    allocation — a per-index ``aggregate(slice(...))`` lambda allocates a
+    k-wide array per gram; the shifted-slice fold is the same
+    ``shingles_expr`` idiom and measured ~40% cheaper on the full
+    fingerprint leg), window minima likewise as a ``least`` fold over w
+    shifted slices, and per-doc dedup via array_distinct before the
+    explode. The old plan paid a window sort + a global distinct (two
+    exchanges); this plan shuffles nothing.
     """
     from .transform import floor_parallelism
 
@@ -569,24 +572,30 @@ def winnow_fingerprints(
         % M,
     )
     hashed = base.select(F.col(id_col), tok_hash.alias("_th"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_th") - k),
-        lambda i: F.aggregate(
-            F.slice(F.col("_th"), i + 1, k),
-            F.lit(0).cast("bigint"),
+    # polynomial gram hash ((…(t_i*31 + t_{i+1})*31 + …) mod M) as a fold
+    # over k shifted slices: element j of the result sees slices starting
+    # at offsets j..j+k-1 — top-level slices are CSE'd to one token-hash
+    # array per row, and zip_with runs element-wise with no allocations
+    n_grams = F.size(F.col("_th")) - (k - 1)
+    grams = F.slice(F.col("_th"), 1, n_grams)
+    for j in range(2, k + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_th"), j, n_grams),
             lambda acc, x: (acc * 31 + x) % M,
-        ),
-    )
-    grammed = hashed.select(F.col(id_col), grams.alias("_g"))
-    # only full windows select fingerprints: j ranges over the n_grams-w+1
-    # complete w-windows, so the trailing partial windows never over-sample
-    # the tail
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("_g") - w),
-            lambda j: F.array_min(F.slice(F.col("_g"), j + 1, w)),
         )
-    )
+    grammed = hashed.select(F.col(id_col), grams.alias("_g"))
+    # only full windows select fingerprints: the fold's element j covers
+    # gram positions j..j+w-1, so the n_grams-w+1 complete w-windows are
+    # exactly the result width and trailing partial windows never
+    # over-sample the tail
+    n_wins = F.size(F.col("_g")) - (w - 1)
+    mins = F.slice(F.col("_g"), 1, n_wins)
+    for j in range(2, w + 1):
+        mins = F.zip_with(
+            mins, F.slice(F.col("_g"), j, n_wins), lambda a, b: F.least(a, b)
+        )
+    selected = F.array_distinct(mins)
     return grammed.select(
         F.col(id_col), F.explode(selected).alias("fingerprint")
     )

@@ -118,6 +118,10 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "text_winnow_candidates",
     "ts_seasonal_anomalies",
+    # round-3 additions: containment dedup (heavy blocked-pair work — the
+    # class of workload the engine exists for), last-touch attribution
+    "dedup_containment",
+    "events_attribution_last_touch",
 ]
 
 
