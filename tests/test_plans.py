@@ -110,3 +110,20 @@ def test_text_aggregate_queries_exchange_budget(spark):
     docs = load_table(spark, "documents", SF_SMOKE)
     assert count_exchanges(X.tfidf_top_terms(docs, k=3)) <= 4
     assert count_exchanges(X.source_term_affinity(docs, k=5)) <= 4
+
+
+def test_containment_no_cartesian_and_bounded_exchanges(spark):
+    # the quadratic step must be a blocked equi-JOIN on block_cols (hash/
+    # SMJ), never a cartesian; whole pipeline = one exchange per join side
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators import dedup as D
+    from apache_flink_essentials_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    df = D.containment_pairs(docs)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 2
