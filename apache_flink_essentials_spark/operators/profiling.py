@@ -370,3 +370,63 @@ def ab_conversion_ztest(
         (p_a - p_b).alias("rate_diff"),
         F.when(se > 0, (p_a - p_b) / se).alias("z_stat"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Per-key MAD (median absolute deviation) outlier flags — the robust
+    complement to ``zscore_anomalies``: median and MAD have a 50%
+    breakdown point, so a burst of extreme values cannot drag the center
+    the way it drags μ/σ (a z-score flagger can mask the very outliers it
+    is meant to find). Flags rows where
+    ``|v − median_key| > threshold · scale · MAD_key`` and emits the
+    robust z-score ``(v − median) / (scale · MAD)``; ``scale`` = 1.4826
+    is the Gaussian consistency constant making robust_z comparable to a
+    standard z.
+
+    Exactness: Spark's exact ``percentile`` runs the same linear
+    interpolation as DuckDB's ``quantile_cont`` (parity proven by
+    `value_percentiles`), and the flag comparison/division use identical
+    double operands on both engines. Keys where MAD = 0 (over half the
+    values identical) are excluded — robust_z is undefined there.
+
+    Cost model: two grouped exact-percentile passes (each sorts within
+    groups — fine for bounded key cardinality like event types or
+    tenants) plus one broadcast join back to the rows; the big side never
+    shuffles. For a 100 TB continuous profile swap in `sketches.py`
+    quantile sketches and keep the output contract.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    stats = (
+        df.join(F.broadcast(med), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.min("_med").alias("_med"),
+            F.expr(f"percentile(abs(cast({value_col} AS double) - _med), 0.5)")
+            .alias("_mad"),
+        )
+        .filter(F.col("_mad") > 0)
+    )
+    robust_z = (v - F.col("_med")) / (F.lit(scale) * F.col("_mad"))
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .filter(
+            F.abs(v - F.col("_med"))
+            > F.lit(threshold) * F.lit(scale) * F.col("_mad")
+        )
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            v.alias(value_col),
+            robust_z.alias("robust_z"),
+        )
+    )

@@ -4652,3 +4652,25 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: D.containment_pairs(load_table(spark, "documents", sf)))
+
+
+_register(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT e.event_type, min(m.med) AS med,
+             quantile_cont(abs(e.value::DOUBLE - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value::DOUBLE AS value,
+           (e.value::DOUBLE - s.med) / (1.4826 * s.mad) AS robust_z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.mad > 0
+      AND abs(e.value::DOUBLE - s.med) > 3.0 * 1.4826 * s.mad
+    """,
+    late=True,
+)(lambda spark, sf: P.mad_outliers(_events(spark, sf)))

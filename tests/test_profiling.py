@@ -179,3 +179,36 @@ def test_ab_conversion_ztest_hand_computed(spark):
     se = math.sqrt(p * (1 - p) * (1 / 2 + 1 / 3))
     assert abs(r.rate_diff - (p_a - p_b)) < 1e-12
     assert abs(r.z_stat - (p_a - p_b) / se) < 1e-12
+
+
+def test_mad_outliers_flags_planted_and_skips_zero_mad(spark):
+    # key "a": tight cluster around 10 with one wild point -> flagged;
+    # key "b": >50% identical values -> MAD = 0 -> excluded entirely
+    rows = [(i, "a", v) for i, v in enumerate([9.0, 9.5, 10.0, 10.5, 11.0, 100.0])]
+    rows += [(10 + i, "b", v) for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 99.0])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = P.mad_outliers(
+        df, key_col="event_type", value_col="value", id_col="event_id"
+    ).collect()
+    assert [r.event_id for r in out] == [5]
+    assert out[0].robust_z > 3.0
+
+
+def test_mad_robust_where_zscore_masked(spark):
+    # two extreme points inflate sigma enough that |z| stays under 2 for
+    # one of them, while the median/MAD center stays put and flags both —
+    # the masking failure MAD exists to fix
+    vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 10.1, 9.9, 500.0, 480.0]
+    df = spark.createDataFrame(
+        [(i, "k", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    mad_ids = {r.event_id for r in P.mad_outliers(
+        df, key_col="event_type", value_col="value", id_col="event_id"
+    ).collect()}
+    z_ids = {r.event_id for r in P.zscore_anomalies(
+        df, key_col="event_type", value_col="value", id_col="event_id",
+        threshold=2.0,
+    ).collect()}
+    assert mad_ids >= {8, 9}
+    assert not z_ids >= {8, 9}   # z-score masks at least one extreme
