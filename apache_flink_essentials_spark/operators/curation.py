@@ -637,3 +637,46 @@ def temperature_weights(
             ).cast("long").alias("alloc_tokens"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [lower_p, upper_p] exact quantiles — the standard tail-taming step
+    before computing training statistics or loss weights from heavy-tailed
+    metrics (doc lengths, per-source quality scores), where a handful of
+    extreme values would otherwise dominate means and normalizers.
+
+    Adds ``{value_col}_w`` (clipped, original column preserved) and a
+    ``clipped`` flag. Exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` bit-for-bit (parity proven by `value_percentiles`),
+    and clipping selects one of two identical doubles — so the result is
+    engine-exact despite being a float op.
+
+    Scale shape: ONE grouped exact-percentile pass (sorts within groups —
+    bounded group counts; swap in `sketches.py` quantile sketches for a
+    100 TB continuous profile) and a broadcast join back; the data side
+    never shuffles.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower_p!r})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper_p!r})").alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            f"{value_col}_w",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+        )
+        .withColumn(
+            "clipped",
+            (v < F.col("_lo")) | (v > F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

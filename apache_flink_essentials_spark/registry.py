@@ -4674,3 +4674,23 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: P.mad_outliers(_events(spark, sf)))
+
+
+_register(
+    "events_winsorized_values",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value::DOUBLE, 0.01) AS lo,
+             quantile_cont(value::DOUBLE, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value::DOUBLE, b.lo), b.hi) AS value_w,
+           (e.value::DOUBLE < b.lo OR e.value::DOUBLE > b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    late=True,
+)(lambda spark, sf: CU.winsorize(
+    _events(spark, sf), "event_type", "value"
+).select("event_id", "event_type", "value", "value_w", "clipped"))

@@ -212,3 +212,20 @@ def test_mad_robust_where_zscore_masked(spark):
     ).collect()}
     assert mad_ids >= {8, 9}
     assert not z_ids >= {8, 9}   # z-score masks at least one extreme
+
+
+def test_winsorize_clips_tails_only(spark):
+    from apache_flink_essentials_spark.operators.curation import winsorize
+
+    vals = list(range(1, 100)) + [10_000]
+    df = spark.createDataFrame(
+        [(i, "k", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = winsorize(df, "event_type", "value", 0.05, 0.95).collect()
+    clipped = {r.event_id for r in out if r.clipped}
+    # only the extreme tail rows clip; interior values are untouched
+    assert len(clipped) == 10  # 5% of each tail of 100 values
+    by_id = {r.event_id: r for r in out}
+    assert by_id[50].value_w == by_id[50].value
+    assert by_id[99].value == 10_000.0 and by_id[99].value_w < 10_000.0
