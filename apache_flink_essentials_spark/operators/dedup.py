@@ -245,20 +245,46 @@ def minhash_lsh_pairs(
     )
 
 
+def _cap_blocks(
+    base: DataFrame, block_cols: list[str], max_block_size: int | None
+) -> DataFrame:
+    """Drop blocks larger than ``max_block_size`` BEFORE a blocked pairwise
+    join — the `minhash_lsh_pairs` bucket-cap idiom applied to equi-join
+    blocking. At 100 TB one hot block (all English web docs from one
+    source) makes in-block pair generation quadratic; an m-doc block emits
+    m² pairs no executor can hold. Oversized blocks are near-certainly
+    boilerplate/skew better handled by exact dedup or a finer block key,
+    so skipping them is the documented recall trade. The sizes table is one
+    slim row per block key (keys + a count) — the semi-join against it is
+    a broadcast in practice and never shuffles the payload side twice."""
+    if max_block_size is None:
+        return base
+    keep = (
+        base.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("_block_n"))
+        .filter(F.col("_block_n") <= max_block_size)
+        .drop("_block_n")
+    )
+    return base.join(F.broadcast(keep), on=block_cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (token-set) Jaccard over BLOCKED pairs: a cheap blocking
     key (default: same lang + same source) confines the quadratic step.
-    Complement to minhash_lsh_pairs when a natural blocking key exists."""
+    Complement to minhash_lsh_pairs when a natural blocking key exists.
+    ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``)."""
     block_cols = block_cols or ["lang"]
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.array_distinct(tokens_expr(text_col)).alias("tok")
     )
+    base = _cap_blocks(base, block_cols, max_block_size)
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"), *[F.col(c) for c in block_cols]
     )
@@ -807,6 +833,7 @@ def containment_pairs(
     block_cols: list[str] | None = None,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |S_A ∩ S_B| / |S_A|
     (Broder's containment, the directional complement of resemblance/
@@ -826,6 +853,7 @@ def containment_pairs(
     unordered pair (id_a < id_b) and both ordered directions are emitted
     array-side via explode, halving the pairwise set work vs a directional
     self-join. Use MinHash/LSH when no natural blocking key exists.
+    ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``).
     """
     block_cols = block_cols or ["lang", "source"]
     base = df.select(
@@ -833,6 +861,7 @@ def containment_pairs(
         *[F.col(c) for c in block_cols],
         shingles_expr(text_col, shingle_k).alias("sh"),
     )
+    base = _cap_blocks(base, block_cols, max_block_size)
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), *block_cols
     )

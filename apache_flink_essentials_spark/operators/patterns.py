@@ -139,11 +139,15 @@ def last_touch_attribution(
     Joinless: the running max of (ts, id, type) STRUCTS over
     strictly-preceding non-target rows rides the per-key sort the timeline
     needs anyway; lexicographic struct ordering makes the tiebreak (latest
-    ts, then highest id) explicit and engine-portable. Output: one row per
+    ts, then highest id) explicit and engine-portable. The struct carries
+    FULL-RESOLUTION epoch micros — comparing on second-floored ts would
+    let an earlier event with a higher id in the same second beat a
+    genuinely later one; only the EMITTED ts/gap columns floor to seconds.
+    The within-window test is likewise micro-exact. Output: one row per
     target event with the attributed (type, id, gap) or nulls when nothing
     qualifies inside the window.
     """
-    ts_s = F.col(ts_col).cast("long")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, id_col)
@@ -153,7 +157,7 @@ def last_touch_attribution(
         F.when(
             F.col(type_col) != target,
             F.struct(
-                ts_s.alias("ts"),
+                ts_us.alias("ts"),
                 F.col(id_col).alias("id"),
                 F.col(type_col).alias("t"),
             ),
@@ -163,19 +167,19 @@ def last_touch_attribution(
         F.col(key_col),
         F.col(id_col),
         F.col(type_col),
-        ts_s.alias("_ts_s"),
+        ts_us.alias("_ts_us"),
         prev.alias("_prev"),
     )
     qualified = F.col("_prev").isNotNull() & (
-        F.col("_ts_s") - F.col("_prev.ts") <= within_seconds
+        F.col("_ts_us") - F.col("_prev.ts") <= within_seconds * 1_000_000
     )
+    prev_ts_s = F.floor(F.col("_prev.ts") / 1_000_000).cast("long")
+    target_ts_s = F.floor(F.col("_ts_us") / 1_000_000).cast("long")
     return base.filter(F.col(type_col) == target).select(
         F.col(key_col),
         F.col(id_col).alias("target_id"),
-        F.col("_ts_s").alias("target_ts_s"),
+        target_ts_s.alias("target_ts_s"),
         F.when(qualified, F.col("_prev.t")).alias("attributed_type"),
         F.when(qualified, F.col("_prev.id")).alias("attributed_id"),
-        F.when(qualified, F.col("_ts_s") - F.col("_prev.ts")).alias(
-            "gap_seconds"
-        ),
+        F.when(qualified, target_ts_s - prev_ts_s).alias("gap_seconds"),
     )

@@ -557,7 +557,11 @@ def winnow_fingerprints(
     fingerprint leg), window minima likewise as a ``least`` fold over w
     shifted slices, and per-doc dedup via array_distinct before the
     explode. The old plan paid a window sort + a global distinct (two
-    exchanges); this plan shuffles nothing.
+    exchanges); this plan's only exchange is the conditional
+    ``floor_parallelism`` round-robin, which fires exactly on under-split
+    inputs (one tiny parquet file) so the CPU-heavy hash work spreads
+    across cores — at real scale the input has enough splits and the
+    plan is genuinely shuffle-free.
 
     The expressions are assembled as SQL STRINGS (``selectExpr``), not
     Column-builder calls: this operator's tree is large (a k-slice fold, a
@@ -620,6 +624,7 @@ def winnow_candidate_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints: docs
     sharing >= ``min_shared`` selected fingerprints (the MOSS match step).
@@ -629,6 +634,15 @@ def winnow_candidate_pairs(
     guarantee makes this candidate set COMPLETE for substring overlaps of
     >= w + k - 1 tokens (no false negatives at that granularity), unlike
     probabilistic MinHash bands.
+
+    ``max_bucket_size`` caps the in-bucket quadratic (the
+    `minhash_lsh_pairs` idiom): at 100 TB a single boilerplate fingerprint
+    shared by millions of docs would emit m² pairs; buckets above the cap
+    are near-certainly boilerplate (license headers, navigation chrome)
+    and are skipped — dropping them COSTS no true near-dup pair whose
+    overlap also selects any non-hot fingerprint, which is why MOSS-style
+    systems always ship this cap. Completeness then holds for overlaps
+    not entirely made of capped fingerprints.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     # Bucket formulation (the dedup.py LSH-band idiom) instead of a
@@ -642,6 +656,8 @@ def winnow_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     pairs = buckets.select(
         F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids")
     ).select(

@@ -21,6 +21,47 @@ from pyspark.sql.window import Window
 
 # --- map (T1/T2: Transformations.scala:18,21-24) ---------------------------
 
+def _estimated_input_splits(df: DataFrame) -> int | None:
+    """Cheap lower-bound on the plan's input splits WITHOUT forcing
+    physical planning: ``df.inputFiles()`` only resolves the logical plan
+    and lists leaf-scan files, where the exact ``df.rdd.getNumPartitions()``
+    probe forces full analysis + physical planning + RDD conversion on the
+    driver per call (~0.2-0.35 s) even when the query never runs.
+
+    Every file is at least one split, so the file count is a sound lower
+    bound; the single-local-file case (the one where file count badly
+    under-counts a huge file's splits) is refined by stat-ing the file
+    against ``spark.sql.files.maxPartitionBytes``. Returns None for plans
+    with no file leaves (in-memory ranges, streaming sources) — callers
+    fall back to the exact probe there, where plans are tiny anyway."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) == 1 and files[0].startswith("file:"):
+        import math
+        import os as _os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            size = _os.stat(unquote(urlparse(files[0]).path)).st_size
+        except OSError:
+            return 1
+        raw = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        ).lower().rstrip("b")
+        try:
+            max_bytes = int(raw)
+        except ValueError:
+            max_bytes = 134217728
+        return max(1, math.ceil(size / max_bytes))
+    return len(files)
+
+
 def floor_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan is under-parallel — the
     mitigation for CPU-heavy-per-byte stages (per-token hashing, gram
@@ -34,8 +75,16 @@ def floor_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataF
     n = min_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    if df.rdd.getNumPartitions() >= n:
+    est = _estimated_input_splits(df)
+    if est is None:
+        # no file leaves — exact probe; such plans are small by nature
+        est = df.rdd.getNumPartitions()
+    if est >= n:
         return df
+    # est is a lower bound: a multi-file input with fewer files than n may
+    # in fact have >= n splits, in which case this exchange is redundant
+    # but harmless — the floor exists precisely for CPU-heavy-per-byte
+    # stages where an extra round-robin of the raw rows is the cheap side.
     return df.repartition(n)
 
 
@@ -282,7 +331,10 @@ def global_row_number(
     choice mirrors what AQE does for exchanges, keyed on actual input
     parallelism rather than a size guess.
     """
-    if df.rdd.getNumPartitions() <= 1:
+    est = _estimated_input_splits(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est <= 1:
         return df.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),

@@ -835,10 +835,13 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
-    probe = embeddings.select(vec_col).first()
-    if probe is None:
-        raise ValueError("pca_fit: empty corpus — nothing to fit")
     if dim is None:
+        # probe only when the caller didn't pass dim — the probe is a whole
+        # extra job, and the empty-corpus case it also caught is handled by
+        # the zero-count check on the aggregated partials below
+        probe = embeddings.select(vec_col).first()
+        if probe is None:
+            raise ValueError("pca_fit: empty corpus — nothing to fit")
         dim = len(probe[0])
     d = dim
 
@@ -861,6 +864,8 @@ def pca_fit(
         .collect()
     )
     n = sum(r.n for r in rows)
+    if n == 0:
+        raise ValueError("pca_fit: empty corpus — nothing to fit")
     sx = np.sum([np.array(r.sx) for r in rows], axis=0)
     sxx = np.sum([np.array(r.sxx) for r in rows], axis=0).reshape(d, d)
     mean = sx / n

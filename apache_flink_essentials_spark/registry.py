@@ -2035,9 +2035,43 @@ _register("vec_ann_lsh")(
     )
 )
 
-_register("vec_embedding_dedup")(
+# The LSH hyperplanes are deterministic integer-mixed constants
+# (vector._hyperplane — no RNG), so the DuckDB oracle can replicate bucket
+# assignment exactly by inlining the same plane components as literals:
+# this upgrades vec_embedding_dedup from a rows-only check (which recorded
+# a vacuous 0 rows at sf0.01 under threshold=0.9 — r3 verdict item 4) to a
+# full hash-matched oracle row. threshold=0.35 yields a small non-trivial
+# pair set on the synthetic fixture; production dedup runs ≥0.99.
+_DEDUP_PLANES = [V._hyperplane(64, p) for p in range(8)]
+_DEDUP_PLANES_SQL = ",\n           ".join(
+    "[" + ",".join(repr(c) for c in plane) + "]::DOUBLE[] AS p%d" % i
+    for i, plane in enumerate(_DEDUP_PLANES)
+)
+_DEDUP_BUCKET_SQL = "\n             + ".join(
+    "(CASE WHEN list_aggregate(list_transform(range(1, 65),"
+    f" i -> embedding[i]::DOUBLE * p{j}[i]), 'sum') >= 0"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j in range(8)
+)
+
+_register(
+    "vec_embedding_dedup",
+    f"""
+    WITH planes AS (SELECT {_DEDUP_PLANES_SQL}),
+    bk AS (
+      SELECT vec_id, embedding,
+             {_DEDUP_BUCKET_SQL} AS bucket
+      FROM embeddings, planes
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+    late=True,
+)(
     lambda spark, sf: V.embedding_dedup_pairs(
-        load_table(spark, "embeddings", sf), threshold=0.9
+        load_table(spark, "embeddings", sf), threshold=0.35
     )
 )
 
@@ -2963,11 +2997,17 @@ _register(
       SELECT DISTINCT doc_id, term FROM tok WHERE term != ''
     )
     SELECT term, count(*)::BIGINT AS df,
-           list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20),
+                           ',') AS postings
     FROM pairs GROUP BY term
     """,
 )(lambda spark, sf: X.inverted_index(
     load_table(spark, "documents", sf), max_postings=20
+).withColumn(
+    # The library op stays array-valued; the registered query joins the
+    # postings to a scalar string because the driver harness canonicalizes
+    # with pandas sort/factorize, which cannot hash list cells (r03 err).
+    "postings", F.array_join("postings", ",")
 ))
 
 
@@ -3198,7 +3238,8 @@ _register(
 # cosine ≥0.6 pairs exist at sf0.01); real corpora use 0.9-0.97.
 _register("vector_semantic_dedup")(
     lambda spark, sf: V.semantic_dedup(
-        load_table(spark, "embeddings", sf), k=8, iters=2, threshold=0.4
+        load_table(spark, "embeddings", sf), k=8, iters=2, threshold=0.4,
+        dim=64,
     )
 )
 
@@ -4472,22 +4513,24 @@ _register(
     """
     WITH o AS (
       SELECT user_id, event_id, event_type,
-             floor(epoch(ts))::BIGINT AS ts_s,
+             epoch_us(ts) AS ts_us,
              max(CASE WHEN event_type <> 'purchase'
-                 THEN struct_pack(ts := floor(epoch(ts))::BIGINT,
+                 THEN struct_pack(ts := epoch_us(ts),
                                   id := event_id, t := event_type) END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev
       FROM events
     )
-    SELECT user_id, event_id AS target_id, ts_s AS target_ts_s,
-           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
+    SELECT user_id, event_id AS target_id,
+           (ts_us // 1000000)::BIGINT AS target_ts_s,
+           CASE WHEN prev.ts IS NOT NULL AND ts_us - prev.ts <= 3600000000
                 THEN prev.t END AS attributed_type,
-           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
+           CASE WHEN prev.ts IS NOT NULL AND ts_us - prev.ts <= 3600000000
                 THEN prev.id END AS attributed_id,
-           CASE WHEN prev.ts IS NOT NULL AND ts_s - prev.ts <= 3600
-                THEN ts_s - prev.ts END AS gap_seconds
+           CASE WHEN prev.ts IS NOT NULL AND ts_us - prev.ts <= 3600000000
+                THEN (ts_us // 1000000)::BIGINT - (prev.ts // 1000000)::BIGINT
+                END AS gap_seconds
     FROM o WHERE event_type = 'purchase'
     """,
     late=True,

@@ -250,8 +250,10 @@ def main() -> None:
     # until the line fits; the trimmed ones are sub-0.1 s fixed-overhead
     # queries whose full times live in bench_detail.json.
     by_cost = sorted(timings, key=timings.get, reverse=True)
-    keep = len(by_cost)
-    while keep > 0:
+    # keep descends to 0, at which point the line carries scalars only —
+    # never print an oversized keep=1 candidate (a single >1.9k-char line
+    # would defeat the driver's 2000-char tail this loop exists to fit)
+    for keep in range(len(by_cost), -1, -1):
         out = {
             "metric": "headline_queries_total_wall",
             "unit": "sec",
@@ -264,9 +266,8 @@ def main() -> None:
             "spark_over_duck_ratio": ratio,
         }
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= 1900 or keep == 0:
             break
-        keep -= 1
     print(line)
 
 
