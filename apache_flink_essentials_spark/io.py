@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import warnings
+import weakref
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,12 +100,35 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
                     stacklevel=2,
                 )
             spark.conf.set(conf, required)
-    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    # Memoized per (session, path): the parquet read itself (file listing
+    # + footer schema merge + the withColumn analysis below) costs ~0.1 s
+    # of driver latency PER CALL, paid by every registered query before
+    # any execution. DataFrames are immutable logical plans, so handing
+    # back the same object is safe; file listing staleness is a non-issue
+    # for the immutable fixture dirs (and matches Spark's own behavior of
+    # pinning a scan's file list at read time). Keyed on the JVM session
+    # object so a driver-created second session never sees plans bound to
+    # a stopped one.
+    path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get(path)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             # integer div: double division would lose ns precision (>2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    per_session[path] = df
     return df
+
+
+# WeakKeyDictionary: cache entries die with their session object, so a
+# stopped-and-recreated session can never be handed plans bound to a dead
+# JVM session (and long-lived processes don't accumulate per-session maps).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(spark: SparkSession, names: Iterable[str], sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -680,3 +680,85 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public arXiv
+    2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): per document, the log importance ratio
+    ``log10 p_target(doc) − log10 p_raw(doc)`` under add-one-smoothed
+    unigram LMs, where the target LM is fit on the rows matching
+    ``target_filter`` (e.g. a trusted domain) and the raw LM on the whole
+    input. Resampling the corpus proportional to ``exp(weight)`` shifts
+    the data mixture toward the target distribution — the DSIR paper uses
+    hashed n-gram features; the unigram form is the same estimator with
+    an identity feature map (a hashed-bigram variant composes from
+    ``text.bigram_logprob``'s bigram construction if finer features pay
+    for themselves).
+
+    Portability is the `unigram_logprob` integer micro-log idiom: both
+    smoothed counts quantize to ``round(log10(cnt+1)·1e6)`` BEFORE the
+    per-doc sum (exact integer, order-independent), and the two
+    normalizers ``log10(total+V)`` apply once per doc at the end. V is
+    the raw-corpus vocabulary size, shared by both LMs so unseen-in-
+    target tokens get mass 1/(T_t+V) — finite weights for every doc.
+
+    Scale shape: one (doc, token) partial-agg shuffle; token-count
+    rollups reuse its key; the three scalars (T_t, T_r, V) ride a 1-row
+    broadcast cross join. Document text shuffles once, as tokens.
+    """
+    from .text import tokens_expr
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            target_filter.alias("_is_target"),
+            F.explode(tokens_expr(text_col)).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
+    occ = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_n_occ")
+    )
+    cnt = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_cnt_r"),
+        F.count(F.when(F.col("_is_target"), True)).alias("_cnt_t"),
+    )
+    totals = cnt.agg(
+        F.sum("_cnt_r").alias("_tot_r"),
+        F.sum("_cnt_t").alias("_tot_t"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    ml = lambda c: F.round(  # noqa: E731
+        F.log10((c + F.lit(1)).cast("double")) * 1e6
+    ).cast("long")
+    return (
+        occ.join(cnt, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_occ").alias("n_tokens"),
+            F.sum(
+                F.col("_n_occ") * (ml(F.col("_cnt_t")) - ml(F.col("_cnt_r")))
+            ).alias("_s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("_s") / F.lit(1e6)
+                - F.col("n_tokens")
+                * (
+                    F.log10((F.col("_tot_t") + F.col("_vocab")).cast("double"))
+                    - F.log10(
+                        (F.col("_tot_r") + F.col("_vocab")).cast("double")
+                    )
+                )
+            ).alias("log_weight"),
+        )
+    )

@@ -651,25 +651,27 @@ def winnow_candidate_pairs(
     # computation — the expensive leg — runs once (a self-join would
     # recompute it per side: Spark only reuses exchanges when both
     # branches canonicalize identically, which broadcast planning breaks).
+    # SQL-string expressions throughout, same rationale as
+    # winnow_fingerprints: the Column-builder form of this tail measured
+    # ~0.1 s of per-call py4j plan-construction latency.
+    size_hi = (
+        f" AND size(_ids) <= {int(max_bucket_size)}"
+        if max_bucket_size is not None
+        else ""
+    )
     buckets = (
         fps.groupBy("fingerprint")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+        .agg(F.expr(f"sort_array(collect_list(`{id_col}`)) AS _ids"))
+        .where(f"size(_ids) >= 2{size_hi}")
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
-    pairs = buckets.select(
-        F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids")
-    ).select(
-        "id_a",
-        F.explode(
-            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-        ).alias("id_b"),
+    pairs = buckets.selectExpr("posexplode(_ids)", "_ids").selectExpr(
+        "col AS id_a",
+        "explode(slice(_ids, pos + 2, size(_ids))) AS id_b",
     )
     return (
         pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .agg(F.expr("count(1) AS n_shared"))
+        .where(f"n_shared >= {int(min_shared)}")
     )
 
 
@@ -794,4 +796,74 @@ def pmi_pairs(
         )
         .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(top_k)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log10 bigram conditional probability under the
+    corpus's OWN bigram LM — the next-quality-rung above
+    ``unigram_logprob`` (a doc of individually-common but incoherently
+    ordered tokens scores low here and fine there; together they bracket
+    the classic KenLM quality filter without an external model).
+
+    Score = mean over in-doc bigrams of log10 P(b|a), with
+    P(b|a) = corpus_count(a b) / corpus_count(a as bigram-first): every
+    in-doc bigram occurs in the corpus at least once (self-scoring), so no
+    smoothing term is needed and the probability is a ratio of exact
+    integers. Portability is the `unigram_logprob` idiom: both counts are
+    quantized to integer micro-logs BEFORE the per-doc sum, so the
+    aggregate is an exact integer sum in any order on any engine; one
+    float division at the end recovers the mean.
+
+    Scale shape: one (doc, bigram) partial-agg shuffle, a bigram-count
+    rollup reusing its key, a first-token rollup of the (already tiny)
+    count table, and slim hash joins — the document text shuffles once,
+    as bigram strings. Docs with < 2 tokens have no bigrams and drop out.
+    """
+    fl = F.filter(tokens_expr(text_col), lambda t: t != "")
+    occ = (
+        df.select(F.col(id_col), fl.alias("_fl"))
+        .filter(F.size("_fl") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice("_fl", 1, F.size("_fl") - 1),
+                    F.slice(F.col("_fl"), 2, F.size("_fl") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_bg"),
+        )
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_n_occ"))
+    )
+    cnt_bg = occ.groupBy("_bg").agg(F.sum("_n_occ").alias("_cnt_bg"))
+    cnt_first = (
+        cnt_bg.select(
+            F.split("_bg", " ").getItem(0).alias("_a"), F.col("_cnt_bg")
+        )
+        .groupBy("_a")
+        .agg(F.sum("_cnt_bg").alias("_cnt_a"))
+    )
+    ml = lambda c: F.round(F.log10(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    return (
+        occ.join(cnt_bg, "_bg")
+        .withColumn("_a", F.split("_bg", " ").getItem(0))
+        .join(cnt_first, "_a")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_occ").alias("n_bigrams"),
+            F.sum(
+                F.col("_n_occ") * (ml(F.col("_cnt_bg")) - ml(F.col("_cnt_a")))
+            ).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (F.col("_s") / (F.lit(1e6) * F.col("n_bigrams"))).alias(
+                "mean_logprob"
+            ),
+        )
     )

@@ -407,3 +407,57 @@ def seasonal_residuals(
     return flagged.filter(F.abs(resid) > z).select(
         id_col, type_col, "phase", "value", resid.alias("z_seasonal")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    alpha: float = 0.3,
+    window: int = 50,
+) -> DataFrame:
+    """Normalized finite-window EWMA smoothing — the EXPRESSION-ONLY,
+    oracle-checkable complement to `ewma_anomaly`'s exact sequential
+    recurrence: m_i = Σₖ (1-α)ᵏ·x_{i-k} / Σₖ (1-α)ᵏ over the last
+    ``window`` observations (pandas ``ewm(adjust=True)`` semantics with a
+    truncated history; for α=0.3 the 50th weight is ~2e-8, far below the
+    float noise floor, so the truncation is observationally lossless).
+
+    Engine-portable determinism by construction: both numerator and
+    denominator are HORNER FOLDS over the windowed value list
+    (acc·(1-α) + x, oldest→newest) — no ``pow`` (libm implementations
+    differ in the last ulp across engines), just the same left-to-right
+    IEEE multiply-add sequence in Spark's ``aggregate`` and DuckDB's
+    ``list_reduce``, which makes raw double outputs hash-identical with
+    NO rounding. The anomaly variant stays `ewma_anomaly` (infinite
+    memory, exact recurrence, streaming twin); this one is the smoother
+    a dashboard or feature pipeline reads.
+
+    Scale shape: one per-key window pass (rows frame, bounded K-element
+    state per row) — the same single sort+shuffle any per-key timeline op
+    pays; no applyInPandas, no Python.
+    """
+    decay = repr(1.0 - alpha)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    staged = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(ts_col).cast("long").alias("ts_s"),
+        F.col(value_col).cast("double").alias("value"),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("_win"),
+    )
+    return staged.selectExpr(
+        key_col,
+        order_col,
+        "ts_s",
+        "value",
+        f"aggregate(_win, CAST(0.0 AS DOUBLE), (a, x) -> a * {decay}D + x)"
+        f" / aggregate(_win, CAST(0.0 AS DOUBLE),"
+        f" (a, x) -> a * {decay}D + CAST(1.0 AS DOUBLE)) AS ewma",
+    )

@@ -1065,3 +1065,45 @@ def knn_cosine_matryoshka(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate KNN result against the exact result —
+    the standard ANN evaluation harness (every IVF/LSH/quantization knob
+    trade is judged by this number before it ships).
+
+    Per query: n_exact = |exact neighbor set|, n_hit = |exact ∩ approx|,
+    recall = n_hit / n_exact (int/int division — engine-portable exact).
+
+    Scale shape: both inputs are top-k tables (n_queries × k rows — tiny
+    relative to the corpus that produced them), so the left join + one
+    hash-agg shuffle is negligible next to the searches themselves; the
+    join key is (query, neighbor) so skew is impossible (≤ k rows per
+    query).
+    """
+    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    a = (
+        approx.select(F.col(query_col), F.col(neighbor_col))
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        e.join(a, on=[query_col, neighbor_col], how="left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            F.col(query_col),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -4230,6 +4230,32 @@ _register("ts_ewma_anomaly")(lambda spark, sf: TS.ewma_anomaly(
     _events(spark, sf), "user_id", "ts", "value", alpha=0.3, z=3.0
 ))
 
+# The expression-only normalized EWMA *is* oracle-checkable: both engines
+# run the identical Horner fold over the windowed value list (no pow, no
+# rounding — see ewma_smooth docstring), so raw doubles hash-match.
+_register(
+    "ts_ewma_smooth",
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             floor(epoch(ts))::BIGINT AS ts_s, value::DOUBLE AS value,
+             list(value::DOUBLE)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS win
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s, value,
+           list_reduce(win, (a, x) -> a * 0.7::DOUBLE + x)
+           / list_reduce(list_transform(win, x -> 1.0::DOUBLE),
+                         (a, x) -> a * 0.7::DOUBLE + x) AS ewma
+    FROM s
+    """,
+    late=True,
+)(lambda spark, sf: TS.ewma_smooth(
+    _events(spark, sf), "user_id", "ts", "value", "event_id",
+    alpha=0.3, window=50,
+))
+
 
 # ---- winnowing (MOSS) document fingerprints ----
 _register(
@@ -4737,3 +4763,118 @@ _register(
 )(lambda spark, sf: CU.winsorize(
     _events(spark, sf), "event_type", "value"
 ).select("event_id", "event_type", "value", "value_w", "clipped"))
+
+
+# =========================================================================
+# round-4 additions (late=True keeps the driver's checked prefix stable):
+# bigram LM scoring, ANN recall evaluation, DSIR importance weights
+# =========================================================================
+
+_register(
+    "text_bigram_logprob",
+    r"""
+    WITH fl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t != '') AS fl
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(fl)),
+                    i -> fl[i] || ' ' || fl[i + 1])) AS bg
+      FROM fl WHERE len(fl) >= 2
+    ), occ AS (
+      SELECT doc_id, bg, count(*)::BIGINT AS n_occ FROM big
+      GROUP BY doc_id, bg
+    ), cnt AS (
+      SELECT bg, sum(n_occ)::BIGINT AS cnt_bg FROM occ GROUP BY bg
+    ), first_tok AS (
+      SELECT split_part(bg, ' ', 1) AS a, sum(cnt_bg)::BIGINT AS cnt_a
+      FROM cnt GROUP BY a
+    )
+    SELECT o.doc_id,
+           sum(o.n_occ)::BIGINT AS n_bigrams,
+           sum(o.n_occ * (round(log10(c.cnt_bg::DOUBLE) * 1e6)::BIGINT
+                          - round(log10(f.cnt_a::DOUBLE) * 1e6)::BIGINT)
+               )::BIGINT
+             / (1e6 * sum(o.n_occ)) AS mean_logprob
+    FROM occ o
+    JOIN cnt c USING (bg)
+    JOIN first_tok f ON split_part(o.bg, ' ', 1) = f.a
+    GROUP BY o.doc_id
+    """,
+    late=True,
+)(lambda spark, sf: X.bigram_logprob(load_table(spark, "documents", sf)))
+
+
+# recall@5 of the int8-quantized KNN against the exact KNN — both sides
+# deterministic and oracle-expressible, so the evaluation itself is a
+# hash-matched driver row (the harness every ANN knob trade is judged by)
+_register(
+    "vec_knn_recall",
+    f"""
+    WITH exact_knn AS ({ORACLES['vec_knn_bruteforce']}),
+    approx_knn AS ({ORACLES['vec_knn_quantized']})
+    SELECT e.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             / count(*)::BIGINT AS recall
+    FROM exact_knn e
+    LEFT JOIN approx_knn a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+    late=True,
+)(lambda spark, sf: V.knn_recall(
+    V.knn_cosine_bruteforce(
+        load_table(spark, "embeddings", sf),
+        load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+    ),
+    V.knn_cosine_quantized(
+        load_table(spark, "embeddings", sf),
+        load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 10),
+    ),
+))
+
+
+# DSIR importance weights toward the 'en' slice: every intermediate is an
+# exact integer (micro-logs) until the final float combination, so the
+# oracle hash-matches on raw doubles
+_register(
+    "curation_dsir_weights",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), tok2 AS (
+      SELECT * FROM tok WHERE tok != ''
+    ), occ AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS n_occ FROM tok2
+      GROUP BY doc_id, tok
+    ), cnt AS (
+      SELECT tok, count(*)::BIGINT AS cnt_r,
+             count(CASE WHEN is_target THEN 1 END)::BIGINT AS cnt_t
+      FROM tok2 GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt_r)::BIGINT AS tot_r, sum(cnt_t)::BIGINT AS tot_t,
+             count(*)::BIGINT AS vocab
+      FROM cnt
+    )
+    SELECT o.doc_id,
+           sum(o.n_occ)::BIGINT AS n_tokens,
+           sum(o.n_occ * (round(log10((c.cnt_t + 1)::DOUBLE) * 1e6)::BIGINT
+                          - round(log10((c.cnt_r + 1)::DOUBLE) * 1e6)::BIGINT)
+               )::BIGINT / 1e6
+             - sum(o.n_occ)::BIGINT
+               * (log10((t.tot_t + t.vocab)::DOUBLE)
+                  - log10((t.tot_r + t.vocab)::DOUBLE)) AS log_weight
+    FROM occ o JOIN cnt c USING (tok) CROSS JOIN tot t
+    GROUP BY o.doc_id, t.tot_t, t.tot_r, t.vocab
+    """,
+    late=True,
+)(lambda spark, sf: CU.dsir_weights(
+    load_table(spark, "documents", sf), F.col("lang") == "en"
+))

@@ -122,6 +122,16 @@ HEADLINE = [
     # class of workload the engine exists for), last-touch attribution
     "dedup_containment",
     "events_attribution_last_touch",
+    # round-4 additions: bigram LM scoring, DSIR importance weights,
+    # expression-only EWMA, ANN recall evaluation, LSH embedding dedup,
+    # inverted index (now scalar-postings), quality-aware exact dedup
+    "text_bigram_logprob",
+    "curation_dsir_weights",
+    "ts_ewma_smooth",
+    "vec_knn_recall",
+    "vec_embedding_dedup",
+    "text_inverted_index",
+    "dedup_exact_best",
 ]
 
 

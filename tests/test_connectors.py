@@ -82,3 +82,14 @@ def test_read_jdbc_partitioned_plumbing():
     assert opts["partitionColumn"] == "o_orderkey"
     assert opts["numPartitions"] == "16"
     assert rec.calls["loaded"]
+
+
+def test_load_table_memoizes_per_session_and_path(spark):
+    from apache_flink_essentials_spark.io import load_table
+
+    a = load_table(spark, "region", "/root/testdata/sf0.001")
+    b = load_table(spark, "region", "/root/testdata/sf0.001")
+    c = load_table(spark, "region", "/root/testdata/sf0.01")
+    assert a is b                    # same session+path -> same plan object
+    assert a is not c                # different sf dir -> fresh plan
+    assert a.count() > 0 and c.count() > 0

@@ -618,3 +618,95 @@ def test_containment_directional(spark):
     assert out[(0, 3)] == 1.0 and out[(3, 0)] == 1.0
     # unrelated doc absent entirely
     assert not any(2 in p for p in out)
+
+
+def test_block_caps_skip_oversized_blocks(spark):
+    """max_block_size drops the hot block entirely (the 100-TB skew guard):
+    the oversized 'en' block's pairs vanish, the small 'fr' block's
+    survive, and cap=None keeps today's uncapped behavior."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base, "en", "s0", len(base)) for i in range(4)] + [
+        (10, base, "fr", "s0", len(base)),
+        (11, base, "fr", "s0", len(base)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    capped = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(
+        df, block_cols=["lang"], max_block_size=3).collect()}
+    assert capped == {(10, 11)}      # en block (4 docs) skipped, fr kept
+    uncapped = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(
+        df, block_cols=["lang"]).collect()}
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+
+    cont = {(r.src_id, r.dst_id) for r in D.containment_pairs(
+        df, block_cols=["lang"], max_block_size=3).collect()}
+    assert cont == {(10, 11), (11, 10)}
+
+
+def test_winnow_candidates_bucket_cap(spark):
+    """A fingerprint bucket above max_bucket_size emits no pairs; small
+    buckets still do."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(i, boiler) for i in range(5)] + [
+        (10, shared + " unique tail here now"),
+        (11, "other prefix then " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in X.winnow_candidate_pairs(
+        df, k=5, w=4, min_shared=1, max_bucket_size=3).collect()}
+    assert (10, 11) in pairs
+    assert not any(a < 10 and b < 10 for a, b in pairs)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus bigrams: d0 -> "a b"; d1 -> "a c".
+    # cnt("a b") = cnt("a c") = 1; first-token count a -> 2.
+    # d0 mean = log10(1/2) = -log10(2); same for d1.
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in X.bigram_logprob(df).collect()}
+    assert 2 not in got                      # <2 tokens -> no bigrams
+    assert got[0][0] == 1 and got[1][0] == 1
+    assert abs(got[0][1] + math.log10(2)) < 1e-5
+    assert abs(got[1][1] + math.log10(2)) < 1e-5
+
+
+def test_knn_recall_counts_overlap(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall)
+           for r in V.knn_recall(exact, approx).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 2, 1.0)
+
+
+def test_dsir_weights_favor_target_language(spark):
+    # target = lang 'en'. Token 'a' appears only in the en doc, 'b' only
+    # in the fr doc, so the en doc's tokens are over-represented in the
+    # target LM (positive log weight) and the fr doc's under (negative).
+    import math
+
+    from apache_flink_essentials_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(0, "a a", "en"), (1, "b", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.log_weight for r in CU.dsir_weights(
+        df, F.col("lang") == "en").collect()}
+    norm = math.log10(4) - math.log10(5)     # T_t+V=4, T_r+V=5
+    assert abs(got[0] - (0.0 - 2 * norm)) < 1e-5
+    assert abs(got[1] - (-math.log10(2) - norm)) < 1e-5
+    assert got[0] > 0 > got[1]

@@ -180,3 +180,29 @@ def test_seasonal_residuals_flags_off_phase_value(spark):
     ).collect()
     assert [(r.event_id, r.phase) for r in out] == [(eid, 0)]
     assert out[0].z_seasonal > 3.0
+
+
+def test_ewma_smooth_hand_computed(spark):
+    # one key, values 10, 20, 30 at ts 1,2,3; alpha=0.5 → decay 0.5.
+    # m1 = 10; m2 = (10*0.5 + 20) / (0.5 + 1) = 25/1.5
+    # m3 = (10*0.25 + 20*0.5 + 30) / (0.25 + 0.5 + 1) = 42.5/1.75
+    df = spark.createDataFrame(
+        [(1, 1, 1, 10.0), (1, 2, 2, 20.0), (1, 3, 3, 30.0)],
+        "k long, id long, ts long, value double",
+    )
+    out = {r.id: r.ewma for r in TS.ewma_smooth(
+        df, "k", "ts", "value", "id", alpha=0.5, window=50).collect()}
+    assert out[1] == 10.0
+    assert abs(out[2] - 25.0 / 1.5) < 1e-12
+    assert abs(out[3] - 42.5 / 1.75) < 1e-12
+
+
+def test_ewma_smooth_window_truncates(spark):
+    # window=2: m3 uses only (x2, x3): (20*0.5 + 30) / 1.5
+    df = spark.createDataFrame(
+        [(1, 1, 1, 10.0), (1, 2, 2, 20.0), (1, 3, 3, 30.0)],
+        "k long, id long, ts long, value double",
+    )
+    out = {r.id: r.ewma for r in TS.ewma_smooth(
+        df, "k", "ts", "value", "id", alpha=0.5, window=2).collect()}
+    assert abs(out[3] - 40.0 / 1.5) < 1e-12
