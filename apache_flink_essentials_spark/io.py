@@ -106,9 +106,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # any execution. DataFrames are immutable logical plans, so handing
     # back the same object is safe; file listing staleness is a non-issue
     # for the immutable fixture dirs (and matches Spark's own behavior of
-    # pinning a scan's file list at read time). Keyed on the JVM session
-    # object so a driver-created second session never sees plans bound to
-    # a stopped one.
+    # pinning a scan's file list at read time). Keyed on the PYTHON
+    # SparkSession wrapper (WeakKeyDictionary) — a driver-created second
+    # session never sees plans bound to a stopped one, but note two
+    # wrappers over the same JVM session (SparkSession(sc) vs
+    # getActiveSession) get independent entries, and a fixture dir
+    # rewritten IN PLACE mid-session would serve a stale plan; regenerate
+    # fixtures only across sessions, or key on (wrapper, path, mtime).
     path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
     per_session = _TABLE_CACHE.setdefault(spark, {})
     cached = per_session.get(path)

@@ -694,7 +694,9 @@ def dsir_weights(
     ``log10 p_target(doc) − log10 p_raw(doc)`` under add-one-smoothed
     unigram LMs, where the target LM is fit on the rows matching
     ``target_filter`` (e.g. a trusted domain) and the raw LM on the whole
-    input. Resampling the corpus proportional to ``exp(weight)`` shifts
+    input. Resampling the corpus proportional to ``10**weight`` (the
+    weight is a BASE-10 log ratio — ``exp(weight)`` would raise the true
+    ratio to the power 1/ln 10 and distort the mixture) shifts
     the data mixture toward the target distribution — the DSIR paper uses
     hashed n-gram features; the unigram form is the same estimator with
     an identity feature map (a hashed-bigram variant composes from

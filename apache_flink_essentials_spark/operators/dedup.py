@@ -255,8 +255,11 @@ def _cap_blocks(
     m² pairs no executor can hold. Oversized blocks are near-certainly
     boilerplate/skew better handled by exact dedup or a finer block key,
     so skipping them is the documented recall trade. The sizes table is one
-    slim row per block key (keys + a count) — the semi-join against it is
-    a broadcast in practice and never shuffles the payload side twice."""
+    slim row per block key (keys + a count); with a HIGH-cardinality block
+    key it is proportional to the number of distinct blocks, so we do NOT
+    force a broadcast hint (which could OOM the driver at 100 TB) — the
+    left_semi join lets AQE pick broadcast when the keys table is small
+    and shuffle-hash when it is not."""
     if max_block_size is None:
         return base
     keep = (
@@ -265,7 +268,7 @@ def _cap_blocks(
         .filter(F.col("_block_n") <= max_block_size)
         .drop("_block_n")
     )
-    return base.join(F.broadcast(keep), on=block_cols)
+    return base.join(keep, on=block_cols, how="left_semi")
 
 
 def ngram_jaccard_pairs(

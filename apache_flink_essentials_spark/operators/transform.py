@@ -12,6 +12,7 @@ shuffles — verified in tests via explain().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -62,16 +63,55 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
     return len(files)
 
 
-def floor_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition IF the plan is under-parallel — the
-    mitigation for CPU-heavy-per-byte stages (per-token hashing, gram
-    explosion, codec work) running over a source whose byte size gives it
-    too few input splits. A 600 KB parquet file is one split, so 32 cores
-    watch one do millions of hashes; the cure is one cheap exchange of the
-    raw rows. No-op (zero plan change) when the input already has enough
-    partitions — which is always true at real scale, where a 100 TB scan
-    has ~10⁶ splits; the floor only triggers on small inputs where the
-    exchange it adds is correspondingly tiny."""
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    """Total byte size of the plan's local (``file:``) leaf-scan files, or
+    None when any file is remote/unstatable (s3/hdfs) or the plan has no
+    file leaves. Same ``inputFiles()`` cheap-probe rationale as
+    ``_estimated_input_splits`` — no physical planning forced."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.stat(unquote(urlparse(f).path)).st_size
+        except OSError:
+            return None
+    return total
+
+
+def floor_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_task_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Round-robin repartition IF the plan is under-parallel AND the work
+    is big enough to pay for the exchange — the mitigation for
+    CPU-heavy-per-byte stages (per-token hashing, gram explosion, codec
+    work) running over a source whose byte size gives it too few input
+    splits: a single 50 MB parquet file is one split, so 32 cores watch
+    one do millions of hashes, and one cheap exchange of the raw rows
+    fixes it. No-op (zero plan change) in BOTH directions that matter:
+
+    * input already has >= n partitions — always true at real scale,
+      where a 100 TB scan has ~10⁶ splits;
+    * input is so small (< ``min_task_bytes`` per resulting task, i.e.
+      < ~32 MB total at the default 32-way floor) that even single-core
+      CPU-heavy work is sub-second — there the exchange + n-task
+      scheduling overhead exceeds what it saves (measured: the
+      unconditional floor regressed winnow_candidates 0.58 s → 0.77 s on
+      a 0.6 MB fixture). When byte size is unknowable (remote files) the
+      floor stays on: at real remote scale est >= n makes it a no-op
+      anyway, and an under-split remote input is exactly the case the
+      floor exists for.
+    """
     n = min_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -80,6 +120,9 @@ def floor_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataF
         # no file leaves — exact probe; such plans are small by nature
         est = df.rdd.getNumPartitions()
     if est >= n:
+        return df
+    size = _estimated_input_bytes(df)
+    if size is not None and size < n * min_task_bytes:
         return df
     # est is a lower bound: a multi-file input with fewer files than n may
     # in fact have >= n splits, in which case this exchange is redundant
@@ -331,8 +374,15 @@ def global_row_number(
     choice mirrors what AQE does for exchanges, keyed on actual input
     parallelism rather than a size guess.
     """
+    # _estimated_input_splits is a documented LOWER bound — sound evidence
+    # for "parallel enough" (est >= 2 proves >= 2 splits) but NOT for
+    # "single split": one non-file: parquet object, or a post-shuffle plan
+    # whose leaf is one small file, estimates 1 while the actual dataset is
+    # huge. Trust the estimate only in its sound direction; before choosing
+    # the single-task global-window branch, confirm with the exact (but
+    # eager-planning) getNumPartitions probe.
     est = _estimated_input_splits(df)
-    if est is None:
+    if est is None or est <= 1:
         est = df.rdd.getNumPartitions()
     if est <= 1:
         return df.withColumn(

@@ -1085,10 +1085,19 @@ def knn_recall(
     hash-agg shuffle is negligible next to the searches themselves; the
     join key is (query, neighbor) so skew is impossible (≤ k rows per
     query).
+
+    Both inputs are de-duplicated on (query, neighbor) first: a duplicate
+    pair in ``approx`` would otherwise fan out the left join and inflate
+    n_exact AND n_hit (count(*) counts the multiplied rows), silently
+    overstating recall. Top-k producers emit unique pairs, but the
+    function accepts arbitrary DataFrames.
     """
-    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    e = exact.select(F.col(query_col), F.col(neighbor_col)).dropDuplicates(
+        [query_col, neighbor_col]
+    )
     a = (
         approx.select(F.col(query_col), F.col(neighbor_col))
+        .dropDuplicates([query_col, neighbor_col])
         .withColumn("_hit", F.lit(1))
     )
     return (

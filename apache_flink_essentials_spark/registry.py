@@ -3760,10 +3760,18 @@ _register(
 
 
 # PCA is float-iterative (eigendecomposition) → rows-only driver check;
-# direction/variance/determinism semantics pinned in tests (SURVEY §5)
+# direction/variance/determinism semantics pinned in tests (SURVEY §5).
+# The registered output flattens the array<double> projection into scalar
+# pc0..pc3 columns: the driver's pandas canonicalizer factorizes column
+# values and cannot hash Python lists (same class of err that hit
+# text_inverted_index in r3 — see VERDICT r4 item 1). Library users call
+# V.pca_project directly and keep the array column.
 _register("vec_pca_project")(
     lambda spark, sf: (lambda emb: V.pca_project(
         emb, V.pca_fit(emb, k=4, dim=64)
+    ).select(
+        "vec_id",
+        *[F.col("pca")[i].alias(f"pc{i}") for i in range(4)],
     ))(load_table(spark, "embeddings", sf))
 )
 

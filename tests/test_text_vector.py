@@ -710,3 +710,30 @@ def test_dsir_weights_favor_target_language(spark):
     assert abs(got[0] - (0.0 - 2 * norm)) < 1e-5
     assert abs(got[1] - (-math.log10(2) - norm)) < 1e-5
     assert got[0] > 0 > got[1]
+
+
+def test_bigram_logprob_window_and_join_paths_agree(spark):
+    # The small-input window formulation and the 100 TB shuffle-join
+    # formulation must agree bit-for-bit (order-independent exact integer
+    # micro-log sums). A file-backed input exercises the size probe.
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = X.bigram_logprob(df).orderBy("doc_id").collect()
+    large = X.bigram_logprob(
+        df, window_max_input_bytes=0
+    ).orderBy("doc_id").collect()
+    assert small == large
+    assert len(small) > 0
+
+
+def test_knn_recall_dedupes_duplicate_pairs(spark):
+    # duplicate (query, neighbor) rows in approx must not fan out the
+    # join and overstate recall (ADVICE r4)
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "query_id long, neighbor_id long"
+    )
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall)
+           for r in V.knn_recall(exact, approx).collect()}
+    assert got[1] == (2, 1, 0.5)

@@ -234,3 +234,19 @@ def test_floor_parallelism_only_triggers_when_under_parallel(spark):
     assert floored.count() == 10
     wide = spark.range(100).repartition(64)
     assert floor_parallelism(wide) is wide  # zero plan change when parallel
+
+
+def test_floor_parallelism_byte_gate_skips_tiny_files(spark):
+    # A provably-tiny local parquet file (< min_task_bytes per resulting
+    # task) must NOT be floored: the exchange + n-task scheduling overhead
+    # exceeds what it saves (measured regression on a 0.6 MB fixture).
+    from apache_flink_essentials_spark.operators.transform import (
+        floor_parallelism,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert floor_parallelism(df) is df
+    # forcing a tiny per-task byte floor re-enables the exchange
+    floored = floor_parallelism(df, min_task_bytes=1)
+    assert floored is not df
+    assert floored.count() == df.count()
