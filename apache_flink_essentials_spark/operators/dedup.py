@@ -186,6 +186,12 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
+    PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
+    pair emitted, matching the DuckDB oracle on test fixtures). At
+    100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
+    pairs in a single task. Recommended starting points and the
+    recall argument are in SCALING.md §'Hot-block caps'.
+
     Performance structure (measured 70× faster than the naive all-pairs
     shape at sf0.1; the bucket-groupBy form below is another ~1.7× over a
     band self-join because the md5-heavy signature subtree is evaluated
@@ -282,7 +288,20 @@ def ngram_jaccard_pairs(
     """Exact n-gram (token-set) Jaccard over BLOCKED pairs: a cheap blocking
     key (default: same lang + same source) confines the quadratic step.
     Complement to minhash_lsh_pairs when a natural blocking key exists.
-    ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``)."""
+    ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``).
+
+    PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
+    pair emitted, matching the DuckDB oracle on test fixtures). At
+    100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
+    pairs in a single task. Recommended starting points and the
+    recall argument are in SCALING.md §'Hot-block caps'.
+
+    PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
+    pair emitted, matching the DuckDB oracle on test fixtures). At
+    100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
+    pairs in a single task. Recommended starting points and the
+    recall argument are in SCALING.md §'Hot-block caps'.
+    """
     block_cols = block_cols or ["lang"]
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.array_distinct(tokens_expr(text_col)).alias("tok")

@@ -643,6 +643,11 @@ def winnow_candidate_pairs(
     overlap also selects any non-hot fingerprint, which is why MOSS-style
     systems always ship this cap. Completeness then holds for overlaps
     not entirely made of capped fingerprints.
+       PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
+    pair emitted, matching the DuckDB oracle on test fixtures). At
+    100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
+    pairs in a single task. Recommended starting points and the
+    recall argument are in SCALING.md §'Hot-block caps'.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     # Bucket formulation (the dedup.py LSH-band idiom) instead of a

