@@ -24,7 +24,7 @@ after dedup.
 from __future__ import annotations
 
 import math
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -763,4 +763,53 @@ def dsir_weights(
                 )
             ).alias("log_weight"),
         )
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card summary table (the "data statement" every released
+    training corpus ships): per (lang, source) stratum — document count,
+    exact token count, the stratum's share of corpus tokens, documents
+    passing the full Gopher rule battery, the pass rate, and mean tokens
+    per document.
+
+    Every ratio is a division of two EXACT integers (counts/sums of
+    longs), so results are bit-identical to the SQL oracle with no
+    decimal/rounding machinery — the module's portability conventions.
+
+    Scale: one scan computing per-doc token count + Gopher conjunction
+    inside codegen, one map-side-combining hash aggregate on the stratum
+    key, then the corpus-total window over the AGGREGATED relation
+    (|langs × sources| rows — a single-partition exchange of a few
+    hundred rows, not of data; the unpartitioned window is safe
+    precisely because it runs post-aggregation).
+    """
+    from apache_flink_essentials_spark.operators.text import (
+        gopher_pass_expr,
+        tokens_expr,
+    )
+
+    base = df.select(
+        *group_cols,
+        F.size(tokens_expr(text_col)).alias("_nt"),
+        gopher_pass_expr(text_col).cast("long").alias("_pass"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_pass").alias("n_gopher_pass"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / total).alias("token_share"),
+        "n_gopher_pass",
+        (F.col("n_gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
+        (F.col("n_tokens") / F.col("n_docs")).alias("avg_doc_tokens"),
     )

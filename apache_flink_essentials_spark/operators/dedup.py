@@ -921,3 +921,102 @@ def containment_pairs(
         ).alias("_d")
     ).select("_d.src_id", "_d.dst_id", "_d.containment")
     return directed.filter(F.col("containment") >= threshold)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n{2,}",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2019, public
+    arXiv 1911.00359): split every document into paragraphs, keep only the
+    FIRST occurrence of each distinct paragraph corpus-wide (first = lowest
+    ``(doc_id, para_idx)``), and mark the rest as duplicates. The standard
+    pre-pass before document-level dedup — boilerplate (cookie banners,
+    nav footers) repeats across millions of pages at paragraph granularity
+    while the enclosing documents stay distinct.
+
+    Returns one row per paragraph: ``(doc_id, para_idx, paragraph, kept)``.
+    ``paragraph_dedup_docs`` reconstructs the retained text per document.
+
+    Scale (100 TB): explode is narrow; the first-occurrence pass is a
+    groupBy on the paragraph hash whose ``min(struct(doc_id, para_idx))``
+    partial-aggregates map-side, so a boilerplate paragraph occurring 10⁹
+    times arrives at its reducer as one row per upstream partition — hot
+    paragraphs cannot hot-spot the shuffle (this is why it is NOT a window
+    ``row_number over (partition by paragraph)``, which funnels every copy
+    of a hot paragraph through one task). The join back is a plain
+    equi-join on the hash; AQE picks the strategy.
+
+    ``sep_regex`` chooses the unit (default blank-line paragraphs; use
+    ``'\\n'`` for line-level dedup). ``min_chars`` drops split artifacts
+    (empty/whitespace fragments) before matching, identically on the
+    oracle side.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+            "para_idx", "paragraph"
+        ),
+    ).filter(F.length("paragraph") >= min_chars)
+    key = F.md5(F.col("paragraph")).alias("_pkey")
+    keyed = paras.select(id_col, "para_idx", "paragraph", key)
+    first = keyed.groupBy("_pkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_first")
+    )
+    return (
+        keyed.join(first, "_pkey")
+        .select(
+            id_col,
+            "para_idx",
+            "paragraph",
+            (
+                F.struct(F.col(id_col), F.col("para_idx")) == F.col("_first")
+            ).alias("kept"),
+        )
+    )
+
+
+def paragraph_dedup_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n{2,}",
+    sep_out: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Document reconstruction over ``paragraph_dedup``: per document, the
+    paragraph counts and the retained text (first-occurrence paragraphs
+    only, original order, joined with ``sep_out``). Documents whose every
+    paragraph was seen earlier come back with ``retained_text = ''`` —
+    the caller filters on ``n_kept`` to drop fully-boilerplate docs.
+
+    One extra shuffle over ``paragraph_dedup`` (the per-doc re-aggregate,
+    keyed on ``doc_id`` — uniform). Reconstruction sorts each doc's
+    paragraph structs with ``array_sort`` (struct order = field order, so
+    ``para_idx`` leads) — per-row, no global sort.
+    """
+    marked = paragraph_dedup(df, id_col, text_col, sep_regex, min_chars)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep_out,
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("para_idx", "paragraph", "kept")
+                            )
+                        ),
+                        lambda s: s["kept"],
+                    ),
+                    lambda s: s["paragraph"],
+                ),
+            ).alias("retained_text"),
+        )
+    )

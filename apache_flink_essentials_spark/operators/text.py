@@ -914,3 +914,132 @@ def bigram_logprob(
             ),
         )
     )
+
+
+# Gopher rule-set stopwords (Rae et al. 2021 §A1.1: "contains at least two
+# of the following English words"). Distinct from STOPWORDS_EN, which feeds
+# the ratio features — this list is the membership test the paper specifies.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_BULLETS = ["-", "*", "•", "‣"]
+
+
+def _gopher_exprs(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> tuple[dict[str, Column], dict[str, Column], Column]:
+    """Shared expression builder for the Gopher rule battery: returns
+    (metrics, flags, overall-conjunction) so the per-doc flag table and
+    wider single-scan compositions (``curation.dataset_card``) emit the
+    SAME columns without re-deriving them."""
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = total_len / n_words
+    # '#' occurrences + '...' occurrences, counted by length difference
+    # (integer arithmetic — portable); '…' counts as an ellipsis symbol too
+    hash_cnt = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    ell_cnt = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    uni_ell_cnt = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "…", "")
+    )
+    symbol_ratio = (hash_cnt + ell_cnt + uni_ell_cnt) / n_words
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_re = "^[\\s]*[" + "".join(GOPHER_BULLETS) + "]"
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(bullet_re))
+    )
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    bullet_frac = n_bullet / n_lines
+    ellipsis_frac = n_ellipsis_end / n_lines
+    alpha_frac = n_alpha / n_words
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_bullet": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "ok_alpha": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    overall = None
+    for c in flags.values():
+        overall = c if overall is None else (overall & c)
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+    }
+    return metrics, flags, overall
+
+
+def gopher_pass_expr(text_col: str = "text", **thresholds) -> Column:
+    """The Gopher rule conjunction as a single reusable Column (see
+    ``gopher_quality_flags`` for rule semantics and thresholds)."""
+    return _gopher_exprs(text_col, **thresholds)[2]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, "Scaling Language
+    Models" appendix A1.1 — the public filter battery RefinedWeb/Dolma
+    reuse): per document, the raw rule metrics, one boolean per rule, and
+    the conjunction ``gopher_pass``. Thresholds default to the paper's
+    (keyword overrides: min_words=50, max_words=100_000,
+    min_mean_word_len=3, max_mean_word_len=10, max_symbol_ratio=0.1,
+    max_bullet_frac=0.9, max_ellipsis_frac=0.3, min_alpha_frac=0.8,
+    min_stopword_hits=2).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; <= 90% of lines
+    start with a bullet; <= 30% of lines end with an ellipsis; >= 80% of
+    words contain an alphabetic character; >= 2 distinct required
+    stopwords present.
+
+    Scale: pure Column expressions over ONE scan — no shuffle, no Python,
+    whole-stage codegen end to end; at 100 TB this runs at parquet read
+    speed and the flags prune before any downstream shuffle. Ratios are
+    exact int/int IEEE divisions in the same operand order as the DuckDB
+    oracle (see text_stats for the portability argument).
+    """
+    metrics, flags, overall = _gopher_exprs(text_col, **thresholds)
+    return df.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in metrics.items()],
+        *[expr.alias(name) for name, expr in flags.items()],
+        overall.alias("gopher_pass"),
+    )

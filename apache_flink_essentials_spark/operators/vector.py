@@ -1116,3 +1116,338 @@ def knn_recall(
             (F.col("n_hit") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+# =========================================================================
+# Product quantization (PQ) — the memory-side ANN tier (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", public TPAMI paper).
+# Complements the existing tiers: LSH (hash buckets), IVF (coarse
+# partition), int8 SQ (uniform scalar codes) — PQ gives sub-vector k-means
+# codes, 8× smaller than int8 at comparable recall, and Asymmetric
+# Distance Computation (ADC) scores compressed codes against exact queries
+# without decompressing.
+# =========================================================================
+
+
+def _sq_dist_expr(vec: Column, center: list[float]) -> Column:
+    """Squared L2 between an array column and a literal center — the same
+    zip_with/aggregate fold the IVF tier uses (module-level for PQ)."""
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    normalize: bool = False,
+    use_arrow: bool = True,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: split each vector into ``m`` contiguous
+    sub-vectors and run deterministic Lloyd's (lowest-id init, no RNG)
+    independently per subspace. Returns ``m`` codebooks of ``k``
+    sub-centroids each (``m × k × dim/m``). ``normalize=True`` L2-
+    normalizes rows first — squared L2 over unit vectors is monotonic in
+    cosine, so the downstream ADC search ranks by the cosine metric the
+    exact KNN tier uses.
+
+    All m subspaces fit in ONE pass per iteration (Lloyd's is independent
+    per subspace). Arrow path: each batch encodes with one matmul per
+    subspace and emits per-(subspace, code) partial sub-vector sums via
+    ``np.add.at`` — the shuffle carries m·k partial rows per batch, NOT
+    the exploded data (the map-side-combine idea executed in numpy).
+    ``use_arrow=False`` is the pure-expression form (posexplode + avg —
+    same means up to float summation order; planted-data equality is
+    pinned in tests). Only the codebook floats ever reach the driver.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seed_rows = [
+        [float(x) for x in r[0]]
+        for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+    ]
+    if normalize:
+        import math
+
+        seed_rows = [
+            [x / (math.sqrt(sum(v * v for v in row)) or 1.0) for x in row]
+            for row in seed_rows
+        ]
+    books = [[v[s * sub:(s + 1) * sub] for v in seed_rows] for s in range(m)]
+
+    if use_arrow:
+        import numpy as np
+
+        for _ in range(iters):
+            partials = _pq_partials(embeddings, books, sub, vec_col, normalize)
+            agg = (
+                partials.groupBy("s", "c")
+                .agg(
+                    F.array(*[
+                        F.sum(F.element_at("sums", d + 1)) for d in range(sub)
+                    ]).alias("sums"),
+                    F.sum("cnt").alias("cnt"),
+                )
+                .collect()
+            )
+            new_books = [[list(books[s][c]) for c in range(k)] for s in range(m)]
+            for r in agg:
+                if r.cnt:
+                    new_books[r.s][r.c] = [x / r.cnt for x in r.sums]
+            books = new_books
+        return books
+
+    base = embeddings
+    if normalize:
+        base = base.select(
+            F.col(id_col),
+            F.transform(
+                vec_col, lambda x: x.cast("double") / norm_expr(F.col(vec_col))
+            ).alias(vec_col),
+        )
+    for _ in range(iters):
+        enc = pq_encode(base, books, id_col, vec_col, use_arrow=False)
+        per_dim = (
+            enc.select(
+                F.col("pq_codes"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .select(
+                (F.col("pos") / sub).cast("int").alias("s"),
+                F.element_at(
+                    F.col("pq_codes"), (F.col("pos") / sub).cast("int") + 1
+                ).alias("c"),
+                (F.col("pos") % sub).alias("d"),
+                F.col("val").cast("double").alias("val"),
+            )
+            .groupBy("s", "c", "d")
+            .agg(F.avg("val").alias("mean"))
+        )
+        rows = per_dim.collect()
+        new_books = [[list(books[s][c]) for c in range(k)] for s in range(m)]
+        seen: set[tuple[int, int]] = set()
+        for r in rows:
+            new_books[r.s][r.c][r.d] = r.mean
+            seen.add((r.s, r.c))
+        books = [
+            [new_books[s][c] if (s, c) in seen else books[s][c] for c in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
+def _pq_partials(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    sub: int,
+    vec_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """One Arrow pass over the corpus: encode each batch against the
+    current codebooks and emit per-(subspace, code) partial sub-vector
+    sums + counts — m·k tiny rows per batch, a numpy map-side combine."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    k = len(books[0])
+    B = [np.array(b, dtype=np.float64) for b in books]
+    b_sq = [(C * C).sum(axis=1) for C in B]
+    spark = embeddings.sparkSession
+
+    def gen(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(V):
+                continue
+            if normalize:
+                n = np.linalg.norm(V, axis=1, keepdims=True)
+                n[n == 0.0] = 1.0
+                V = V / n
+            out_s, out_c, out_sums, out_cnt = [], [], [], []
+            for s in range(m):
+                Vs = V[:, s * sub:(s + 1) * sub]
+                d = b_sq[s][None, :] - 2.0 * (Vs @ B[s].T)
+                codes = d.argmin(axis=1)
+                sums = np.zeros((k, sub), dtype=np.float64)
+                np.add.at(sums, codes, Vs)
+                cnts = np.bincount(codes, minlength=k)
+                nz = np.nonzero(cnts)[0]
+                out_s.extend([s] * len(nz))
+                out_c.extend(int(c) for c in nz)
+                out_sums.extend(list(sums[c]) for c in nz)
+                out_cnt.extend(int(cnts[c]) for c in nz)
+            yield pd.DataFrame(
+                {"s": out_s, "c": out_c, "sums": out_sums, "cnt": out_cnt}
+            )
+
+    return embeddings.select(vec_col).mapInPandas(
+        gen, schema="s int, c int, sums array<double>, cnt long"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+    out_col: str = "pq_codes",
+    normalize: bool = False,
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest sub-centroid per
+    subspace, squared L2, lowest-index tiebreak). A narrow map — no
+    shuffle; at 100 TB this is the write path of a PQ index build and runs
+    at scan speed. ``normalize=True`` L2-normalizes rows first (in numpy
+    on the Arrow path — free next to the matmul).
+
+    Arrow path: one (n × k) matmul per subspace per batch. Expression
+    path (``use_arrow=False``): the ``array_min(struct(dist, idx))``
+    argmin idiom — identical codes, pinned in tests."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if use_arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        B = [np.array(b, dtype=np.float64) for b in codebooks]
+        b_sq = [(C * C).sum(axis=1) for C in B]
+
+        @pandas_udf("array<int>")
+        def codes(vecs):
+            import pandas as pd
+
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            if normalize and len(V):
+                n = np.linalg.norm(V, axis=1, keepdims=True)
+                n[n == 0.0] = 1.0
+                V = V / n
+            out = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * sub:(s + 1) * sub]
+                d = b_sq[s][None, :] - 2.0 * (Vs @ B[s].T)
+                out[:, s] = d.argmin(axis=1)
+            return pd.Series(list(out))
+
+        return embeddings.withColumn(out_col, codes(F.col(vec_col)))
+
+    vec = F.col(vec_col)
+    if normalize:
+        vec = F.transform(
+            vec_col, lambda x: x.cast("double") / norm_expr(F.col(vec_col))
+        )
+
+    def sub_code(s: int) -> Column:
+        sv = F.slice(vec, s * sub + 1, sub)
+        dists = F.array(*[
+            F.struct(_sq_dist_expr(sv, c).alias("d"), F.lit(j).alias("c"))
+            for j, c in enumerate(codebooks[s])
+        ])
+        return F.array_min(dists)["c"]
+
+    return embeddings.withColumn(out_col, F.array(*[sub_code(s) for s in range(m)]))
+
+
+def pq_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    pre_encoded: DataFrame | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation: each query
+    precomputes an ``m × k`` table of exact squared distances from its
+    sub-vectors to every sub-centroid (ONE row-local expression over the
+    tiny query set), then every (query, code) pair scores as ``m`` table
+    lookups — no decompression, no per-pair arithmetic beyond the m adds.
+
+    Plan shape: broadcast(queries + their distance tables) × encoded
+    corpus → per-pair ADC sum (statically unrolled — stays in codegen)
+    → per-query top-k window. The big side never shuffles; the quadratic
+    stage touches only the m-int codes, not the d-float vectors — at
+    100 TB the scan reads ~3% of the raw-vector bytes (m=8 ints vs 64
+    floats). Distances are rounded before ranking (id tiebreak) for
+    cross-run determinism. ``normalize=True`` ranks by cosine (unit-
+    vector squared L2); fit/encode/search must agree on it.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = (
+        pre_encoded
+        if pre_encoded is not None
+        else pq_encode(embeddings, codebooks, id_col, vec_col, normalize=normalize)
+    )
+    e = enc.select(F.col(id_col).alias("neighbor_id"), F.col("pq_codes"))
+
+    # The m×k distance tables are computed DRIVER-SIDE in numpy from the
+    # collected query vectors and shipped as plain data. An ANN query set
+    # is request-sized (tens to thousands of rows), never data-sized, so
+    # this collect is aggregate-sized by contract — the same rule the
+    # IVF/k-means tier applies to centroids. The expression-tree
+    # alternative (m·k nested zip_with/aggregate folds per query row)
+    # costs more in driver ANALYSIS time than the whole search at any
+    # scale, and evaluates interpreted.
+    import numpy as np
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    tables = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        if normalize:
+            nrm = float(np.linalg.norm(v))
+            v = v / (nrm or 1.0)
+        dt = [
+            [
+                float(((v[s * sub:(s + 1) * sub] - np.asarray(c)) ** 2).sum())
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        tables.append((r[0], dt))
+    q = embeddings.sparkSession.createDataFrame(
+        tables, schema=f"query_id {dict(queries.dtypes)[id_col]}, _dt array<array<double>>"
+    )
+    # the per-pair ADC sum is STATICALLY unrolled over the m subspaces
+    # (m is known from the codebooks): m element_at lookups joined by
+    # plain `+` stay inside whole-stage codegen, where the equivalent
+    # F.aggregate(sequence(...)) higher-order fold would evaluate
+    # interpreted per pair — on the quadratic (query × corpus) stage
+    # that interpretation tax is the whole runtime
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_dt"), s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, round_dp).alias("adc_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )

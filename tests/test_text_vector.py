@@ -737,3 +737,223 @@ def test_knn_recall_dedupes_duplicate_pairs(spark):
     got = {r.query_id: (r.n_exact, r.n_hit, r.recall)
            for r in V.knn_recall(exact, approx).collect()}
     assert got[1] == (2, 1, 0.5)
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    from apache_flink_essentials_spark.operators.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything (enough stopword-bearing words, sane lengths)
+            (1, " ".join(["the", "cat", "sat", "and", "ran", "off"] * 10)),
+            # too short
+            (2, "the and tiny doc"),
+            # symbol-heavy: many '#'
+            (3, " ".join(["the", "and"] + ["##word"] * 60)),
+            # bullet lines dominate
+            (4, "\n".join(["- the item and stuff word here extra pad"] * 10)),
+            # ellipsis line endings dominate
+            (5, "\n".join(["the thing and more..."] * 10)),
+            # numeric tokens (alpha fraction fails)
+            (6, " ".join(["the", "and"] + ["12345"] * 60)),
+            # no required stopwords
+            (7, " ".join(["zig", "zag", "word", "pad"] * 20)),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {
+        row.doc_id: row
+        for row in gopher_quality_flags(docs, min_words=10).collect()
+    }
+    assert r[1].gopher_pass
+    assert not r[2].ok_word_count and not r[2].gopher_pass
+    assert not r[3].ok_symbol_ratio and not r[3].gopher_pass
+    assert not r[4].ok_bullet and not r[4].gopher_pass
+    assert not r[5].ok_ellipsis and not r[5].gopher_pass
+    assert not r[6].ok_alpha and not r[6].gopher_pass
+    assert not r[7].ok_stopwords and not r[7].gopher_pass
+    # metric sanity: doc 1 has 60 words of mean length (3+3+3+3+3+3)/6 = 3
+    assert r[1].n_words == 60
+    assert abs(r[1].mean_word_len - 3.0) < 1e-12
+
+
+def test_gopher_pass_expr_matches_flag_table(spark):
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators.text import (
+        gopher_pass_expr,
+        gopher_quality_flags,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    via_table = {
+        r.doc_id: r.gopher_pass for r in gopher_quality_flags(docs).collect()
+    }
+    via_expr = {
+        r.doc_id: r.p
+        for r in docs.select("doc_id", gopher_pass_expr().alias("p")).collect()
+    }
+    assert via_table == via_expr and len(via_table) > 0
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_first_occurrence_and_reconstruction(spark):
+    from apache_flink_essentials_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ncommon boilerplate\n\ngamma"),
+            (2, "common boilerplate\n\ndelta"),
+            # doc 3 is ALL previously-seen paragraphs
+            (3, "common boilerplate\n\ngamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    marked = {
+        (r.doc_id, r.para_idx): (r.paragraph, r.kept)
+        for r in paragraph_dedup(docs).collect()
+    }
+    # first occurrence of the boilerplate is (1, 1); later copies dropped
+    assert marked[(1, 1)] == ("common boilerplate", True)
+    assert marked[(2, 0)] == ("common boilerplate", False)
+    assert marked[(3, 0)] == ("common boilerplate", False)
+    assert marked[(3, 1)] == ("gamma", False)
+    assert marked[(1, 0)][1] and marked[(1, 2)][1] and marked[(2, 1)][1]
+
+    recon = {
+        r.doc_id: r for r in paragraph_dedup_docs(docs).collect()
+    }
+    assert recon[1].retained_text == "alpha beta\n\ncommon boilerplate\n\ngamma"
+    assert recon[2].retained_text == "delta"
+    assert recon[3].retained_text == ""
+    assert (recon[3].n_paras, recon[3].n_kept) == (2, 0)
+    assert (recon[1].n_paras, recon[1].n_kept) == (3, 3)
+
+
+def test_paragraph_dedup_no_hot_key_window(spark):
+    """The first-occurrence pass must be a hash aggregate (map-side
+    combinable), NOT a window over the paragraph key — a hot paragraph
+    would funnel through one task under a window."""
+    from apache_flink_essentials_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([(1, "x\n\ny")], ["doc_id", "text"])
+    plan = paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # min(struct) plans as SortAggregate with a map-side partial_min —
+    # the partial is what makes a hot paragraph arrive at its reducer as
+    # one row per upstream partition
+    assert "partial_min" in plan
+
+
+# ------------------------------------------------------------------- pq
+
+
+def _planted_pq_df(spark):
+    """Vectors assembled from 4 distinct sub-vectors per 2 subspaces —
+    a k=4 codebook can represent them LOSSLESSLY, so ADC distances equal
+    exact squared L2 and PQ top-k equals exact top-k."""
+    import itertools
+
+    subs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    # diagonal pairs first: the lowest-id k-means init then seeds each
+    # subspace with 4 DISTINCT sub-vectors, so Lloyd's converges to the
+    # lossless codebook
+    pairs = [(a, a) for a in range(4)] + [
+        (a, b) for a, b in itertools.product(range(4), range(4)) if a != b
+    ]
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((i, [float(x) for x in subs[a] + subs[b]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators.vector import pq_encode, pq_fit
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    books = pq_fit(emb, m=4, k=8, iters=1, dim=64)
+    a = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb, books, use_arrow=True).collect()
+    }
+    e = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb, books, use_arrow=False).collect()
+    }
+    assert a == e and len(a) == 500
+
+
+def test_pq_fit_arrow_matches_expression_path(spark):
+    from apache_flink_essentials_spark.operators.vector import pq_fit
+
+    df = _planted_pq_df(spark)
+    arrow = pq_fit(df, m=2, k=4, iters=2, dim=8, use_arrow=True)
+    expr = pq_fit(df, m=2, k=4, iters=2, dim=8, use_arrow=False)
+    for s in range(2):
+        for c in range(4):
+            for x, y in zip(arrow[s][c], expr[s][c]):
+                assert abs(x - y) < 1e-9
+
+
+def test_pq_adc_exact_when_codebook_lossless(spark):
+    """With every distinct sub-vector present as a centroid, quantization
+    is lossless: ADC squared distance == exact squared distance, and the
+    PQ top-k is the exact L2 top-k."""
+    import numpy as np
+    from apache_flink_essentials_spark.operators.vector import pq_fit, pq_search
+
+    df = _planted_pq_df(spark)
+    books = pq_fit(df, m=2, k=4, iters=3, dim=8)
+    res = pq_search(df, df.filter("vec_id < 3"), books, k=15)
+    rows = [r for r in res.collect()]
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    for r in rows:
+        true = float(((vecs[r.query_id] - vecs[r.neighbor_id]) ** 2).sum())
+        assert abs(r.adc_sq_dist - true) < 1e-6
+
+
+def test_pq_normalized_search_recalls_planted_clusters(spark):
+    """Ten tight clusters around distinct axis directions: normalized PQ
+    search must put same-cluster members at the top — recall@4 == 1."""
+    import numpy as np
+    from apache_flink_essentials_spark.operators.vector import (
+        knn_recall,
+        pq_fit,
+        pq_search,
+        knn_cosine_bruteforce,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for cl in range(10):
+        center = np.zeros(16)
+        center[cl] = 10.0
+        for j in range(5):
+            v = center + rng.normal(0, 0.05, 16)
+            # interleaved ids (j*10+cl): the k=16 lowest-id init then
+            # seeds at least one sub-centroid near every cluster
+            rows.append((j * 10 + cl, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_fit(df, m=4, k=16, iters=3, dim=16, normalize=True)
+    approx = pq_search(
+        df, df.filter("vec_id < 10"), books, k=4, normalize=True
+    )
+    exact = knn_cosine_bruteforce(df, df.filter("vec_id < 10"), k=4)
+    rec = knn_recall(exact, approx).collect()
+    assert len(rec) == 10
+    for r in rec:
+        assert r.recall == 1.0
