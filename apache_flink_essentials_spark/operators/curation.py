@@ -813,3 +813,52 @@ def dataset_card(
         (F.col("n_gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
         (F.col("n_tokens") / F.col("n_docs")).alias("avg_doc_tokens"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 5,
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3, public
+    arXiv 1911.00359): rank documents by an LM quality score (e.g.
+    ``text.unigram_logprob``'s mean log-probability) and split them into
+    ``n_buckets`` equal-count bins — the standard head/middle/tail split
+    used to mix "fluent" against "diverse" data in a training corpus.
+    Returns per bucket: doc count, token mass, and the score range.
+    Bucket 1 = lowest score (most surprising text).
+
+    Exact and engine-portable: ranks come from ``global_row_number``
+    over the TOTAL order (score, id) — no sampling, no approximate
+    percentiles — and the bucket id is integer floor arithmetic
+    ``(rn-1)·n_buckets div n``, so equal-count semantics are
+    reproducible bit-for-bit against the SQL oracle.
+
+    Scale: the ranking is the two-phase range-partition pass (every
+    stage distributed — see ``global_row_number``); the corpus count is
+    a 1-row broadcast; the final aggregate is a hash-agg on
+    ``n_buckets`` keys with map-side combine. Nothing data-sized ever
+    converges on one task.
+    """
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_row_number(scored, [score_col, id_col], "rn").crossJoin(
+        F.broadcast(total)
+    )
+    bucket = (
+        F.floor(((F.col("rn") - 1) * n_buckets) / F.col("_n")) + 1
+    ).alias("bucket")
+    return (
+        ranked.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(weight_col).alias(weight_col),
+            F.min(score_col).alias(f"min_{score_col}"),
+            F.max(score_col).alias(f"max_{score_col}"),
+        )
+    )

@@ -577,8 +577,23 @@ def winnow_fingerprints(
 
     M = 2147483647  # 2^31 - 1: keeps acc*31 + tok < 2^36, safe in bigint
     qid = f"`{id_col}`"
+    # min_task_bytes is sized to THIS stage's per-byte cost, not the
+    # default: each input byte costs ~30 interpreted ops (a per-token
+    # md5+conv, then k zip_with multiply-adds and w least-folds per
+    # gram), so a single core saturates near 16 KB/task and the floor
+    # pays for itself on inputs far below the generic 1 MB/task gate —
+    # measured: the generic gate left the whole hash leg on ONE task at
+    # bench SF (0.6 MB input, ~0.9 s single-core vs ~0.1 s exchange)
+    # min_partitions = CORES, not shuffle partitions: the hash leg is
+    # CPU-bound, and the bench session deliberately halves shuffle
+    # partitions for its KB-sized exchanges — the right task count for
+    # compute is the core count
     base = (
-        floor_parallelism(df)
+        floor_parallelism(
+            df,
+            min_partitions=df.sparkSession.sparkContext.defaultParallelism,
+            min_task_bytes=1 << 14,
+        )
         .selectExpr(qid, rf"split(lower(`{text_col}`), '\\s+') AS _toks")
         .filter(f"size(_toks) >= {k + w - 1}")
     )

@@ -5168,3 +5168,80 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: CU.dataset_card(load_table(spark, "documents", sf)))
+
+
+# ---- IVF-PQ composite ANN (FAISS IVFPQ architecture) ----
+# Coarse k-means partition + PQ codes + nprobe-confined ADC. Both
+# quantizers are float-iterative → rows-only, like vec_ivf_search /
+# vec_pq_search; exactness at full probe + lossless codebooks is pinned
+# in tests. Scalar output columns only.
+def _ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T.floor_parallelism(
+        load_table(spark, "embeddings", sf), min_task_bytes=1 << 18
+    )
+    base = V._l2_normalized(emb, "vec_id", "embedding")
+    cents = V.kmeans_fit(base, k=8, iters=1, dim=64)
+    books = V.pq_fit(base, m=4, k=8, iters=1, dim=64)
+    idx = V.ivfpq_index(base, cents, books)
+    return V.ivfpq_search(
+        base,
+        base.filter(F.col("vec_id") < 10),
+        cents,
+        books,
+        k=5,
+        nprobe=3,
+        pre_indexed=idx,
+    )
+
+
+_register("vec_ivfpq_search", late=True)(_ivfpq)
+
+
+# ---- CCNet perplexity buckets (Wenzek et al. 2019 §4.3) ----
+# Equal-count LM-score bins over the exact integer-micro-log unigram
+# score; ranks via the distributed two-phase global_row_number, bucket id
+# via integer floor arithmetic — bit-identical to the window-function
+# oracle (which may use a plain OVER () because DuckDB runs single-node).
+_register(
+    "curation_perplexity_buckets",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS n_occ
+      FROM tok WHERE tok != '' GROUP BY doc_id, tok
+    ), cnt AS (
+      SELECT tok, sum(n_occ)::BIGINT AS cnt FROM occ GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt)::BIGINT AS total FROM cnt
+    ), s AS (
+      SELECT o.doc_id,
+             sum(o.n_occ)::BIGINT AS n_tokens,
+             sum(o.n_occ * round(log10(c.cnt::DOUBLE) * 1e6)::BIGINT)::BIGINT
+               AS s
+      FROM occ o JOIN cnt c USING (tok) GROUP BY o.doc_id
+    ), ulp AS (
+      SELECT doc_id, n_tokens,
+             s / (1e6 * n_tokens)
+               - log10((SELECT total FROM tot)::DOUBLE) AS mean_logprob
+      FROM s
+    ), ranked AS (
+      SELECT doc_id, n_tokens, mean_logprob,
+             row_number() OVER (ORDER BY mean_logprob, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM ulp
+    )
+    SELECT ((rn - 1) * 5) // n + 1 AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           min(mean_logprob) AS min_mean_logprob,
+           max(mean_logprob) AS max_mean_logprob
+    FROM ranked
+    GROUP BY 1
+    """,
+    late=True,
+)(lambda spark, sf: CU.perplexity_buckets(
+    X.unigram_logprob(load_table(spark, "documents", sf))
+))

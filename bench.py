@@ -132,6 +132,15 @@ HEADLINE = [
     "vec_embedding_dedup",
     "text_inverted_index",
     "dedup_exact_best",
+    # round-5 additions: Gopher rule battery, CCNet paragraph dedup,
+    # product-quantization ANN (index build + ADC search in one query —
+    # the heaviest by design, like vec_ivf_search), dataset-card report
+    "text_gopher_quality",
+    "dedup_paragraph",
+    "vec_pq_search",
+    "curation_dataset_card",
+    "vec_ivfpq_search",
+    "curation_perplexity_buckets",
 ]
 
 

@@ -957,3 +957,86 @@ def test_pq_normalized_search_recalls_planted_clusters(spark):
     assert len(rec) == 10
     for r in rec:
         assert r.recall == 1.0
+
+
+def test_ivfpq_exact_at_full_probe_with_lossless_codebooks(spark):
+    """nprobe = |centroids| and a codebook containing every distinct
+    sub-vector ⇒ IVF-PQ returns the exact L2 top-k with exact distances."""
+    import numpy as np
+    from apache_flink_essentials_spark.operators.vector import (
+        ivfpq_search,
+        kmeans_fit,
+        pq_fit,
+        pq_search,
+    )
+
+    df = _planted_pq_df(spark)
+    cents = kmeans_fit(df, k=4, iters=2, dim=8)
+    books = pq_fit(df, m=2, k=4, iters=3, dim=8)
+    res = ivfpq_search(
+        df, df.filter("vec_id < 3"), cents, books, k=15, nprobe=4
+    )
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        true = float(((vecs[r.query_id] - vecs[r.neighbor_id]) ** 2).sum())
+        assert abs(r.adc_sq_dist - true) < 1e-6
+    # full probe ≡ plain PQ over the whole corpus (same codes, all clusters)
+    flat = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_search(df, df.filter("vec_id < 3"), books, k=15).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == flat
+
+
+def test_ivfpq_partial_probe_subset_and_cluster_confinement(spark):
+    """nprobe=1 must only return candidates from each query's own coarse
+    cluster, and scores must match the full-probe scores for those
+    neighbors (probing changes the candidate set, never the distances)."""
+    from apache_flink_essentials_spark.operators.vector import (
+        ivfpq_index,
+        ivfpq_search,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    df = _planted_pq_df(spark)
+    cents = kmeans_fit(df, k=4, iters=2, dim=8)
+    books = pq_fit(df, m=2, k=4, iters=3, dim=8)
+    idx = {r.vec_id: r.cluster_id for r in ivfpq_index(df, cents, books).collect()}
+    part = ivfpq_search(df, df.filter("vec_id < 3"), cents, books, k=15, nprobe=1)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_sq_dist
+        for r in ivfpq_search(
+            df, df.filter("vec_id < 3"), cents, books, k=15, nprobe=4
+        ).collect()
+    }
+    rows = part.collect()
+    assert rows
+    for r in rows:
+        assert idx[r.neighbor_id] == idx[r.query_id]
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_sq_dist
+
+
+# ------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_equal_counts_and_ranges(spark):
+    from apache_flink_essentials_spark.io import load_table
+    from apache_flink_essentials_spark.operators.curation import (
+        perplexity_buckets,
+    )
+    from apache_flink_essentials_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    scored = unigram_logprob(docs)
+    n = scored.count()
+    out = sorted(perplexity_buckets(scored).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in out] == [1, 2, 3, 4, 5]
+    assert sum(r.n_docs for r in out) == n
+    # equal-count bins within 1 doc
+    assert max(r.n_docs for r in out) - min(r.n_docs for r in out) <= 1
+    # score ranges are ordered and non-overlapping
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_mean_logprob <= hi.min_mean_logprob
