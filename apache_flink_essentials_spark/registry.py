@@ -5245,3 +5245,20 @@ _register(
 )(lambda spark, sf: CU.perplexity_buckets(
     X.unigram_logprob(load_table(spark, "documents", sf))
 ))
+
+
+# ---- IVF recall row (completes the ANN quality triptych: quantized
+# recall is oracle-backed, LSH recall is oracle-backed via inlined
+# planes; IVF's centroids are float-iterative, so its recall row is
+# rows-only — but the driver still sees the 10 per-query recall rows) ----
+def _ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = V.kmeans_fit(emb, k=8, iters=2, dim=64)
+    return V.knn_recall(
+        V.knn_cosine_bruteforce(emb, q),
+        V.ivf_search(emb, q, cents, k=5, nprobe=2),
+    )
+
+
+_register("vec_ivf_recall", late=True)(_ivf_recall)
