@@ -1020,3 +1020,42 @@ def paragraph_dedup_docs(
             ).alias("retained_text"),
         )
     )
+
+
+def paragraph_dedup_stream(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n{2,}",
+    min_chars: int = 1,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``paragraph_dedup``: explode each arriving
+    document into paragraphs and emit only the FIRST occurrence of each
+    distinct paragraph within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` on the 16-byte paragraph hash —
+    the ``exact_dedup_stream`` state argument at paragraph granularity).
+
+    Semantics note vs batch: a stream cannot retroactively mark later
+    copies ``kept=false`` — it simply doesn't emit them — so the output
+    is the batch op's ``kept=true`` subset (first occurrence in ARRIVAL
+    order rather than ``(doc_id, para_idx)`` order; identical sets when
+    arrival follows doc order, which the stream≡batch test pins). State
+    holds one hash + timestamp per distinct paragraph inside the
+    horizon and is GC'd as the watermark advances — bounded regardless
+    of corpus size.
+    """
+    paras = (
+        df.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+                "para_idx", "paragraph"
+            ),
+        )
+        .filter(F.length("paragraph") >= min_chars)
+        .withColumn("_pkey", F.md5(F.col("paragraph")))
+    )
+    return paras.dropDuplicatesWithinWatermark(["_pkey"])

@@ -846,3 +846,32 @@ def test_last_touch_attribution_stream_equals_batch(spark, events):
     }
     assert got == batch and len(batch) > 0
     assert any(t is not None for _, _, _, t, _, _ in batch)
+
+
+def test_streaming_paragraph_dedup_matches_batch_kept_set(spark):
+    # documents sharing a boilerplate paragraph, replayed in doc order:
+    # the streaming first-occurrence set equals the batch kept=true set
+    from apache_flink_essentials_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_stream,
+    )
+
+    rows = [
+        (1, "alpha beta\n\ncommon boilerplate\n\ngamma"),
+        (2, "common boilerplate\n\ndelta"),
+        (3, "common boilerplate\n\ngamma"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "time", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    stream = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    out = run_stream_to_df(
+        paragraph_dedup_stream(stream, ts_col="time"), output_mode="append"
+    )
+    streamed = {r.paragraph for r in out.collect()}
+    batch_kept = {
+        r.paragraph for r in paragraph_dedup(docs).collect() if r.kept
+    }
+    assert streamed == batch_kept
+    # every distinct paragraph exactly once
+    assert len(out.collect()) == len(batch_kept)
