@@ -639,6 +639,98 @@ def temperature_weights(
     )
 
 
+def unimax_weights(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    budget_frac: float = 0.5,
+    epoch_cap: int = 2,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, arXiv 2304.09151):
+    distribute a token budget ``N = floor(budget_frac · total_tokens)`` as
+    UNIFORMLY as possible across languages subject to a per-language
+    repeat cap ``c_l = epoch_cap · tokens_l`` — the principled alternative
+    to `temperature_weights` (no tuned α; low-resource languages are
+    never over-epoched). The optimum is waterfilling: ``alloc_l =
+    min(c_l, t)`` with threshold t solving ``Σ min(c_l, t) = N``.
+
+    The iterative greedy in the paper has a CLOSED FORM over the
+    cap-sorted sequence, so no driver loop: with caps ascending and
+    prefix sums ``C_i``, the boundary candidate ``t_i = (N − C_{i−1}) /
+    (n − i + 1)`` is the true threshold for exactly the row(s) where
+    ``c_{i−1} ≤ t_i ≤ c_i`` (g(t) = Σ min(c, t) is piecewise-linear and
+    increasing, so the valid window is unique up to exact ties, which
+    yield the same t — min() collapses them). No valid row ⟺ ``Σ c ≤ N``
+    ⟺ every language gets its full cap. Caps, prefix sums and N are all
+    BIGINT; t/alloc/weight are single int/int divisions — unrounded per
+    the registry convention, bit-identical across engines.
+
+    Scale shape: one (lang) hash aggregation over the corpus (map-side
+    combined), then ALL window work runs on the language inventory —
+    cardinality ~100s of rows at any data scale — so the unpartitioned
+    windows are sketch-sized by construction, never data-sized.
+    """
+    from .text import tokens_expr
+
+    per = df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr(text_col))).alias("lang_tokens"),
+    ).withColumn(
+        "cap_tokens", (F.lit(epoch_cap) * F.col("lang_tokens")).cast("long")
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        F.floor(F.col("_total") * F.lit(budget_frac)).cast("long").alias(
+            "_budget"
+        ),
+        "_n",
+    )
+    w_ord = Window.orderBy("cap_tokens", lang_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_i", F.row_number().over(w_ord))
+        .withColumn("_cum", F.sum("cap_tokens").over(w_cum))
+        .withColumn("_prev_cap", F.lag("cap_tokens", 1, 0).over(w_ord))
+        .withColumn(
+            "_tc",
+            (F.col("_budget") - (F.col("_cum") - F.col("cap_tokens")))
+            / (F.col("_n") - F.col("_i") + 1).cast("double"),
+        )
+        .withColumn(
+            "_valid",
+            (F.col("_tc") <= F.col("cap_tokens").cast("double"))
+            & (F.col("_prev_cap").cast("double") <= F.col("_tc")),
+        )
+    )
+    w_all = Window.partitionBy()
+    thresholded = staged.withColumn(
+        "_t",
+        F.min(F.when(F.col("_valid"), F.col("_tc"))).over(w_all),
+    )
+    return thresholded.select(
+        F.col(lang_col),
+        "n_docs",
+        "lang_tokens",
+        "cap_tokens",
+        F.when(
+            F.col("_t").isNull(), F.col("cap_tokens").cast("double")
+        ).otherwise(
+            F.least(F.col("cap_tokens").cast("double"), F.col("_t"))
+        ).alias("alloc_tokens"),
+        (
+            F.when(
+                F.col("_t").isNull(), F.col("cap_tokens").cast("double")
+            ).otherwise(
+                F.least(F.col("cap_tokens").cast("double"), F.col("_t"))
+            )
+            / F.col("_budget").cast("double")
+        ).alias("weight"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,

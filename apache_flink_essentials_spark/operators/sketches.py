@@ -68,6 +68,145 @@ def frequent_items(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     return df.freqItems([col], support)
 
 
+def portable_hll_distinct(
+    df: DataFrame, col: str, keys: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct estimate (Flajolet et al. '07)
+    built from FIRST PRINCIPLES on deterministic md5 arithmetic — unlike
+    `approx_distinct` (Spark's opaque HLL++ binary sketch), every
+    intermediate here is reproducible bit-for-bit by any SQL engine, so
+    the estimate itself is oracle-checkable and sketch tables written by
+    this op can be merged by OTHER systems (the lakehouse-rollup
+    interchange case; cf. the Apache DataSketches portability argument).
+
+    Per row: a 48-bit hash (md5-prefix, the `winnow_fingerprints` idiom)
+    splits into a ``2^p``-way bucket and a 40-bit remainder whose
+    leading-zero rank is ``41 - bit_length`` via the integer-exact
+    ``length(bin(w))`` — no floats anywhere in the sketch. The register
+    sum is carried as ``Σ 2^(41 - M_j)`` in BIGINT (order-independent,
+    exact; ``= 2^41 · Σ 2^-M_j``), empty buckets contributing ``2^41``
+    via the closed-form ``V·2^41`` term, so the only float is the final
+    estimate division — identical integer operands → bit-identical
+    doubles. The small-range branch (``E ≤ 2.5m`` with empty buckets →
+    linear counting ``m·ln(m/V)``) is the one transcendental and is
+    round(4)-absorbed per the registry convention.
+
+    Scale shape: map-side-combined ``max(rho)`` partials per (key,
+    bucket) — the shuffle carries at most ``keys × 2^p`` rows (the
+    sketch, NOT the data) — then a ``2^p``-row-per-key rollup. This is
+    the textbook mergeable-sketch topology: per-partition partials union
+    without rescanning, exactly how a 100 TB daily-rollup table stays
+    incremental.
+    """
+    m = 1 << p
+    rem_bits = 48 - p
+    max_rho = rem_bits + 1
+    hashed = df.selectExpr(
+        *(f"`{k}`" for k in keys),
+        f"cast(conv(substring(md5(cast(`{col}` as string)), 1, 12), 16, 10)"
+        " as bigint) AS _h",
+    ).selectExpr(
+        *(f"`{k}`" for k in keys),
+        f"_h % {m} AS _bucket",
+        f"cast(floor(_h / {m}.0) as bigint) AS _w",
+    )
+    ranked = hashed.selectExpr(
+        *(f"`{k}`" for k in keys),
+        "_bucket",
+        f"case when _w = 0 then {max_rho}"
+        f" else {max_rho} - length(bin(_w)) end AS _rho",
+    )
+    partials = ranked.groupBy(
+        *[F.col(k) for k in keys], F.col("_bucket")
+    ).agg(F.max("_rho").alias("_mx"))
+    alpha = "(0.7213 / (1.0 + 1.079 / {m}.0))".format(m=m)
+    two_pow_max = 1 << max_rho
+    rolled = partials.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.expr(f"sum(shiftleft(cast(1 as bigint), {max_rho} - _mx))").alias(
+            "_s_present"
+        ),
+    )
+    est = rolled.selectExpr(
+        *(f"`{k}`" for k in keys),
+        f"{m} - _present AS v_empty",
+        f"_s_present + ({m} - _present) * cast({two_pow_max} as bigint)"
+        " AS register_sum",
+    ).selectExpr(
+        *(f"`{k}`" for k in keys),
+        "v_empty",
+        "register_sum",
+        f"{alpha} * {m}.0 * {m}.0 * {two_pow_max}.0"
+        " / cast(register_sum as double) AS _raw",
+    )
+    return est.selectExpr(
+        *(f"`{k}`" for k in keys),
+        "v_empty",
+        "register_sum",
+        f"case when _raw <= {2.5 * m} and v_empty > 0"
+        f" then round({m}.0 * ln({m}.0 / v_empty), 4)"
+        " else _raw end AS hll_distinct",
+    )
+
+
+def countmin_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Heavy hitters by count-min sketch estimate (Cormode & Muthukrishnan
+    '05), engine-portable: ``depth`` independent md5-seeded hash rows of
+    ``width`` counters; a value's estimate is the MIN of its ``depth``
+    bucket counts — a deterministic one-sided overestimate
+    (``est ≥ true``, pinned in tests), here surfaced next to the exact
+    count so the error is driver-visible.
+
+    Scale shape: the sketch is a single (seed, bucket) hash aggregate of
+    ``depth × width`` rows — map-side combined, so the shuffle carries
+    the COUNTER GRID, not the data — and the estimate step equi-joins
+    the (value, seed, bucket) keys against that grid with a broadcast
+    hint (the grid is KB-sized by construction at ANY input scale: its
+    cardinality is a parameter, not a function of the data). At 100 TB
+    the candidate set for ranking comes from the same distinct-values
+    aggregate the exact counts need; a production caller with an
+    unbounded key domain would pre-filter candidates with
+    `frequent_items` — noted here rather than silently capped.
+
+    Output: top-``k`` values by (est_count desc, value asc) with both
+    ``est_count`` and ``true_count``.
+    """
+    seeds = ", ".join(str(s) for s in range(depth))
+    buckets = df.selectExpr(
+        f"`{col}` AS item",
+        f"explode(array({seeds})) AS _seed",
+    ).selectExpr(
+        "item",
+        "_seed",
+        "cast(conv(substring(md5(concat(cast(_seed as string), ':',"
+        f" cast(item as string))), 1, 8), 16, 10) as bigint) % {width}"
+        " AS _bucket",
+    )
+    grid = buckets.groupBy("_seed", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    item_buckets = buckets.groupBy("item", "_seed", "_bucket").agg(
+        F.count(F.lit(1)).alias("_true_part")
+    )
+    est = (
+        item_buckets.join(F.broadcast(grid), ["_seed", "_bucket"])
+        .groupBy("item")
+        .agg(
+            F.min("_cnt").alias("est_count"),
+            # each seed row carries the same per-item count; max == the
+            # item's true count (no cross-seed double count)
+            F.max("_true_part").alias("true_count"),
+        )
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("item")).limit(k)
+
+
 def top_k_by_count(df: DataFrame, col: str | Column, k: int = 10) -> DataFrame:
     """Exact top-k heavy hitters: hash-agg + TakeOrderedAndProject — the
     exact companion to frequent_items (one shuffle, k-row driver merge)."""

@@ -743,6 +743,49 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (base-10) of the doc's OWN token
+    distribution — the lexical-diversity quality signal complementary to
+    `repetition_score`: boilerplate and keyword-stuffed spam score low
+    (mass concentrated on few tokens), fluent prose scores near
+    ``log10(n_distinct)``.
+
+    ``H = Σ_t (n_t/n)·log10(n/n_t) = (n·mlog(n) − Σ_t n_t·mlog(n_t))
+    / (1e6·n)`` with ``mlog(x) = round(log10(x)·1e6)`` quantized to an
+    integer micro-log BEFORE the sum — the `unigram_logprob` portability
+    idiom: the aggregate is an exact integer (order-independent, identical
+    across engines) and only the final int/int division is float.
+
+    Scale shape: one (doc, token) partial-agg shuffle then a per-doc
+    rollup — no corpus-global state at all (each doc scores against its
+    own distribution), so the op is embarrassingly parallel at 100 TB.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    occ = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n_occ"))
+    mlog_occ = F.round(F.log10(F.col("_n_occ").cast("double")) * 1e6).cast(
+        "long"
+    )
+    per_doc = occ.groupBy(id_col).agg(
+        F.sum("_n_occ").alias("n_tokens"),
+        F.sum(F.col("_n_occ") * mlog_occ).alias("_s"),
+    )
+    mlog_n = F.round(F.log10(F.col("n_tokens").cast("double")) * 1e6).cast(
+        "long"
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            (F.col("n_tokens") * mlog_n - F.col("_s"))
+            / (F.lit(1e6) * F.col("n_tokens"))
+        ).alias("entropy"),
+    )
+
+
 def pmi_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

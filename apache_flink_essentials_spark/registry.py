@@ -5262,3 +5262,188 @@ def _ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("vec_ivf_recall", late=True)(_ivf_recall)
+
+
+# =========================================================================
+# round-5 additions: portable sketches, UniMax sampling, token entropy
+# =========================================================================
+from apache_flink_essentials_spark.operators import sketches as SK  # noqa: E402
+
+
+_register(
+    "text_token_entropy",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS n_occ
+      FROM tok WHERE tok != '' GROUP BY doc_id, tok
+    ), s AS (
+      SELECT doc_id,
+             sum(n_occ)::BIGINT AS n_tokens,
+             sum(n_occ * round(log10(n_occ::DOUBLE) * 1e6)::BIGINT)::BIGINT
+               AS s
+      FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens * round(log10(n_tokens::DOUBLE) * 1e6)::BIGINT - s)
+             / (1e6 * n_tokens) AS entropy
+    FROM s
+    """,
+    late=True,
+)(lambda spark, sf: X.token_entropy(load_table(spark, "documents", sf)))
+
+
+def _hll_q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    est = SK.portable_hll_distinct(ev, "user_id", keys=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "v_empty",
+            "register_sum",
+            "hll_distinct",
+            (
+                (F.col("hll_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "sketch_hll_distinct",
+    r"""
+    WITH hb AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT % 256
+               AS bucket,
+             floor(('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+                   / 256.0)::BIGINT AS w
+      FROM events
+    ), rho AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 41
+                      ELSE 41 - length(bin(w)) END) AS mx
+      FROM hb GROUP BY event_type, bucket
+    ), rolled AS (
+      SELECT event_type,
+             count(*)::BIGINT AS present,
+             sum(1::BIGINT << (41 - mx))::BIGINT AS s_present
+      FROM rho GROUP BY event_type
+    ), reg AS (
+      SELECT event_type,
+             256 - present AS v_empty,
+             s_present + (256 - present) * 2199023255552::BIGINT
+               AS register_sum
+      FROM rolled
+    ), raw AS (
+      SELECT event_type, v_empty, register_sum,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               * 2199023255552.0 / register_sum::DOUBLE AS raw
+      FROM reg
+    ), est AS (
+      SELECT event_type, v_empty, register_sum,
+             CASE WHEN raw <= 640.0 AND v_empty > 0
+                  THEN round(256.0 * ln(256.0 / v_empty), 4)
+                  ELSE raw END AS hll_distinct
+      FROM raw
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, exact_distinct, v_empty, register_sum,
+           hll_distinct,
+           (hll_distinct - exact_distinct) / exact_distinct::DOUBLE
+             AS rel_err
+    FROM est e JOIN ex USING (event_type)
+    ORDER BY e.event_type
+    """,
+    late=True,
+)(_hll_q)
+
+
+_register(
+    "sketch_countmin_topk",
+    r"""
+    WITH h AS (
+      SELECT user_id AS item, s,
+             ('0x' || substr(md5(s::VARCHAR || ':' || user_id::VARCHAR),
+                             1, 8))::BIGINT % 512 AS bucket
+      FROM events, (SELECT unnest([0, 1, 2]) AS s) seeds
+    ), grid AS (
+      SELECT s, bucket, count(*)::BIGINT AS cnt
+      FROM h GROUP BY s, bucket
+    ), ib AS (
+      SELECT item, s, bucket, count(*)::BIGINT AS true_part
+      FROM h GROUP BY item, s, bucket
+    ), est AS (
+      SELECT item, min(cnt)::BIGINT AS est_count,
+             max(true_part)::BIGINT AS true_count
+      FROM ib JOIN grid USING (s, bucket) GROUP BY item
+    )
+    SELECT item, est_count, true_count FROM est
+    ORDER BY est_count DESC, item LIMIT 10
+    """,
+    late=True,
+)(lambda spark, sf: SK.countmin_topk(
+    load_table(spark, "events", sf), "user_id", k=10
+))
+
+
+_register(
+    "curation_unimax_weights",
+    r"""
+    WITH per AS (
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(len(string_split_regex(lower(text), '\s+')))::BIGINT
+               AS lang_tokens
+      FROM documents GROUP BY lang
+    ), capd AS (
+      SELECT lang, n_docs, lang_tokens,
+             (1 * lang_tokens)::BIGINT AS cap_tokens
+      FROM per
+    ), tot AS (
+      SELECT floor(sum(lang_tokens) * 0.8)::BIGINT AS budget,
+             count(*)::BIGINT AS n
+      FROM capd
+    ), staged AS (
+      SELECT lang, n_docs, lang_tokens, cap_tokens, budget, n,
+             row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+             sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             lag(cap_tokens, 1, 0) OVER (ORDER BY cap_tokens, lang)
+               AS prev_cap
+      FROM capd, tot
+    ), tc AS (
+      SELECT *,
+             (budget - (cum - cap_tokens)) / ((n - i + 1)::DOUBLE) AS tcand
+      FROM staged
+    ), flag AS (
+      SELECT *,
+             (tcand <= cap_tokens::DOUBLE
+              AND prev_cap::DOUBLE <= tcand) AS valid
+      FROM tc
+    ), thr AS (
+      SELECT *, min(CASE WHEN valid THEN tcand END) OVER () AS t FROM flag
+    )
+    SELECT lang, n_docs, lang_tokens, cap_tokens,
+           CASE WHEN t IS NULL THEN cap_tokens::DOUBLE
+                ELSE least(cap_tokens::DOUBLE, t) END AS alloc_tokens,
+           CASE WHEN t IS NULL THEN cap_tokens::DOUBLE
+                ELSE least(cap_tokens::DOUBLE, t) END / budget::DOUBLE
+             AS weight
+    FROM thr
+    """,
+    late=True,
+)(lambda spark, sf: CU.unimax_weights(
+    load_table(spark, "documents", sf), budget_frac=0.8, epoch_cap=1
+))

@@ -141,6 +141,12 @@ HEADLINE = [
     "curation_dataset_card",
     "vec_ivfpq_search",
     "curation_perplexity_buckets",
+    # round-5 session additions: portable (oracle-checkable) HLL +
+    # count-min sketches, UniMax language sampling, token entropy
+    "sketch_hll_distinct",
+    "sketch_countmin_topk",
+    "curation_unimax_weights",
+    "text_token_entropy",
 ]
 
 

@@ -295,3 +295,54 @@ def test_temperature_weights_flattens_mix(spark):
     nat = {r.source: r for r in CU.temperature_weights(
         docs, alpha=1.0, budget_tokens=1000).collect()}
     assert abs(nat["small"].weight - 0.1) < 1e-6
+
+
+def _waterfill(caps, budget):
+    # brute-force reference: bisect the threshold t with sum(min(c,t)) = N
+    if sum(caps) <= budget:
+        return list(caps)
+    lo, hi = 0.0, float(max(caps))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid) for c in caps) < budget:
+            lo = mid
+        else:
+            hi = mid
+    t = (lo + hi) / 2
+    return [min(float(c), t) for c in caps]
+
+
+def test_unimax_matches_bruteforce_waterfill(spark):
+    rows = [
+        (i, " ".join(["tok"] * n), lang, "s", 0)
+        for i, (lang, n) in enumerate(
+            [("en", 500), ("en", 300), ("de", 90), ("fr", 40), ("zh", 10)]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r.lang: r
+        for r in CU.unimax_weights(
+            docs, budget_frac=0.5, epoch_cap=1
+        ).collect()
+    }
+    caps = {lang: out[lang].cap_tokens for lang in out}
+    budget = int(sum(r.lang_tokens for r in out.values()) * 0.5)
+    langs = sorted(caps)
+    ref = dict(zip(langs, _waterfill([caps[l] for l in langs], budget)))
+    for lang in langs:
+        assert abs(out[lang].alloc_tokens - ref[lang]) < 1e-3
+    # budget conservation and the per-language cap invariant
+    assert abs(sum(r.alloc_tokens for r in out.values()) - budget) < 1e-3
+    assert all(
+        r.alloc_tokens <= r.cap_tokens + 1e-9 for r in out.values()
+    )
+
+
+def test_unimax_all_capped_when_budget_covers_caps(spark):
+    docs = _docs(spark)
+    out = CU.unimax_weights(docs, budget_frac=1.0, epoch_cap=1).collect()
+    # N == sum(caps): every language simply gets its cap
+    assert all(abs(r.alloc_tokens - r.cap_tokens) < 1e-9 for r in out)

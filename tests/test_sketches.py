@@ -38,3 +38,61 @@ def test_top_k_by_count_exact(spark, events):
         reverse=True,
     )
     assert [(r.cnt, r.item) for r in top] == [(c, t) for c, t in exact[:2]]
+
+
+def test_portable_hll_within_error_bound(spark, events):
+    exact = events.select("user_id").distinct().count()
+    est = S.portable_hll_distinct(events, "user_id").collect()[0]["hll_distinct"]
+    # m=256 registers -> rsd ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(est - exact) <= max(5, 0.26 * exact)
+
+
+def test_portable_hll_is_multiplicity_insensitive(spark, events):
+    # HLL depends only on the SET of values: doubling every row must not
+    # move the estimate at all (the property exact counting lacks and the
+    # reason sketch rollups never need pre-dedup)
+    one = S.portable_hll_distinct(events, "user_id").collect()[0]
+    two = S.portable_hll_distinct(
+        events.union(events), "user_id"
+    ).collect()[0]
+    assert one["hll_distinct"] == two["hll_distinct"]
+    assert one["register_sum"] == two["register_sum"]
+
+
+def test_portable_hll_grouped_keys(spark, events):
+    rows = S.portable_hll_distinct(
+        events, "user_id", keys=("event_type",)
+    ).collect()
+    exact = {
+        r.event_type: r.cnt
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        e = exact[r.event_type]
+        assert abs(r["hll_distinct"] - e) <= max(5, 0.26 * e)
+
+
+def test_countmin_never_underestimates(spark, events):
+    rows = S.countmin_topk(events, "user_id", k=100000).collect()
+    assert rows, "expected at least one item"
+    assert all(r.est_count >= r.true_count for r in rows)
+    # true counts are the real per-item counts
+    exact = {
+        r.user_id: r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert all(r.true_count == exact[r.item] for r in rows)
+
+
+def test_countmin_exact_when_width_dominates(spark, events):
+    # width >> distinct items -> collisions vanish and the sketch estimate
+    # collapses to the exact count (the width/accuracy dial)
+    rows = S.countmin_topk(events, "user_id", k=5, width=1 << 20).collect()
+    assert all(r.est_count == r.true_count for r in rows)
+    top = S.top_k_by_count(events, "user_id", k=5).collect()
+    assert [(r.item, r.true_count) for r in rows] == [
+        (r.item, r.cnt) for r in top
+    ]

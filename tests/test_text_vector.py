@@ -1040,3 +1040,17 @@ def test_perplexity_buckets_equal_counts_and_ranges(spark):
     # score ranges are ordered and non-overlapping
     for lo, hi in zip(out, out[1:]):
         assert lo.max_mean_logprob <= hi.min_mean_logprob
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    res = {r.doc_id: r for r in X.token_entropy(df).collect()}
+    assert res[1].entropy == 0.0          # constant doc: zero diversity
+    assert abs(res[2].entropy - math.log10(4)) < 1e-5  # uniform: log10(k)
+    assert abs(res[3].entropy - math.log10(2)) < 1e-5
+    assert res[2].n_tokens == 4
