@@ -483,3 +483,83 @@ def _fuzzy_join_neighborhood(
         .join(r, pairs["_vr"] == r[f"r_{right_col}"])
         .drop("_vl", "_vr")
     )
+
+
+def bloom_semi_filter(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    df_col: str | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join prefilter: drop ``df`` rows whose ``df_col``
+    cannot possibly appear in ``keys.key_col`` — NO false negatives, a
+    tunable false-positive rate — without shuffling ``df`` at all. This is
+    the join-pruning pattern Spark's AQE applies internally
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`), surfaced as an
+    explicit operator so a 100 TB pipeline can pre-drop the big side
+    BEFORE an expensive downstream join/agg, persist the filtered result,
+    or ship the filter to another system (the bits are plain BIGINTs from
+    deterministic md5 arithmetic — engine-portable, oracle-checkable,
+    unlike the JVM's internal BloomFilterImpl).
+
+    Build: each key sets ``k_hashes`` bits of an ``m_bits`` array packed
+    into ``m_bits/32`` 32-bit-per-BIGINT words (31 is the max shift —
+    DuckDB range-checks ``1 << 63``, so sign-bit packing is not portable) — per-probe (word, mask) rows hash-agg
+    to ``bit_or`` words (map-side combined; the shuffle carries at most
+    the WORD TABLE, not the keys). The word table collects to the driver
+    (bounded by construction: ``m_bits/32`` longs — 16 KB at the 2^16
+    default — the `kmeans centroids` collect class, independent of data
+    size) and inlines into the probe expression as one array literal, so
+    the probe side is a pure scan-stage projection: k shifts + ANDs per
+    row inside codegen, zero shuffle, zero join.
+
+    Probe bit ``s``: ``h_s = md5-prefix(s ':' value) % m_bits``; the test
+    is ``(words[h_s div 64] >> (h_s % 64)) & 1`` for all s — arithmetic
+    vs logical right-shift both leave bit 0 identical, so the expression
+    is portable even for masks in the sign bit.
+    """
+    df_col = df_col or key_col
+    nwords = m_bits // 32
+    probes = keys.selectExpr(
+        f"explode(array({', '.join(str(s) for s in range(k_hashes))}))"
+        " AS _seed",
+        f"`{key_col}` AS _key",
+    ).selectExpr(
+        "cast(conv(substring(md5(concat(cast(_seed as string), ':',"
+        f" cast(_key as string))), 1, 8), 16, 10) as bigint) % {m_bits}"
+        " AS _h",
+    ).selectExpr(
+        # integer `div`, never cast(double as int): Spark truncates that
+        # cast while DuckDB rounds it — the one arithmetic op the two
+        # engines genuinely disagree on
+        "cast(_h div 32 as int) AS _word",
+        "shiftleft(cast(1 as bigint), cast(_h % 32 as int)) AS _mask",
+    )
+    words = {
+        r["_word"]: r["_w"]
+        for r in probes.groupBy("_word")
+        .agg(F.expr("bit_or(_mask)").alias("_w"))
+        .collect()
+    }
+    # cast(<decimal literal> as bigint): plain `{v}L` breaks on LONG_MIN
+    # (the parser sees unary minus on an out-of-range positive literal)
+    arr_sql = "array(" + ", ".join(
+        f"cast({words.get(i, 0)} as bigint)" for i in range(nwords)
+    ) + ")"
+    h = (
+        "(cast(conv(substring(md5(concat(cast({s} as string), ':',"
+        f" cast(`{df_col}` as string))), 1, 8), 16, 10) as bigint)"
+        f" % {m_bits})"
+    )
+    checks = " AND ".join(
+        f"((_bloom_words[cast({h.format(s=s)} div 32 as int)]"
+        f" >> cast({h.format(s=s)} % 32 as int)) & 1) = 1"
+        for s in range(k_hashes)
+    )
+    return (
+        df.withColumn("_bloom_words", F.expr(arr_sql))
+        .filter(checks)
+        .drop("_bloom_words")
+    )

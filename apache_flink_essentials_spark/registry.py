@@ -5447,3 +5447,68 @@ _register(
 )(lambda spark, sf: CU.unimax_weights(
     load_table(spark, "documents", sf), budget_frac=0.8, epoch_cap=1
 ))
+
+
+def _bloom_semijoin_q(spark: SparkSession, sf: str) -> DataFrame:
+    # bloom-prefiltered revenue rollup: the FP rows are deterministic md5
+    # arithmetic, so the oracle reproduces the exact same pass set —
+    # correctness covers the filter's false-positive behavior, not just
+    # the no-false-negative invariant (pinned separately in tests)
+    li = load_table(spark, "lineitem", sf)
+    keys = (
+        load_table(spark, "orders", sf)
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    filt = J.bloom_semi_filter(
+        li, keys, "o_orderkey", "l_orderkey", m_bits=1 << 17, k_hashes=3
+    )
+    return (
+        filt.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_rows"),
+            F.sum(revenue().cast("decimal(18,4)"))
+            .cast("double")
+            .alias("bloom_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_register(
+    "j6_bloom_semijoin",
+    r"""
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+    ), seeds AS (SELECT unnest([0, 1, 2]) AS s),
+    probes AS (
+      SELECT ('0x' || substr(md5(s::VARCHAR || ':' || k::VARCHAR),
+                             1, 8))::BIGINT % 131072 AS h
+      FROM keys, seeds
+    ), words AS (
+      SELECT (h // 32) AS w,
+             bit_or(1::BIGINT << (h % 32)::INT) AS word
+      FROM probes GROUP BY 1
+    ), lh AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_extendedprice, l_discount,
+             ('0x' || substr(md5(s::VARCHAR || ':'
+                             || l_orderkey::VARCHAR), 1, 8))::BIGINT
+               % 131072 AS h
+      FROM lineitem, seeds
+    ), hits AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_extendedprice, l_discount,
+             min((coalesce(word, 0) >> (h % 32)::INT) & 1) AS all_hit
+      FROM lh LEFT JOIN words ON words.w = (lh.h // 32)
+      GROUP BY l_orderkey, l_linenumber, l_returnflag,
+               l_extendedprice, l_discount
+    )
+    SELECT l_returnflag, count(*)::BIGINT AS bloom_rows,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS bloom_revenue
+    FROM hits WHERE all_hit = 1
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    late=True,
+)(_bloom_semijoin_q)

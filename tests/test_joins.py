@@ -220,3 +220,59 @@ def test_fuzzy_join_length_bucket_exact(spark):
     key = lambda out: sorted((r.l_id, r.r_id, r.distance) for r in out.collect())
     assert key(base) == key(bucketed)
     assert key(bucketed) == [(1, 10, 1), (1, 11, 0), (1, 12, 1)]
+
+
+def test_bloom_semi_filter_no_false_negatives(spark):
+    from apache_flink_essentials_spark import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", sf)
+    keys = (
+        load_table(spark, "orders", sf)
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    filt = J.bloom_semi_filter(
+        li, keys, "o_orderkey", "l_orderkey", m_bits=1 << 12, k_hashes=3
+    )
+    exact = li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    # every true match survives the bloom (no false negatives) ...
+    assert exact.exceptAll(filt.select(*exact.columns)).count() == 0
+    # ... and the pass set is a superset bounded by the whole input
+    n_bloom, n_exact = filt.count(), exact.count()
+    assert n_exact <= n_bloom <= li.count()
+
+
+def test_bloom_semi_filter_collapses_to_semi_join_when_wide(spark):
+    from apache_flink_essentials_spark import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", sf)
+    keys = (
+        load_table(spark, "orders", sf)
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    wide = J.bloom_semi_filter(
+        li, keys, "o_orderkey", "l_orderkey", m_bits=1 << 22, k_hashes=3
+    )
+    exact = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+    assert wide.count() == exact.count()
+
+
+def test_bloom_semi_filter_probe_is_scan_stage_only(spark):
+    # the probe side must be a pure projection+filter: no join, no
+    # exchange on the big side — the whole point of the operator
+    from apache_flink_essentials_spark import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", sf)
+    keys = load_table(spark, "orders", sf).select("o_orderkey").limit(100)
+    filt = J.bloom_semi_filter(
+        li, keys, "o_orderkey", "l_orderkey", m_bits=1 << 12
+    )
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
