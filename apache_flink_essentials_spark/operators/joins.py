@@ -516,11 +516,70 @@ def bloom_semi_filter(
     row inside codegen, zero shuffle, zero join.
 
     Probe bit ``s``: ``h_s = md5-prefix(s ':' value) % m_bits``; the test
-    is ``(words[h_s div 64] >> (h_s % 64)) & 1`` for all s — arithmetic
-    vs logical right-shift both leave bit 0 identical, so the expression
-    is portable even for masks in the sign bit.
+    is ``(words[h_s div 32] >> (h_s % 32)) & 1`` for all s.
+    """
+    arr_sql, checks = _bloom_build(
+        keys, key_col, df_col or key_col, m_bits, k_hashes
+    )
+    return (
+        df.withColumn("_bloom_words", F.expr(arr_sql))
+        .filter(checks)
+        .drop("_bloom_words")
+    )
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    df_col: str | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """EXACT left-anti join with a bloom fast-path: a row that fails the
+    bloom probe is DEFINITELY absent from ``keys`` (a bloom has no false
+    negatives), so it passes the anti join straight out of the scan
+    stage; only the bloom-passing sliver — true matches plus the FP
+    rate — goes through the real anti join. Semantics are exactly
+    ``df ANTI JOIN keys`` for ANY ``m_bits``/``k_hashes`` (the dial
+    trades the sliver's size, never correctness), which is why this
+    operator's oracle row is the plain ANSI anti join.
+
+    At 100 TB this is the decontamination shape (benchmark-overlap
+    removal, `dedup_contamination`): the contaminated fraction is tiny,
+    so ~(1 − fpr) of the corpus never shuffles and the anti join's
+    build side stays the same small keys table. ONE word table serves
+    both branches (single bounded driver collect); the split is one
+    boolean column computed in the scan, so the input is read once per
+    branch with no exchange before the union.
     """
     df_col = df_col or key_col
+    arr_sql, checks = _bloom_build(keys, key_col, df_col, m_bits, k_hashes)
+    tagged = (
+        df.withColumn("_bloom_words", F.expr(arr_sql))
+        .withColumn("_bloom_hit", F.expr(checks))
+        .drop("_bloom_words")
+    )
+    definite_out = tagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+    suspects = tagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    cleaned = suspects.join(
+        keys.select(F.col(key_col).alias("__bloom_k")),
+        F.col(df_col) == F.col("__bloom_k"),
+        "left_anti",
+    )
+    return definite_out.unionByName(cleaned)
+
+
+def _bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    df_col: str,
+    m_bits: int,
+    k_hashes: int,
+) -> tuple[str, str]:
+    """Build the bloom word table (bounded driver collect) and return the
+    (array-literal SQL, probe-predicate SQL) pair both bloom operators
+    share. The predicate references the array as ``_bloom_words``."""
     nwords = m_bits // 32
     probes = keys.selectExpr(
         f"explode(array({', '.join(str(s) for s in range(k_hashes))}))"
@@ -558,8 +617,4 @@ def bloom_semi_filter(
         f" >> cast({h.format(s=s)} % 32 as int)) & 1) = 1"
         for s in range(k_hashes)
     )
-    return (
-        df.withColumn("_bloom_words", F.expr(arr_sql))
-        .filter(checks)
-        .drop("_bloom_words")
-    )
+    return arr_sql, checks
