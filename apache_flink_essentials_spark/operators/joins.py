@@ -515,8 +515,13 @@ def bloom_semi_filter(
     the probe side is a pure scan-stage projection: k shifts + ANDs per
     row inside codegen, zero shuffle, zero join.
 
-    Probe bit ``s``: ``h_s = md5-prefix(s ':' value) % m_bits``; the test
-    is ``(words[h_s div 32] >> (h_s % 32)) & 1`` for all s.
+    Probe bit ``s``: ONE ``md5(cast(value as string))`` digest per row;
+    ``h_s`` is the ``s``-th disjoint 8-hex-char slice of that digest mod
+    ``m_bits`` (so ``k_hashes <= 4`` — 32 hex chars / 8). The test is
+    ``(words[h_s div 32] >> (h_s % 32)) & 1`` for all s. One digest
+    instead of k independent md5 evaluations cuts the per-row probe cost
+    ~k×; the slices are independent uniform hashes because md5 output
+    bits are pairwise independent for this purpose.
     """
     arr_sql, checks = _bloom_build(
         keys, key_col, df_col or key_col, m_bits, k_hashes
@@ -560,8 +565,13 @@ def bloom_anti_join(
         .withColumn("_bloom_hit", F.expr(checks))
         .drop("_bloom_words")
     )
-    definite_out = tagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
-    suspects = tagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    # NULL-key rows produce a NULL probe predicate; a true LEFT ANTI
+    # JOIN keeps them (NULL never equals any key), so route them to the
+    # definite-out branch via coalesce(false) rather than losing them to
+    # both filters.
+    hit = F.coalesce(F.col("_bloom_hit"), F.lit(False))
+    definite_out = tagged.filter(~hit).drop("_bloom_hit")
+    suspects = tagged.filter(hit).drop("_bloom_hit")
     cleaned = suspects.join(
         keys.select(F.col(key_col).alias("__bloom_k")),
         F.col(df_col) == F.col("__bloom_k"),
@@ -579,16 +589,30 @@ def _bloom_build(
 ) -> tuple[str, str]:
     """Build the bloom word table (bounded driver collect) and return the
     (array-literal SQL, probe-predicate SQL) pair both bloom operators
-    share. The predicate references the array as ``_bloom_words``."""
+    share. The predicate references the array as ``_bloom_words``.
+
+    ONE md5 digest per row: bit position ``s`` reads hex chars
+    ``[1+8s, 8+8s]`` of ``md5(cast(value as string))`` — disjoint
+    slices of a single digest instead of ``k`` independent md5 calls,
+    so the per-row probe is one hash + k (substring, conv, shift, AND)
+    chains, all inside whole-stage codegen. 32 hex chars cap
+    ``k_hashes`` at 4.
+    """
+    if not 1 <= k_hashes <= 4:
+        raise ValueError(
+            f"k_hashes must be in [1, 4] (one md5 digest = 4 disjoint"
+            f" 8-hex slices); got {k_hashes}"
+        )
     nwords = m_bits // 32
+    slice_h = [
+        f"(cast(conv(substring(_dig, {1 + 8 * s}, 8), 16, 10) as bigint)"
+        f" % {m_bits})"
+        for s in range(k_hashes)
+    ]
     probes = keys.selectExpr(
-        f"explode(array({', '.join(str(s) for s in range(k_hashes))}))"
-        " AS _seed",
-        f"`{key_col}` AS _key",
+        f"md5(cast(`{key_col}` as string)) AS _dig"
     ).selectExpr(
-        "cast(conv(substring(md5(concat(cast(_seed as string), ':',"
-        f" cast(_key as string))), 1, 8), 16, 10) as bigint) % {m_bits}"
-        " AS _h",
+        f"explode(array({', '.join(slice_h)})) AS _h",
     ).selectExpr(
         # integer `div`, never cast(double as int): Spark truncates that
         # cast while DuckDB rounds it — the one arithmetic op the two
@@ -602,19 +626,32 @@ def _bloom_build(
         .agg(F.expr("bit_or(_mask)").alias("_w"))
         .collect()
     }
-    # cast(<decimal literal> as bigint): plain `{v}L` breaks on LONG_MIN
-    # (the parser sees unary minus on an out-of-range positive literal)
-    arr_sql = "array(" + ", ".join(
-        f"cast({words.get(i, 0)} as bigint)" for i in range(nwords)
-    ) + ")"
+    # The word table inlines as ONE BINARY literal (X'..', 4 bytes per
+    # 32-bit word), NOT an array(...) of nwords literals: a binary is a
+    # single Literal NODE regardless of length, while a 4096-element
+    # CreateArray is a 4096-node expression tree that predicate pushdown
+    # then clones into every probe conjunct — measured ~0.45 s of
+    # DRIVER-side analysis/optimizer walk per clone per action at
+    # m=2^17, which no executor parallelism can hide. (A hex STRING
+    # literal is also one node but UTF8String.substring is O(position) —
+    # measured 80 s at sf0.1; binary substring is an O(1) byte slice.)
+    # Word lookup: hex(substring(words, w*4+1, 4)) → conv → bigint
+    # (words carry bits 0..31 only, so 4 bytes are lossless).
+    hexstr = "".join(f"{words.get(i, 0):08x}" for i in range(nwords))
+    arr_sql = f"X'{hexstr}'"
+    dig = f"md5(cast(`{df_col}` as string))"
     h = (
-        "(cast(conv(substring(md5(concat(cast({s} as string), ':',"
-        f" cast(`{df_col}` as string))), 1, 8), 16, 10) as bigint)"
+        f"(cast(conv(substring({dig}, {{p}}, 8), 16, 10) as bigint)"
         f" % {m_bits})"
     )
+    word = (
+        "cast(conv(hex(substring(_bloom_words,"
+        " cast({h} div 32 as int) * 4 + 1, 4)), 16, 10) as bigint)"
+    )
     checks = " AND ".join(
-        f"((_bloom_words[cast({h.format(s=s)} div 32 as int)]"
-        f" >> cast({h.format(s=s)} % 32 as int)) & 1) = 1"
+        "(shiftright("
+        + word.format(h=h.format(p=1 + 8 * s))
+        + f", cast({h.format(p=1 + 8 * s)} % 32 as int)) & 1) = 1"
         for s in range(k_hashes)
     )
     return arr_sql, checks

@@ -32,9 +32,14 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
     Every file is at least one split, so the file count is a sound lower
     bound; the single-local-file case (the one where file count badly
     under-counts a huge file's splits) is refined by stat-ing the file
-    against ``spark.sql.files.maxPartitionBytes``. Returns None for plans
-    with no file leaves (in-memory ranges, streaming sources) — callers
-    fall back to the exact probe there, where plans are tiny anyway."""
+    and replaying Spark's own ``FilePartition.maxSplitBytes`` formula:
+    ``min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism))``
+    — using maxPartitionBytes alone under-counts when openCostInBytes is
+    tuned low (the session default here), which would make the floor add
+    a redundant exchange above an already-wide scan. Returns None for
+    plans with no file leaves (in-memory ranges, streaming sources) —
+    callers fall back to the exact probe there, where plans are tiny
+    anyway."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -50,16 +55,24 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
             size = _os.stat(unquote(urlparse(files[0]).path)).st_size
         except OSError:
             return 1
-        raw = str(
-            df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728b"
-            )
-        ).lower().rstrip("b")
-        try:
-            max_bytes = int(raw)
-        except ValueError:
-            max_bytes = 134217728
-        return max(1, math.ceil(size / max_bytes))
+
+        def _bytes_conf(key: str, default: int) -> int:
+            raw = str(
+                df.sparkSession.conf.get(key, f"{default}b")
+            ).lower().rstrip("b")
+            try:
+                return int(raw)
+            except ValueError:
+                return default
+
+        max_bytes = _bytes_conf("spark.sql.files.maxPartitionBytes", 134217728)
+        open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4194304)
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        split = min(
+            max_bytes,
+            max(open_cost, (size + open_cost) // max(1, parallelism)),
+        )
+        return max(1, math.ceil(size / split))
     return len(files)
 
 

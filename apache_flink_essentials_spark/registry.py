@@ -5454,7 +5454,13 @@ def _bloom_semijoin_q(spark: SparkSession, sf: str) -> DataFrame:
     # arithmetic, so the oracle reproduces the exact same pass set —
     # correctness covers the filter's false-positive behavior, not just
     # the no-false-negative invariant (pinned separately in tests)
-    li = load_table(spark, "lineitem", sf)
+    # narrow projection keeps the scan-stage probe reading 4 columns;
+    # scan parallelism comes from the session's openCostInBytes tuning
+    # (session.py) — a post-scan repartition can't help here because
+    # Catalyst sinks the deterministic probe filter back below it
+    li = load_table(spark, "lineitem", sf).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
     keys = (
         load_table(spark, "orders", sf)
         .filter(F.col("o_totalprice") > 400000)
@@ -5482,8 +5488,8 @@ _register(
       SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
     ), seeds AS (SELECT unnest([0, 1, 2]) AS s),
     probes AS (
-      SELECT ('0x' || substr(md5(s::VARCHAR || ':' || k::VARCHAR),
-                             1, 8))::BIGINT % 131072 AS h
+      SELECT ('0x' || substr(md5(k::VARCHAR),
+                             1 + 8 * s, 8))::BIGINT % 131072 AS h
       FROM keys, seeds
     ), words AS (
       SELECT (h // 32) AS w,
@@ -5492,8 +5498,8 @@ _register(
     ), lh AS (
       SELECT l_orderkey, l_linenumber, l_returnflag,
              l_extendedprice, l_discount,
-             ('0x' || substr(md5(s::VARCHAR || ':'
-                             || l_orderkey::VARCHAR), 1, 8))::BIGINT
+             ('0x' || substr(md5(l_orderkey::VARCHAR),
+                             1 + 8 * s, 8))::BIGINT
                % 131072 AS h
       FROM lineitem, seeds
     ), hits AS (
