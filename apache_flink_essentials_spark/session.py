@@ -59,17 +59,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-        # openCostInBytes floors the computed split size at 4 MB by
-        # default, which leaves a single-digit-MB local parquet file as
-        # 2-3 splits on a 32-core box — CPU-heavy scan-stage work (md5
-        # probes, tokenization) then runs 3-wide while 29 cores idle,
-        # and Catalyst's predicate pushdown defeats any post-scan
-        # repartition by sinking the filter back into the 3-split scan.
-        # 128 KB lets maxSplitBytes fall to bytes/defaultParallelism so
-        # a 10 MB file scans 32-wide. At warehouse scale this knob is
-        # inert: files >> maxPartitionBytes split at 128 MB regardless,
-        # and genuinely tiny files still cost one task each.
-        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # spark.sql.files.* left at defaults: a measured A/B showed the
+        # once-installed global openCostInBytes=128KB bought nothing
+        # (totals within 0.4% either way). If a single CPU-heavy scan
+        # wants narrower splits, set spark.sql.files.openCostInBytes via
+        # spark.conf.set inside that query (it is runtime-settable) and
+        # restore after — never globally.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

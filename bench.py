@@ -147,7 +147,7 @@ HEADLINE = [
     "sketch_countmin_topk",
     "curation_unimax_weights",
     "text_token_entropy",
-    "j6_bloom_semijoin",
+    "j6_semijoin_rollup",
 ]
 
 

@@ -276,3 +276,24 @@ def test_bloom_semi_filter_probe_is_scan_stage_only(spark):
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_bloom_anti_join_keeps_null_key_rows(spark):
+    # a true LEFT ANTI JOIN keeps NULL-key probe rows (NULL never equals
+    # any key); the bloom probe on a NULL value yields a NULL predicate,
+    # which must be routed to the definite-out branch, not dropped by
+    # both filters — pins the coalesce(false) routing in bloom_anti_join
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (3, "e")],
+        "k long, v string",
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "k long")
+    out = J.bloom_anti_join(df, keys, "k", m_bits=1 << 8, k_hashes=2)
+    exact = df.join(keys.withColumnRenamed("k", "kk"),
+                    df.k == F.col("kk"), "left_anti")
+    nk = lambda t: (t[0] is None, t[0] or 0, t[1])
+    got = sorted(((r.k, r.v) for r in out.collect()), key=nk)
+    want = sorted(((r.k, r.v) for r in exact.select("k", "v").collect()),
+                  key=nk)
+    assert got == want
+    assert (None, "c") in got and (None, "d") in got
