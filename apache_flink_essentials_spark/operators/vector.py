@@ -33,6 +33,14 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
+def safe_norm_expr(a: Column) -> Column:
+    """L2 norm with 0 mapped to 1, so dividing by it leaves zero vectors
+    unchanged — the exact expression twin of the Arrow paths'
+    ``n[n == 0] = 1.0`` guard (keeps the documented arrow≡expression
+    equality on corpora that contain zero vectors)."""
+    return F.coalesce(F.nullif(norm_expr(a), F.lit(0.0)), F.lit(1.0))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
@@ -1173,18 +1181,51 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    seed_rows = [
+    # Seed validation: a bounded lowest-id window (max(4k, 64) rows — a
+    # request-sized collect, never data-sized) supplies per-subspace
+    # seeds, deduplicated so Lloyd's never starts from duplicate
+    # centroids; too few distinct sub-vectors raises instead of silently
+    # fitting a degenerate <k codebook. When the first k rows are
+    # already distinct per subspace (any real corpus) the seeds are
+    # identical to the plain lowest-id-first init.
+    window = [
         [float(x) for x in r[0]]
-        for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+        for r in embeddings.orderBy(id_col)
+        .select(vec_col)
+        .limit(max(4 * k, 64))
+        .collect()
     ]
+    if len(window) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} rows to seed; corpus has "
+            f"{len(window)}"
+        )
     if normalize:
         import math
 
-        seed_rows = [
+        window = [
             [x / (math.sqrt(sum(v * v for v in row)) or 1.0) for x in row]
-            for row in seed_rows
+            for row in window
         ]
-    books = [[v[s * sub:(s + 1) * sub] for v in seed_rows] for s in range(m)]
+    books = []
+    for s in range(m):
+        seen: set[tuple[float, ...]] = set()
+        seeds: list[list[float]] = []
+        for row in window:
+            sv = row[s * sub:(s + 1) * sub]
+            key = tuple(sv)
+            if key not in seen:
+                seen.add(key)
+                seeds.append(sv)
+            if len(seeds) == k:
+                break
+        if len(seeds) < k:
+            raise ValueError(
+                f"pq_fit: subspace {s} has only {len(seeds)} distinct "
+                f"sub-vectors in the first {len(window)} rows; need k={k}"
+                " (reduce k or supply a more diverse corpus)"
+            )
+        books.append(seeds)
 
     if use_arrow:
         import numpy as np
@@ -1213,7 +1254,8 @@ def pq_fit(
         base = base.select(
             F.col(id_col),
             F.transform(
-                vec_col, lambda x: x.cast("double") / norm_expr(F.col(vec_col))
+                vec_col,
+                lambda x: x.cast("double") / safe_norm_expr(F.col(vec_col)),
             ).alias(vec_col),
         )
     for _ in range(iters):
@@ -1345,7 +1387,7 @@ def pq_encode(
     vec = F.col(vec_col)
     if normalize:
         vec = F.transform(
-            vec_col, lambda x: x.cast("double") / norm_expr(F.col(vec_col))
+            vec_col, lambda x: x.cast("double") / safe_norm_expr(F.col(vec_col))
         )
 
     def sub_code(s: int) -> Column:
@@ -1369,6 +1411,7 @@ def pq_search(
     round_dp: int = 6,
     pre_encoded: DataFrame | None = None,
     normalize: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """PQ approximate top-k by Asymmetric Distance Computation: each query
     precomputes an ``m × k`` table of exact squared distances from its
@@ -1384,6 +1427,11 @@ def pq_search(
     floats). Distances are rounded before ranking (id tiebreak) for
     cross-run determinism. ``normalize=True`` ranks by cosine (unit-
     vector squared L2); fit/encode/search must agree on it.
+
+    ``exclude_self=True`` (the self-search convention: queries drawn
+    from the corpus) drops pairs whose ids are equal. Pass ``False``
+    when the query table is EXTERNAL — there an id collision is
+    coincidence, not identity, and the excluded row is a valid neighbor.
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
@@ -1435,8 +1483,13 @@ def pq_search(
             F.element_at(F.col("pq_codes"), s + 1) + 1,
         )
         adc = term if adc is None else adc + term
+    pair_cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
     scored = (
-        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        e.join(F.broadcast(q), pair_cond)
         .select(
             "query_id",
             "neighbor_id",
@@ -1511,6 +1564,7 @@ def ivfpq_search(
     round_dp: int = 6,
     pre_indexed: DataFrame | None = None,
     normalize: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the production ANN architecture (FAISS
     ``IVFPQ``, Jégou et al. 2011 §V): the coarse quantizer confines each
@@ -1578,7 +1632,12 @@ def ivfpq_search(
         adc = term if adc is None else adc + term
     scored = (
         e.join(F.broadcast(q), "cluster_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # exclude_self: same external-query-table contract as pq_search
+        .filter(
+            F.col("query_id") != F.col("neighbor_id")
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -1054,3 +1054,68 @@ def test_token_entropy_extremes(spark):
     assert abs(res[2].entropy - math.log10(4)) < 1e-5  # uniform: log10(k)
     assert abs(res[3].entropy - math.log10(2)) < 1e-5
     assert res[2].n_tokens == 4
+
+
+def test_pq_zero_vector_normalize_arrow_matches_expression(spark):
+    # a zero vector must pass through normalization unchanged on BOTH
+    # paths (arrow guards n[n==0]=1; the expression path divides by
+    # safe_norm_expr) — codes must agree, not NULL out
+    from apache_flink_essentials_spark.operators.vector import pq_encode
+
+    rows = [(0, [0.0] * 8), (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 2.0, 0.0, 0.0, 0.0, 0.0, 3.0, 0.0]), (3, [0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = [[[0.0, 0, 0, 0], [1.0, 0, 0, 0], [0.0, 1, 0, 0], [0.25] * 4],
+             [[0.0, 0, 0, 0], [0.0, 0, 1, 0], [0.25] * 4, [1.0, 0, 0, 0]]]
+    a = {r.vec_id: list(r.pq_codes) for r in pq_encode(
+        df, books, normalize=True, use_arrow=True).collect()}
+    e = {r.vec_id: list(r.pq_codes) for r in pq_encode(
+        df, books, normalize=True, use_arrow=False).collect()}
+    assert a == e and len(a) == 4
+    assert a[0] == [0, 0]  # zero vector encodes to the zero centroid
+
+
+def test_pq_fit_raises_on_too_few_distinct_seeds(spark):
+    import pytest
+    from apache_flink_essentials_spark.operators.vector import pq_fit
+
+    # 3 rows < k=4
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="at least k=4 rows"):
+        pq_fit(tiny, m=2, k=4, iters=1, dim=8)
+    # enough rows but all duplicates -> per-subspace distinctness fails
+    dup = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="distinct"):
+        pq_fit(dup, m=2, k=4, iters=1, dim=8)
+
+
+def test_pq_search_exclude_self_flag_for_external_queries(spark):
+    # an EXTERNAL query table whose ids coincidentally collide with
+    # corpus ids must not lose the colliding neighbor when
+    # exclude_self=False; default True keeps the self-search convention
+    from apache_flink_essentials_spark.operators.vector import (
+        ivfpq_search, pq_fit, pq_search)
+
+    df = _planted_pq_df(spark)
+    books = pq_fit(df, m=2, k=4, iters=3, dim=8)
+    q = df.filter("vec_id = 0")  # same id 0 exists in the corpus
+    with_self = pq_search(df, q, books, k=16, exclude_self=False)
+    without = pq_search(df, q, books, k=16)
+    ws = {r.neighbor_id for r in with_self.collect()}
+    wo = {r.neighbor_id for r in without.collect()}
+    assert 0 in ws and 0 not in wo
+    assert ws - {0} == wo
+    # self-pair is exact-duplicate -> ADC distance 0, rank 1
+    top = with_self.filter("rank = 1").collect()[0]
+    assert top.neighbor_id == 0 and top.adc_sq_dist == 0.0
+    # same contract on the IVF-PQ composite
+    cents = [[1.0, 0, 0, 0, 1.0, 0, 0, 0], [0.0, 0, 0, 1.0, 0, 0, 0, 1.0]]
+    ivf_ws = {r.neighbor_id for r in ivfpq_search(
+        df, q, cents, books, k=16, nprobe=2, exclude_self=False).collect()}
+    ivf_wo = {r.neighbor_id for r in ivfpq_search(
+        df, q, cents, books, k=16, nprobe=2).collect()}
+    assert 0 in ivf_ws and 0 not in ivf_wo
