@@ -22,8 +22,8 @@ from pyspark.sql.window import Window
 
 # --- map (T1/T2: Transformations.scala:18,21-24) ---------------------------
 
-def _estimated_input_splits(df: DataFrame) -> int | None:
-    """Cheap lower-bound on the plan's input splits WITHOUT forcing
+def _split_estimate(df: DataFrame) -> tuple[int | None, bool]:
+    """(estimate, is_exact) for the plan's input splits WITHOUT forcing
     physical planning: ``df.inputFiles()`` only resolves the logical plan
     and lists leaf-scan files, where the exact ``df.rdd.getNumPartitions()``
     probe forces full analysis + physical planning + RDD conversion on the
@@ -35,17 +35,19 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
     and replaying Spark's own ``FilePartition.maxSplitBytes`` formula:
     ``min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism))``
     — using maxPartitionBytes alone under-counts when openCostInBytes is
-    tuned low (the session default here), which would make the floor add
-    a redundant exchange above an already-wide scan. Returns None for
-    plans with no file leaves (in-memory ranges, streaming sources) —
-    callers fall back to the exact probe there, where plans are tiny
-    anyway."""
+    tuned low, which would make the floor add a redundant exchange above
+    an already-wide scan. Because that replay IS Spark's own packing
+    arithmetic on the exact byte size, the single-local-file estimate is
+    marked exact — gates that need "provably one split" can skip the
+    expensive probe. Returns (None, False) for plans with no file leaves
+    (in-memory ranges, streaming sources) — callers fall back to the
+    exact probe there, where plans are tiny anyway."""
     try:
         files = df.inputFiles()
     except Exception:
-        return None
+        return None, False
     if not files:
-        return None
+        return None, False
     if len(files) == 1 and files[0].startswith("file:"):
         import math
         import os as _os
@@ -54,7 +56,7 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
         try:
             size = _os.stat(unquote(urlparse(files[0]).path)).st_size
         except OSError:
-            return 1
+            return 1, False
 
         def _bytes_conf(key: str, default: int) -> int:
             raw = str(
@@ -72,8 +74,13 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
             max_bytes,
             max(open_cost, (size + open_cost) // max(1, parallelism)),
         )
-        return max(1, math.ceil(size / split))
-    return len(files)
+        return max(1, math.ceil(size / split)), True
+    return len(files), False
+
+
+def _estimated_input_splits(df: DataFrame) -> int | None:
+    """Lower-bound form of ``_split_estimate`` (see there)."""
+    return _split_estimate(df)[0]
 
 
 def _estimated_input_bytes(df: DataFrame) -> int | None:
@@ -358,6 +365,29 @@ def transition_counts(
     )
 
 
+def input_is_single_split(df: DataFrame) -> bool:
+    """True when ``df``'s input is provably ONE split — the adaptive
+    gate shared by the distributed-ranking operators: a single-split
+    input makes any multi-stage two-phase plan strictly worse than the
+    plain single-task window it replaces.
+
+    The file-count estimate is a LOWER bound — sound evidence for
+    "parallel enough" (est >= 2 proves >= 2 splits) but NOT for "single
+    split": one non-file: parquet object estimates 1 while the actual
+    scan may split wide. The exception is a single LOCAL file, where the
+    estimator replays Spark's own split-packing formula on the exact
+    byte size — that estimate is exact, so the ~0.2-0.35 s
+    getNumPartitions planning probe is skipped (it would re-derive the
+    same number). Everything else confirms with the exact (but
+    eager-planning) probe before claiming single-split."""
+    est, exact = _split_estimate(df)
+    if exact:
+        return est <= 1
+    if est is None or est <= 1:
+        est = df.rdd.getNumPartitions()
+    return est <= 1
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -387,17 +417,7 @@ def global_row_number(
     choice mirrors what AQE does for exchanges, keyed on actual input
     parallelism rather than a size guess.
     """
-    # _estimated_input_splits is a documented LOWER bound — sound evidence
-    # for "parallel enough" (est >= 2 proves >= 2 splits) but NOT for
-    # "single split": one non-file: parquet object, or a post-shuffle plan
-    # whose leaf is one small file, estimates 1 while the actual dataset is
-    # huge. Trust the estimate only in its sound direction; before choosing
-    # the single-task global-window branch, confirm with the exact (but
-    # eager-planning) getNumPartitions probe.
-    est = _estimated_input_splits(df)
-    if est is None or est <= 1:
-        est = df.rdd.getNumPartitions()
-    if est <= 1:
+    if input_is_single_split(df):
         return df.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
