@@ -1023,18 +1023,35 @@ def perplexity_buckets(
         global_row_number,
     )
 
-    total = scored.agg(F.count(F.lit(1)).alias("_n"))
     size = _estimated_input_bytes(scored)
     if size is not None and size < (64 << 20):
-        ranked = scored.withColumn(
-            "rn",
+        # the doc count rides the SAME single-partition window stage as
+        # the rank (unbounded frame, evaluated once per partition) — a
+        # separate count branch would re-evaluate the whole upstream
+        # scoring chain a second time just to produce one number
+        ranked = scored.select(
+            "*",
             F.row_number()
             .over(Window.orderBy(score_col, id_col))
-            .cast("long"),
+            .cast("long")
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_n"),
         )
     else:
-        ranked = global_row_number(scored, [score_col, id_col], "rn")
-    ranked = ranked.crossJoin(F.broadcast(total))
+        # large path: materialize the (narrow, doc-count-sized) scored
+        # relation once so the count branch and the two-phase rank read
+        # the same pass instead of re-running the scoring chain twice
+        scored = scored.localCheckpoint(eager=False)
+        total = scored.agg(F.count(F.lit(1)).alias("_n"))
+        ranked = global_row_number(
+            scored, [score_col, id_col], "rn"
+        ).crossJoin(F.broadcast(total))
     bucket = (
         F.floor(((F.col("rn") - 1) * n_buckets) / F.col("_n")) + 1
     ).alias("bucket")

@@ -710,36 +710,85 @@ def unigram_logprob(
     shared ``log10(total)`` shift recovers the mean
     (``avg(log10(cnt)) - log10(total) = avg(log10(cnt/total))``).
 
-    Scale shape: one (doc, token) partial-agg shuffle, one token-count
-    rollup reusing it, a single-row corpus total broadcast-cross-joined,
-    and one hash join of slim count tables — token text shuffles once.
+    Scale shape: ONE LINEAR CHAIN that tokenizes the corpus exactly once
+    — (doc, token) partial-agg shuffle → per-token corpus count as a
+    window ``sum OVER (PARTITION BY token)`` on the same relation (the
+    count joins itself for free: no second tokenize pass, no join, no
+    broadcast) → per-doc rollup. The corpus total is NOT a separate
+    aggregate over a re-evaluated subtree: ``total = Σ_docs n_tokens``,
+    so it reads off the per-doc relation itself — as a single-partition
+    ``sum OVER ()`` when the input is provably small (the doc-count-
+    sized relation fits one task; downstream rank stages reuse the same
+    single-partition exchange), else as a scalar aggregate over a
+    lazily-checkpointed per-doc relation (materialized once —
+    checkpointing the NARROW per-doc rows, never the token relation).
+    The naive three-branch form (cnt join + total agg) re-ran the
+    tokenize+explode scan three times: DAG reuse is per-plan-node, and
+    Catalyst's ReuseExchange does not canonicalize across the branch
+    shapes involved.
     """
-    toks = df.select(
+    from apache_flink_essentials_spark.operators.transform import (
+        _estimated_input_bytes,
+        floor_parallelism,
+    )
+
+    # per-token work is CPU-heavy per input byte (regex split + 100×
+    # row explosion + hash agg), so an under-split scan serializes it —
+    # the winnowing 16 KB/task floor applies (no-op at real scale,
+    # where the scan has plenty of splits)
+    toks = floor_parallelism(df, min_task_bytes=1 << 14).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
-    occ = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n_occ"))
-    cnt = occ.groupBy("_tok").agg(F.sum("_n_occ").alias("_cnt"))
-    total = cnt.agg(F.sum("_cnt").alias("_total"))
     micro_log = F.round(F.log10(F.col("_cnt").cast("double")) * 1e6).cast(
         "long"
     )
-    return (
-        occ.join(cnt, "_tok")
-        .select(F.col(id_col), "_n_occ", micro_log.alias("_ml"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("_n_occ").alias("n_tokens"),
-            F.sum(F.col("_n_occ") * F.col("_ml")).alias("_s"),
+    size = _estimated_input_bytes(df)
+    small = size is not None and size < (64 << 20)
+    if small:
+        # wave-lean small plan: key the ONE token exchange by _tok —
+        # HashPartitioning(_tok) satisfies the (doc, tok) grouping (a
+        # subset of the clustering keys), so the occ aggregate AND the
+        # per-token count window share that exchange; then go straight
+        # to a single partition (proven tiny) so the per-doc rollup,
+        # the corpus-total window, and any downstream rank all run in
+        # ONE final stage. At bench shape each AQE stage wave costs
+        # more than the data work, so the wave count IS the runtime:
+        # this is 4 waves where the fully-distributed form is 6.
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            (
-                F.col("_s") / (F.lit(1e6) * F.col("n_tokens"))
-                - F.log10(F.col("_total").cast("double"))
-            ).alias("mean_logprob"),
+        toks = toks.repartition(n_shuffle, "_tok")
+    occ = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n_occ"))
+    with_cnt = occ.withColumn(
+        "_cnt", F.sum("_n_occ").over(Window.partitionBy("_tok"))
+    )
+    keyed = with_cnt.select(F.col(id_col), "_n_occ", micro_log.alias("_ml"))
+    if small:
+        keyed = keyed.repartition(1)
+    per_doc = keyed.groupBy(id_col).agg(
+        F.sum("_n_occ").alias("n_tokens"),
+        F.sum(F.col("_n_occ") * F.col("_ml")).alias("_s"),
+    )
+    if small:
+        scored = per_doc.withColumn(
+            "_total",
+            F.sum("n_tokens").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
         )
+    else:
+        per_doc = per_doc.localCheckpoint(eager=False)
+        total = per_doc.agg(F.sum("n_tokens").alias("_total"))
+        scored = per_doc.crossJoin(F.broadcast(total))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            F.col("_s") / (F.lit(1e6) * F.col("n_tokens"))
+            - F.log10(F.col("_total").cast("double"))
+        ).alias("mean_logprob"),
     )
 
 
