@@ -160,25 +160,41 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     The token array is MATERIALIZED in its own projection before the bigram
     construction: referencing ``tokens_expr`` inside a per-index lambda would
     re-run the regexp split for every element (O(tokens²) per doc — measured
-    5.4s → 0.6s at sf0.1). Bigrams are then one ``zip_with`` over two array
-    slices — three O(n) array ops per doc, no index arithmetic.
+    5.4s → 0.6s at sf0.1). Bigrams are ``posexplode`` of the first-token
+    slice + one ``element_at`` per row — all whole-stage codegen, where the
+    equivalent ``zip_with`` lambda evaluates interpreted per element; the
+    ``greatest(size-1, 0)`` slice bound makes <2-token docs slice to []
+    (no pre-filter for Catalyst to push into the scan as a second
+    tokenization). Small inputs key the ONE exchange by doc —
+    HashPartitioning(doc) satisfies both the (doc, bigram) and the doc
+    grouping, so the two aggregations share it; at scale the plain
+    two-exchange chain keeps map-side partial aggregation (repetitive
+    docs collapse before the shuffle — worth more than the exchange).
     """
-    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
-    arr = F.col("_toks")
-    # slice(len-1) of a 1-token array would be slice(…, 0) → error; gate ≥2
-    bigrams = F.when(
-        F.size(arr) >= 2,
-        F.zip_with(
-            F.slice(arr, 1, F.size(arr) - 1),
-            F.slice(arr, 2, F.size(arr) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    counts = (
-        toked.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-        .groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("c"))
+    from .transform import _estimated_input_bytes, floor_parallelism
+
+    toked = floor_parallelism(df, min_task_bytes=1 << 14).select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
     )
+    bgr = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.slice("_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(0)))
+        ).alias("_i", "_ta"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", "_ta", F.element_at("_toks", F.col("_i") + 2)
+        ).alias("bigram"),
+    )
+    size = _estimated_input_bytes(df)
+    if size is not None and size < (64 << 20):
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        bgr = bgr.repartition(n_shuffle, id_col)
+    counts = bgr.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
     return counts.groupBy(id_col).agg(
         (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_share"),
         (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias(
@@ -938,12 +954,13 @@ def bigram_logprob(
 
     * **Small inputs** (local file bytes provably < ``window_max_input_
       bytes``): the corpus counts come from two window sums (``sum over
-      partitionBy(_bg)`` / ``partitionBy(_a)``) directly on the
-      occurrence table — ONE scan of the text, 4 exchanges, no joins
-      (measured 2.4× faster than the join form at sf0.1, where stage
-      count dominates). A window partition cannot be split by AQE, so
-      this form has a skew cliff on hot bigrams ("of the" occurs in
-      nearly every document) — safe only when the whole input is small.
+      partitionBy(_a, _bg)`` / ``partitionBy(_a)``) directly on the
+      occurrence table — ONE scan of the text, 3 exchanges, no joins
+      (the single token exchange is keyed by the bigram's FIRST token,
+      whose hash partitioning satisfies the occurrence grouping and
+      both window partitions at once). A window partition cannot be
+      split by AQE, so this form has a skew cliff on hot first-tokens
+      ("of", "the") — safe only when the whole input is small.
     * **Large/unknown inputs** (the 100 TB path): one (doc, bigram)
       partial-agg shuffle, a bigram-count rollup (map-side-combined: the
       shuffled rows are distinct bigrams per partition, not occurrences),
@@ -957,41 +974,67 @@ def bigram_logprob(
 
     Docs with < 2 tokens have no bigrams and drop out.
     """
-    from .transform import _estimated_input_bytes
+    from .transform import _estimated_input_bytes, floor_parallelism
 
     size = _estimated_input_bytes(df)
     small = size is not None and size < window_max_input_bytes
-    fl = F.filter(tokens_expr(text_col), lambda t: t != "")
-    occ = (
-        df.select(F.col(id_col), fl.alias("_fl"))
-        .filter(F.size("_fl") >= 2)
+    # bigram construction is ALL codegen: array_remove replaces the
+    # interpreted filter() HOF (identical semantics: drops every ''),
+    # posexplode + element_at replaces the interpreted zip_with lambda
+    # (measured ~20% of query runtime at sf0.1), and the
+    # greatest(size-1, 0) slice bound replaces the size >= 2 pre-filter
+    # — which Catalyst pushed into the SCAN, re-running the whole
+    # tokenization once per row just to test it (a 0-token doc slices
+    # to [] and drops out of the explode for free). The first bigram
+    # token rides along as _a — no re-split of the joined string.
+    fl = F.array_remove(tokens_expr(text_col), "")
+    base = floor_parallelism(df, min_task_bytes=1 << 14)
+    bg = (
+        base.select(F.col(id_col), fl.alias("_fl"))
         .select(
             F.col(id_col),
-            F.explode(
-                F.zip_with(
-                    F.slice("_fl", 1, F.size("_fl") - 1),
-                    F.slice(F.col("_fl"), 2, F.size("_fl") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
+            F.posexplode(
+                F.slice("_fl", 1, F.greatest(F.size("_fl") - 1, F.lit(0)))
+            ).alias("_i", "_a"),
+            F.col("_fl"),
+        )
+        .select(
+            F.col(id_col),
+            "_a",
+            F.concat(
+                "_a", F.lit(" "), F.element_at("_fl", F.col("_i") + 2)
             ).alias("_bg"),
         )
-        .groupBy(id_col, "_bg")
-        .agg(F.count(F.lit(1)).alias("_n_occ"))
     )
     ml = lambda c: F.round(F.log10(c.cast("double")) * 1e6).cast("long")  # noqa: E731
     if small:
+        # ONE token exchange keyed by _a: HashPartitioning(_a)
+        # satisfies the (doc, bg, a) grouping AND both window
+        # partitions (subsets of the clustering), so the occurrence
+        # aggregate and the two count windows share it; then a single
+        # partition (proven tiny) for the per-doc rollup — 3 exchanges
+        # where the join form needs 5+.
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         counted = (
-            occ.withColumn(
+            bg.repartition(n_shuffle, "_a")
+            .groupBy(id_col, "_bg", "_a")
+            .agg(F.count(F.lit(1)).alias("_n_occ"))
+            .withColumn(
                 "_cnt_bg",
-                F.sum("_n_occ").over(Window.partitionBy("_bg")),
+                F.sum("_n_occ").over(Window.partitionBy("_a", "_bg")),
             )
-            .withColumn("_a", F.split("_bg", " ").getItem(0))
             .withColumn(
                 "_cnt_a",
                 F.sum("_n_occ").over(Window.partitionBy("_a")),
             )
+            .repartition(1)
         )
     else:
+        occ = bg.groupBy(id_col, "_bg", "_a").agg(
+            F.count(F.lit(1)).alias("_n_occ")
+        )
         cnt_bg = occ.groupBy("_bg").agg(F.sum("_n_occ").alias("_cnt_bg"))
         cnt_first = (
             cnt_bg.select(
@@ -1000,11 +1043,7 @@ def bigram_logprob(
             .groupBy("_a")
             .agg(F.sum("_cnt_bg").alias("_cnt_a"))
         )
-        counted = (
-            occ.join(cnt_bg, "_bg")
-            .withColumn("_a", F.split("_bg", " ").getItem(0))
-            .join(cnt_first, "_a")
-        )
+        counted = occ.join(cnt_bg, "_bg").join(cnt_first, "_a")
     return (
         counted.groupBy(id_col)
         .agg(
