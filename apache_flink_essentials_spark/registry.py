@@ -2287,12 +2287,67 @@ _register(
     """,
 )(lambda spark, sf: X.repetition_stats(load_table(spark, "documents", sf)))
 
-# Sequence packing: next-fit fold inside hash groups — the reset-on-overflow
-# accumulator is a non-associative sequential fold, not expressible as plain
-# SQL window functions, so the driver records the rows-only check; pytest
-# pins the invariants (each doc exactly once, pack sums ≤ budget, oversize
-# flagged, deterministic pack ids).
-_register("curation_pack_sequences")(
+# Sequence packing: next-fit fold inside hash groups. The reset-on-overflow
+# accumulator is a non-associative sequential fold — not a plain window
+# function — but it IS pure INTEGER arithmetic, so a recursive CTE that
+# advances every hash group one row per iteration replays it bit-exactly
+# (iteration count = max rows per group; the md5 group key spreads sf0.01's
+# 500 docs ~8 per group). This upgrades the row from rows-only to a full
+# hash-matched oracle; pytest still pins the invariants (each doc exactly
+# once, pack sums ≤ budget, oversize flagged, deterministic pack ids).
+_register(
+    "curation_pack_sequences",
+    r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+             ('0x' || substr(md5('g0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 64 AS pack_group
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, pack_group,
+             row_number() OVER (PARTITION BY pack_group ORDER BY doc_id)
+               AS rn
+      FROM base
+    ), rec AS (
+      SELECT pack_group, rn, doc_id, n_tokens,
+             0::BIGINT AS pack_local,
+             (CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END)::BIGINT
+               AS local_out,
+             (CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END)::BIGINT
+               AS acc_out
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+             r.local_out
+               + CASE WHEN r.acc_out > 0 AND r.acc_out + t.n_tokens > 512
+                      THEN 1 ELSE 0 END AS pack_local,
+             (r.local_out
+               + CASE WHEN r.acc_out > 0 AND r.acc_out + t.n_tokens > 512
+                      THEN 1 ELSE 0 END)
+               + CASE WHEN (CASE WHEN r.acc_out > 0
+                                  AND r.acc_out + t.n_tokens > 512
+                                 THEN 0 ELSE r.acc_out END) + t.n_tokens
+                           >= 512
+                      THEN 1 ELSE 0 END AS local_out,
+             CASE WHEN (CASE WHEN r.acc_out > 0
+                              AND r.acc_out + t.n_tokens > 512
+                             THEN 0 ELSE r.acc_out END) + t.n_tokens >= 512
+                  THEN 0
+                  ELSE (CASE WHEN r.acc_out > 0
+                              AND r.acc_out + t.n_tokens > 512
+                             THEN 0 ELSE r.acc_out END) + t.n_tokens
+             END AS acc_out
+      FROM rec r JOIN ranked t
+        ON t.pack_group = r.pack_group AND t.rn = r.rn + 1
+    )
+    SELECT doc_id, n_tokens, pack_group,
+           pack_group * 1099511627776 + pack_local AS pack_id,
+           n_tokens > 512 AS oversize
+    FROM rec
+    """,
+    late=True,
+)(
     lambda spark, sf: CU.pack_sequences(
         X.token_count(load_table(spark, "documents", sf)),
         token_count_col="n_tokens",
@@ -5122,6 +5177,181 @@ def _pq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("vec_pq_search", late=True)(_pq)
+
+
+# The FITTED codebook of vec_pq_search cannot hash-match an oracle (k-means
+# sub-centroid means are order-dependent float sums), but the encode + ADC
+# machinery it exercises is deterministic given a FIXED codebook — so this
+# row anchors exactly that: the same splitmix-constant generator behind the
+# LSH oracles supplies an m=4 × k=8 codebook as SQL literals, Spark runs
+# the expression-path pq_encode (left-to-right fold, bit-identical to the
+# SQL expansion) + the real pq_search ADC, and DuckDB replays code
+# assignment (argmin with lowest-index tiebreak), the query distance
+# tables, and the m-lookup ADC sum. adc_sq_dist is rounded to 6 dp on both
+# sides (the pq_search contract), absorbing the numpy-vs-fold summation
+# order of the tiny driver-side query tables.
+_PQ_ADC_M, _PQ_ADC_K, _PQ_ADC_SUB = 4, 8, 16
+_PQ_ADC_BOOKS = [
+    [V._hyperplane(_PQ_ADC_SUB, s * _PQ_ADC_K + c) for c in range(_PQ_ADC_K)]
+    for s in range(_PQ_ADC_M)
+]
+_PQ_ADC_BOOKS_SQL = ",\n      ".join(
+    f"({s}, {c}, [" + ",".join(repr(x) for x in _PQ_ADC_BOOKS[s][c])
+    + "]::DOUBLE[])"
+    for s in range(_PQ_ADC_M)
+    for c in range(_PQ_ADC_K)
+)
+_PQ_ADC_DIST = """list_aggregate(list_transform(range(1, 17),
+               i -> (e.embedding[bk.s * 16 + i]::DOUBLE - bk.b[i])
+                    * (e.embedding[bk.s * 16 + i]::DOUBLE - bk.b[i])),
+             'sum')"""
+
+
+def _pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    enc = V.pq_encode(emb, _PQ_ADC_BOOKS, use_arrow=False)
+    return V.pq_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        _PQ_ADC_BOOKS,
+        k=5,
+        pre_encoded=enc,
+    )
+
+
+# Same fixed-constant anchoring for the IVF-PQ composite: 4 splitmix
+# centroids as literals, coarse assignment + nprobe=2 probe selection +
+# cluster-confined ADC all replayed in SQL. Anchors the machinery of
+# vec_ivfpq_search (whose FITTED centroids/codebooks stay rows-only).
+_IVFPQ_ADC_CENTS = [V._hyperplane(64, 500 + j) for j in range(4)]
+_IVFPQ_ADC_CENTS_SQL = ",\n      ".join(
+    f"({j}, [" + ",".join(repr(x) for x in _IVFPQ_ADC_CENTS[j])
+    + "]::DOUBLE[])"
+    for j in range(4)
+)
+_IVFPQ_COARSE_DIST = """list_aggregate(list_transform(range(1, 65),
+               i -> (e.embedding[i]::DOUBLE - ct.v[i])
+                    * (e.embedding[i]::DOUBLE - ct.v[i])),
+             'sum')"""
+
+
+def _ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    idx = V.pq_encode(
+        V.ivf_assign(emb, _IVFPQ_ADC_CENTS, use_arrow=False),
+        _PQ_ADC_BOOKS,
+        use_arrow=False,
+    )
+    return V.ivfpq_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        _IVFPQ_ADC_CENTS,
+        _PQ_ADC_BOOKS,
+        k=5,
+        nprobe=2,
+        pre_indexed=idx,
+    )
+
+
+_register(
+    "vec_ivfpq_adc",
+    f"""
+    WITH cents(j, v) AS (VALUES
+      {_IVFPQ_ADC_CENTS_SQL}
+    ),
+    books(s, c, b) AS (VALUES
+      {_PQ_ADC_BOOKS_SQL}
+    ),
+    assign AS (
+      SELECT vec_id, j AS cluster_id FROM (
+        SELECT e.vec_id, ct.j,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVFPQ_COARSE_DIST} ASC, ct.j ASC) AS rn
+        FROM embeddings e, cents ct
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT e.vec_id, bk.s, bk.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, bk.s
+                 ORDER BY {_PQ_ADC_DIST} ASC, bk.c ASC) AS rn
+        FROM embeddings e, books bk
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, j AS cluster_id FROM (
+        SELECT e.vec_id AS query_id, ct.j,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVFPQ_COARSE_DIST} ASC, ct.j ASC) AS rn
+        FROM embeddings e, cents ct WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    qdt AS (
+      SELECT e.vec_id AS query_id, bk.s, bk.c, {_PQ_ADC_DIST} AS d
+      FROM embeddings e, books bk
+      WHERE e.vec_id < 10
+    ),
+    adc AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             round(sum(q.d), 6) AS adc_sq_dist
+      FROM codes cd
+      JOIN assign a ON a.vec_id = cd.vec_id
+      JOIN probes p ON p.cluster_id = a.cluster_id
+      JOIN qdt q ON q.query_id = p.query_id
+                AND q.s = cd.s AND q.c = cd.c
+      WHERE q.query_id != cd.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_sq_dist ASC, neighbor_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    late=True,
+)(_ivfpq_adc)
+
+
+_register(
+    "vec_pq_adc",
+    f"""
+    WITH books(s, c, b) AS (VALUES
+      {_PQ_ADC_BOOKS_SQL}
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT e.vec_id, bk.s, bk.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, bk.s
+                 ORDER BY {_PQ_ADC_DIST} ASC, bk.c ASC) AS rn
+        FROM embeddings e, books bk
+      ) WHERE rn = 1
+    ),
+    qdt AS (
+      SELECT e.vec_id AS query_id, bk.s, bk.c, {_PQ_ADC_DIST} AS d
+      FROM embeddings e, books bk
+      WHERE e.vec_id < 10
+    ),
+    adc AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             round(sum(q.d), 6) AS adc_sq_dist
+      FROM codes cd JOIN qdt q ON q.s = cd.s AND q.c = cd.c
+      WHERE q.query_id != cd.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_sq_dist, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_sq_dist ASC, neighbor_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    late=True,
+)(_pq_adc)
 
 
 # ---- dataset-card summary (per-stratum counts + Gopher pass rates) ----

@@ -31,7 +31,6 @@ def test_no_nested_output_columns_anywhere(spark):
 # allowed to ship without a DuckDB oracle (the driver records a weaker
 # rows-only check for these; everything else must hash-match)
 ROWS_ONLY = {
-    "curation_pack_sequences",
     "graph_pagerank_custsupp",
     "multimodal_decode",
     "multimodal_features",
