@@ -98,6 +98,21 @@ def portable_hll_distinct(
     without rescanning, exactly how a 100 TB daily-rollup table stays
     incremental.
     """
+    partials = portable_hll_partials(df, col, keys=keys, p=p)
+    return portable_hll_merge(partials, keys=keys, p=p)
+
+
+def portable_hll_partials(
+    df: DataFrame, col: str, keys: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """The mergeable half of ``portable_hll_distinct``: per-(key, bucket)
+    ``max(rho)`` registers — at most ``keys × 2^p`` integer rows, the
+    relation a rollup table STORES. Partials from different passes /
+    days / engines union and re-merge losslessly (max is associative and
+    idempotent), which is the whole sketch-interchange point: write
+    per-day partials at ingest, merge any date range later without
+    rescanning. Integer-exact → any SQL engine reproduces them
+    bit-for-bit."""
     m = 1 << p
     rem_bits = 48 - p
     max_rho = rem_bits + 1
@@ -116,9 +131,25 @@ def portable_hll_distinct(
         f"case when _w = 0 then {max_rho}"
         f" else {max_rho} - length(bin(_w)) end AS _rho",
     )
-    partials = ranked.groupBy(
+    return ranked.groupBy(
         *[F.col(k) for k in keys], F.col("_bucket")
     ).agg(F.max("_rho").alias("_mx"))
+
+
+def portable_hll_merge(
+    partials: DataFrame, keys: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """Merge stored portable-HLL partials (possibly from many passes —
+    re-max per bucket) and resolve the estimate. ``merge(partials(A) ∪
+    partials(B)) == one_shot(A ∪ B)`` EXACTLY, because the registers are
+    integer maxima; the equality is pinned in tests."""
+    m = 1 << p
+    rem_bits = 48 - p
+    max_rho = rem_bits + 1
+    # re-max: inputs may contain several partial rows per (key, bucket)
+    partials = partials.groupBy(
+        *[F.col(k) for k in keys], F.col("_bucket")
+    ).agg(F.max("_mx").alias("_mx"))
     alpha = "(0.7213 / (1.0 + 1.079 / {m}.0))".format(m=m)
     two_pow_max = 1 << max_rho
     rolled = partials.groupBy(*[F.col(k) for k in keys]).agg(

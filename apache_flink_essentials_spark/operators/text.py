@@ -755,11 +755,24 @@ def unigram_logprob(
     toks = floor_parallelism(df, min_task_bytes=1 << 14).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
+    size = _estimated_input_bytes(df)
+    small = size is not None and size < (64 << 20)
+    return unigram_logprob_from_tokens(toks, id_col=id_col, small=small)
+
+
+def unigram_logprob_from_tokens(
+    toks: DataFrame, id_col: str = "doc_id", small: bool = False
+) -> DataFrame:
+    """``unigram_logprob`` over a PRE-TOKENIZED ``(id, _tok)`` relation —
+    the serving half of the streaming-ingest split: a stateless stream
+    materializes exploded tokens once at ingest (the CPU-heavy half),
+    and this report re-runs cheaply over the materialized relation.
+    ``small=True`` selects the wave-lean single-partition plan (see
+    ``unigram_logprob``); scores are identical either way (exact
+    integer micro-log sums)."""
     micro_log = F.round(F.log10(F.col("_cnt").cast("double")) * 1e6).cast(
         "long"
     )
-    size = _estimated_input_bytes(df)
-    small = size is not None and size < (64 << 20)
     if small:
         # wave-lean small plan: key the ONE token exchange by _tok —
         # HashPartitioning(_tok) satisfies the (doc, tok) grouping (a
@@ -771,7 +784,7 @@ def unigram_logprob(
         # more than the data work, so the wave count IS the runtime:
         # this is 4 waves where the fully-distributed form is 6.
         n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         toks = toks.repartition(n_shuffle, "_tok")
     occ = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n_occ"))

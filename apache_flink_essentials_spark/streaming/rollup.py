@@ -117,3 +117,84 @@ def realtime_aggregate(
         raw.filter(F.col(ts_col) >= F.lit(cutoff)), ts_col, grain, aggs
     )
     return rollup.unionByName(tail)
+
+
+def dataset_card_stream(
+    stream: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``curation.dataset_card``'s aggregation half: a
+    complete-mode streaming groupBy on the stratum key maintaining the
+    SAME exact-integer counts (docs, tokens, Gopher passes) the batch op
+    computes. State is |strata| rows — bounded regardless of stream
+    length — and every aggregate is an associative integer sum, so the
+    finished aggregate is BIT-IDENTICAL to the batch aggregation over
+    the same rows in any arrival order (pinned by the stream≡batch
+    test). Feed the completed aggregate to ``finish_dataset_card`` for
+    the share/rate columns — those are derived on read because a share
+    of a still-growing total is only final when the stream is.
+    """
+    from apache_flink_essentials_spark.operators.text import (
+        gopher_pass_expr,
+        tokens_expr,
+    )
+
+    base = stream.select(
+        *group_cols,
+        F.size(tokens_expr(text_col)).alias("_nt"),
+        gopher_pass_expr(text_col).cast("long").alias("_pass"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_pass").alias("n_gopher_pass"),
+    )
+
+
+def finish_dataset_card(agg: DataFrame, group_cols: tuple[str, ...] = ("lang", "source")) -> DataFrame:
+    """Derive the dataset card's share/rate columns from a finished
+    stratum aggregate (streaming sink table or batch aggregate alike).
+    Ratios are exact-int / exact-int — the batch op's portability
+    contract — and the corpus-total window runs over the |strata|-row
+    aggregate, never the data."""
+    from pyspark.sql.window import Window as _W
+
+    total = F.sum("n_tokens").over(_W.partitionBy())
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / total).alias("token_share"),
+        "n_gopher_pass",
+        (F.col("n_gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
+        (F.col("n_tokens") / F.col("n_docs")).alias("avg_doc_tokens"),
+    )
+
+
+def tokenize_ingest_stream(
+    stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming ingest half of the perplexity/LM-report split: a
+    STATELESS explode of each arriving document into ``(id, _tok)`` rows
+    — append-safe with no watermark or state, so it runs at scan speed
+    and amortizes the CPU-heavy tokenization into ingest, exactly once
+    per document. The report half
+    (``text.unigram_logprob_from_tokens`` → ``curation.perplexity_
+    buckets``) re-runs over the materialized relation.
+
+    Why not a fully-streaming perplexity report: a document's unigram
+    log-prob depends on the CORPUS-GLOBAL token counts, which keep
+    changing until the stream ends — every arrival retroactively
+    re-scores every earlier document, so the bucket report is
+    non-incremental BY SEMANTICS (not a Spark limitation). The honest
+    streaming design is therefore ingest-side materialization + cheap
+    batch re-report, the continuous_rollup serving pattern; the
+    stream≡batch test pins that the split scores bit-identically to the
+    one-shot batch path.
+    """
+    from apache_flink_essentials_spark.operators.text import tokens_expr
+
+    return stream.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")

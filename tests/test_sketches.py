@@ -96,3 +96,23 @@ def test_countmin_exact_when_width_dominates(spark, events):
     assert [(r.item, r.true_count) for r in rows] == [
         (r.item, r.cnt) for r in top
     ]
+
+
+def test_portable_hll_daily_partials_merge_equals_one_shot(spark):
+    # merge(per-day partials) == one-shot sketch EXACTLY: the registers
+    # are integer maxima, so splitting the pass by day cannot change them
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.sketches import (
+        portable_hll_distinct,
+        portable_hll_merge,
+        portable_hll_partials,
+    )
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts"))
+    daily = portable_hll_partials(events, "user_id", keys=["day"])
+    merged = portable_hll_merge(daily.drop("day")).collect()[0]
+    one = portable_hll_distinct(events, "user_id").collect()[0]
+    assert (merged.register_sum, merged.v_empty, merged.hll_distinct) == \
+        (one.register_sum, one.v_empty, one.hll_distinct)

@@ -875,3 +875,56 @@ def test_streaming_paragraph_dedup_matches_batch_kept_set(spark):
     assert streamed == batch_kept
     # every distinct paragraph exactly once
     assert len(out.collect()) == len(batch_kept)
+
+
+def test_dataset_card_stream_equals_batch(spark):
+    # complete-mode stratum aggregate over a replayed document stream ==
+    # the batch dataset_card, bit-for-bit: every maintained aggregate is
+    # an associative integer sum, so arrival order cannot matter
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.curation import dataset_card
+    from apache_flink_essentials_spark.streaming.rollup import (
+        dataset_card_stream,
+        finish_dataset_card,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    agg = run_stream_to_df(
+        dataset_card_stream(stream_in), output_mode="complete"
+    )
+    streamed = finish_dataset_card(agg)
+    batch = dataset_card(docs)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0
+
+
+def test_perplexity_buckets_over_token_ingest_equals_batch(spark):
+    # ingest half: stateless tokenize stream materializes (doc, token)
+    # rows; report half: unigram scores + buckets over the materialized
+    # relation == the one-shot batch path (exact integer micro-log sums)
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.curation import (
+        perplexity_buckets,
+    )
+    from apache_flink_essentials_spark.operators.text import (
+        unigram_logprob,
+        unigram_logprob_from_tokens,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        tokenize_ingest_stream,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    toks = run_stream_to_df(
+        tokenize_ingest_stream(stream_in), output_mode="append"
+    )
+    streamed = perplexity_buckets(
+        unigram_logprob_from_tokens(toks, small=True)
+    )
+    batch = perplexity_buckets(unigram_logprob(docs))
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0
