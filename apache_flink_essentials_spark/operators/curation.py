@@ -681,8 +681,12 @@ def temperature_weights(
     arithmetic — no float-summation order anywhere.
 
     Scale shape: one (source) hash aggregation over the corpus — partial
-    aggregation collapses each task to its source inventory — then two
-    single-row broadcast cross joins; nothing else moves.
+    aggregation collapses each task to its source inventory — then the
+    corpus total and the weight denominator are unpartitioned WINDOW sums
+    over that |sources|-row aggregate (safe post-aggregation — the
+    `dataset_card` rationale). The agg-branch-plus-broadcast-cross-join
+    form evaluated the tokenizing aggregate up to FOUR times: DataFrame
+    branch reuse is per-plan-node, so each `.agg` branch re-ran the scan.
     """
     from .text import tokens_expr
 
@@ -690,15 +694,19 @@ def temperature_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_expr(text_col))).alias("n_tokens"),
     )
-    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    wf = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = per.withColumn("_total", F.sum("n_tokens").over(wf))
     w_micro = F.round(
         F.pow(F.col("n_tokens").cast("double") / F.col("_total"), alpha)
         * 1e9
     ).cast("long")
-    base = per.crossJoin(F.broadcast(tot)).withColumn("_w", w_micro)
-    wsum = base.agg(F.sum("_w").alias("_wsum"))
+    base = base.withColumn("_w", w_micro).withColumn(
+        "_wsum", F.sum("_w").over(wf)
+    )
     return (
-        base.crossJoin(F.broadcast(wsum))
+        base
         .select(
             F.col(source_col),
             "n_docs",
@@ -753,19 +761,22 @@ def unimax_weights(
     ).withColumn(
         "cap_tokens", (F.lit(epoch_cap) * F.col("lang_tokens")).cast("long")
     )
-    tot = per.agg(
-        F.sum("lang_tokens").alias("_total"),
-        F.count(F.lit(1)).alias("_n"),
-    ).select(
-        F.floor(F.col("_total") * F.lit(budget_frac)).cast("long").alias(
-            "_budget"
-        ),
-        "_n",
+    # budget/count as unpartitioned windows over the |langs|-row
+    # aggregate (safe post-aggregation) — the `.agg` branch +
+    # broadcast cross join form re-ran the tokenizing aggregate twice
+    wf = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_ord = Window.orderBy("cap_tokens", lang_col)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     staged = (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn(
+            "_budget",
+            F.floor(
+                F.sum("lang_tokens").over(wf) * F.lit(budget_frac)
+            ).cast("long"),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wf))
         .withColumn("_i", F.row_number().over(w_ord))
         .withColumn("_cum", F.sum("cap_tokens").over(w_cum))
         .withColumn("_prev_cap", F.lag("cap_tokens", 1, 0).over(w_ord))
@@ -877,59 +888,105 @@ def dsir_weights(
     the raw-corpus vocabulary size, shared by both LMs so unseen-in-
     target tokens get mass 1/(T_t+V) — finite weights for every doc.
 
-    Scale shape: one (doc, token) partial-agg shuffle; token-count
-    rollups reuse its key; the three scalars (T_t, T_r, V) ride a 1-row
-    broadcast cross join. Document text shuffles once, as tokens.
+    Scale shape: the ``unigram_logprob`` linear chain — ONE tokenize
+    pass: (doc, target, token) partial-agg shuffle, per-token raw/target
+    counts as window sums ``OVER (PARTITION BY token)`` on the same
+    relation (the old occ⨝cnt form re-ran the tokenize scan for each
+    branch), per-doc rollup carrying a first-occurrence marker whose sum
+    IS the vocabulary size. The three scalars (T_t, T_r, V) then read
+    off the per-doc relation itself — a single-partition window when the
+    input is provably small, else a scalar over the lazily-checkpointed
+    narrow per-doc rows.
     """
     from .text import tokens_expr
+    from .transform import _estimated_input_bytes, floor_parallelism
 
     toks = (
-        df.select(
+        floor_parallelism(df, min_task_bytes=1 << 14)
+        .select(
             F.col(id_col),
             target_filter.alias("_is_target"),
             F.explode(tokens_expr(text_col)).alias("_tok"),
         )
         .filter(F.col("_tok") != "")
     )
-    occ = toks.groupBy(id_col, "_tok").agg(
+    size = _estimated_input_bytes(df)
+    small = size is not None and size < (64 << 20)
+    if small:
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        toks = toks.repartition(n_shuffle, "_tok")
+    occ = toks.groupBy(id_col, "_is_target", "_tok").agg(
         F.count(F.lit(1)).alias("_n_occ")
     )
-    cnt = toks.groupBy("_tok").agg(
-        F.count(F.lit(1)).alias("_cnt_r"),
-        F.count(F.when(F.col("_is_target"), True)).alias("_cnt_t"),
-    )
-    totals = cnt.agg(
-        F.sum("_cnt_r").alias("_tot_r"),
-        F.sum("_cnt_t").alias("_tot_t"),
-        F.count(F.lit(1)).alias("_vocab"),
-    )
+    wtok = Window.partitionBy("_tok")
+    wfirst = Window.partitionBy("_tok").orderBy(id_col)
     ml = lambda c: F.round(  # noqa: E731
         F.log10((c + F.lit(1)).cast("double")) * 1e6
     ).cast("long")
-    return (
-        occ.join(cnt, "_tok")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_n_occ").alias("n_tokens"),
-            F.sum(
-                F.col("_n_occ") * (ml(F.col("_cnt_t")) - ml(F.col("_cnt_r")))
-            ).alias("_s"),
-        )
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            (
-                F.col("_s") / F.lit(1e6)
-                - F.col("n_tokens")
-                * (
-                    F.log10((F.col("_tot_t") + F.col("_vocab")).cast("double"))
-                    - F.log10(
-                        (F.col("_tot_r") + F.col("_vocab")).cast("double")
+    keyed = occ.select(
+        F.col(id_col),
+        "_is_target",
+        "_n_occ",
+        (
+            ml(
+                F.sum(
+                    F.when(F.col("_is_target"), F.col("_n_occ")).otherwise(
+                        F.lit(0)
                     )
-                )
-            ).alias("log_weight"),
+                ).over(wtok)
+            )
+            - ml(F.sum("_n_occ").over(wtok))
+        ).alias("_ml_diff"),
+        (F.row_number().over(wfirst) == 1).cast("long").alias("_v1"),
+    )
+    if small:
+        keyed = keyed.repartition(1)
+    per_doc = keyed.groupBy(id_col, "_is_target").agg(
+        F.sum("_n_occ").alias("n_tokens"),
+        F.sum(F.col("_n_occ") * F.col("_ml_diff")).alias("_s"),
+        F.sum("_v1").alias("_v"),
+    )
+    if small:
+        wf = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
+        scored = per_doc.select(
+            "*",
+            F.sum("n_tokens").over(wf).alias("_tot_r"),
+            F.sum(
+                F.when(F.col("_is_target"), F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).over(wf).alias("_tot_t"),
+            F.sum("_v").over(wf).alias("_vocab"),
+        )
+    else:
+        per_doc = per_doc.localCheckpoint(eager=False)
+        totals = per_doc.agg(
+            F.sum("n_tokens").alias("_tot_r"),
+            F.sum(
+                F.when(F.col("_is_target"), F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_tot_t"),
+            F.sum("_v").alias("_vocab"),
+        )
+        scored = per_doc.crossJoin(F.broadcast(totals))
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        (
+            F.col("_s") / F.lit(1e6)
+            - F.col("n_tokens")
+            * (
+                F.log10((F.col("_tot_t") + F.col("_vocab")).cast("double"))
+                - F.log10(
+                    (F.col("_tot_r") + F.col("_vocab")).cast("double")
+                )
+            )
+        ).alias("log_weight"),
     )
 
 

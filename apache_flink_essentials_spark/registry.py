@@ -1329,6 +1329,10 @@ def _q11(spark: SparkSession, sf: str) -> DataFrame:
               F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(value.alias("part_value_dec"))
+        # feeds BOTH the total aggregate and the filter: materialize the
+        # |parts|-row relation once (lazy) instead of re-running the
+        # lineitem semi-join + aggregation for the total branch
+        .localCheckpoint(eager=False)
     )
     total = per_part.agg(F.sum("part_value_dec").alias("total_dec"))
     return (
