@@ -165,17 +165,29 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     equivalent ``zip_with`` lambda evaluates interpreted per element; the
     ``greatest(size-1, 0)`` slice bound makes <2-token docs slice to []
     (no pre-filter for Catalyst to push into the scan as a second
-    tokenization). Small inputs key the ONE exchange by doc —
-    HashPartitioning(doc) satisfies both the (doc, bigram) and the doc
-    grouping, so the two aggregations share it; at scale the plain
-    two-exchange chain keeps map-side partial aggregation (repetitive
-    docs collapse before the shuffle — worth more than the exchange).
+    tokenization). Small inputs take a ONE-exchange plan that shuffles the
+    RAW rows by doc BEFORE tokenizing — HashPartitioning(doc) then
+    satisfies both the (doc, bigram) and the doc grouping, the shuffle
+    carries text bytes (smaller than the exploded bigram rows: normal
+    text has mostly-unique per-doc bigrams, so partial aggregation
+    collapses little), and the tokenize runs 32-wide after the exchange
+    (measured 0.74 s -> 0.44 s vs the floor + late-repartition form at
+    sf0.1). At scale the plain two-exchange chain keeps map-side partial
+    aggregation — there, degenerate repetitive shards DO collapse before
+    the shuffle, and a full raw-text repartition is the bigger term.
     """
     from .transform import _estimated_input_bytes, floor_parallelism
 
-    toked = floor_parallelism(df, min_task_bytes=1 << 14).select(
-        F.col(id_col), tokens_expr(text_col).alias("_toks")
-    )
+    size = _estimated_input_bytes(df)
+    small = size is not None and size < (64 << 20)
+    if small:
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        src = df.repartition(n_shuffle, id_col)
+    else:
+        src = floor_parallelism(df, min_task_bytes=1 << 14)
+    toked = src.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
     bgr = toked.select(
         F.col(id_col),
         F.posexplode(
@@ -188,12 +200,6 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             " ", "_ta", F.element_at("_toks", F.col("_i") + 2)
         ).alias("bigram"),
     )
-    size = _estimated_input_bytes(df)
-    if size is not None and size < (64 << 20):
-        n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        bgr = bgr.repartition(n_shuffle, id_col)
     counts = bgr.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
     return counts.groupBy(id_col).agg(
         (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_share"),
@@ -1030,18 +1036,24 @@ def bigram_logprob(
         n_shuffle = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        # window COUNTS directly over the occurrence rows — the
+        # (doc, bg, a) pre-aggregation bought nothing here (its input is
+        # already exchange-partitioned by _a, so it saved no shuffle
+        # bytes, and normal text has mostly-unique per-doc bigrams), and
+        # dropping it removes a HashAggregate from the hot stage
+        # (measured ~8% at sf0.1). Each occurrence row then carries
+        # _n_occ=1 into the shared per-doc rollup below.
         counted = (
             bg.repartition(n_shuffle, "_a")
-            .groupBy(id_col, "_bg", "_a")
-            .agg(F.count(F.lit(1)).alias("_n_occ"))
             .withColumn(
                 "_cnt_bg",
-                F.sum("_n_occ").over(Window.partitionBy("_a", "_bg")),
+                F.count(F.lit(1)).over(Window.partitionBy("_a", "_bg")),
             )
             .withColumn(
                 "_cnt_a",
-                F.sum("_n_occ").over(Window.partitionBy("_a")),
+                F.count(F.lit(1)).over(Window.partitionBy("_a")),
             )
+            .withColumn("_n_occ", F.lit(1))
             .repartition(1)
         )
     else:
