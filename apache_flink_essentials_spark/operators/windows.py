@@ -394,9 +394,12 @@ def session_capped(
     sub_d: Column = F.lit(0).cast("long")
     sub_c: Column = F.lit(0).cast("long")
     if max_duration_seconds is not None:
-        start = F.min("_ts_s").over(
-            Window.partitionBy(key_col, "_sess")
-        )
+        # first_value over the ORDERED (key, _sess | ts, id) spec is the
+        # session min (ascending ts ⇒ first row's ts), and sharing
+        # wsess's spec lets it ride the row_number Window operator — the
+        # plain min() over an unordered (key, _sess) spec planned its
+        # own Window pass + its own sort (4 ops / 3 sorts -> 3 / 2)
+        start = F.first("_ts_s").over(wsess)
         sub_d = F.floor((F.col("_ts_s") - start) / max_duration_seconds)
     if max_events is not None:
         sub_c = F.floor((F.row_number().over(wsess) - 1) / max_events)
