@@ -3835,6 +3835,47 @@ _register("vec_pca_project")(
 )
 
 
+# ---- PCA projection mechanism, FULLY oracle-anchored ----
+# The fit is float-iterative (LAPACK eigh) so vec_pca_project stays
+# rows-only, but the projection stage is a deterministic centered dot:
+# fix a 4x64 basis from integer arithmetic, inline the identical decimal
+# literals on both sides (decimal->double parse is correctly rounded in
+# both engines), and the left-assoc fold in dot_expr matches SQL's
+# left-assoc `+` chain bit for bit — raw doubles hash-match, no rounding
+# contract needed (the vec_pq_adc precedent, applied to PCA).
+_PCA_FIX_MEAN = [((i * 37) % 19 - 9) / 100.0 for i in range(64)]
+_PCA_FIX_COMPS = [
+    [(((j * 64 + i) * 2654435761) % 2000 - 1000) / 1000.0
+     for i in range(64)]
+    for j in range(4)
+]
+
+
+def _pca_apply_oracle() -> str:
+    cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE - ({_PCA_FIX_MEAN[i]!r}))"
+            f" * ({_PCA_FIX_COMPS[j][i]!r})"
+            for i in range(64)
+        )
+        + f") AS pc{j}"
+        for j in range(4)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+_register("vec_pca_apply", _pca_apply_oracle(), late=True)(
+    lambda spark, sf: V.pca_project(
+        load_table(spark, "embeddings", sf),
+        {"mean": _PCA_FIX_MEAN, "components": _PCA_FIX_COMPS},
+    ).select(
+        "vec_id",
+        *[F.col("pca")[i].alias(f"pc{i}") for i in range(4)],
+    )
+)
+
+
 # ---- rolling 7-day active users (sliding-window COUNT DISTINCT) ----
 # Oracle checks the EXACT form (rows replicate 7x before the distinct agg).
 # exact=False is the default 100 TB path: per-day HLL pane sketches merged
@@ -4282,9 +4323,40 @@ _register(
 ))
 
 
-# EWMA control chart is float-iterative (sequential recurrence) → rows-only
-# driver check; planted-spike + stream==batch bit-equality pinned in tests
-_register("ts_ewma_anomaly")(lambda spark, sf: TS.ewma_anomaly(
+# EWMA control chart: the recurrence is SEQUENTIAL but not order-free —
+# a recursive CTE that advances every key one row per iteration replays
+# the exact same IEEE ops in the exact same order (dev = x - ewma;
+# ewma += a*dev; ewvar = (1-a)*(ewvar + a*dev*dev) — all left-assoc in
+# both engines), so raw doubles hash-match bit-for-bit (verified at
+# sf0.001 and sf0.01). Formerly rows-only; planted-spike +
+# stream==batch bit-equality stay pinned in tests.
+_register(
+    "ts_ewma_anomaly",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, value::DOUBLE AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY floor(epoch(ts))::BIGINT, value)
+               AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, ts_s, x, rn,
+             x AS ewma, 0.0::DOUBLE AS ewvar, FALSE AS is_anomaly
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts_s, b.x, b.rn,
+             r.ewma + 0.3 * (b.x - r.ewma) AS ewma,
+             (1.0 - 0.3) * (r.ewvar + 0.3 * (b.x - r.ewma)
+                            * (b.x - r.ewma)) AS ewvar,
+             (r.ewvar > 0.0 AND
+              (b.x - r.ewma) * (b.x - r.ewma) > 3.0 * 3.0 * r.ewvar)
+               AS is_anomaly
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, ts_s, x AS value, ewma, is_anomaly FROM rec
+    """,
+    late=True,
+)(lambda spark, sf: TS.ewma_anomaly(
     _events(spark, sf), "user_id", "ts", "value", alpha=0.3, z=3.0
 ))
 
