@@ -104,3 +104,95 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in int64 fixed-point micro-units → ``(node, rank_fp)``.
+
+    Same structure as :func:`pagerank` but every quantity is an integer
+    multiple of ``1/scale`` and every division floors:
+
+      ``rank(v) = (15*scale) div (100*n)
+                  + (85 * dangling) div (100 * n)
+                  + Σ_{u→v} (85 * rank(u)) div (100 * outdeg(u))``
+
+    Integer addition is associative and commutative, so the result is
+    BIT-EXACT under any shuffle/summation order — unlike the float form,
+    this variant is fully oracle-checkable (the DuckDB twin unrolls the
+    same iterations as CTE stages). The quantization error vs true
+    PageRank is ≤ iterations·outdeg ulps of 1/scale — irrelevant for
+    ranking/filtering use, and the price of exact reproducibility across
+    engines and cluster layouts. Damping fixed at 85/100.
+
+    Scale shape is identical to :func:`pagerank`: edges deduped +
+    repartitioned once, two exchanges per iteration, one-row dangling
+    aggregate broadcast back, localCheckpoint keeps the plan O(1)/round.
+    Overflow headroom: rank ≤ scale = 1e12, ×85 ≈ 8.5e13 ≪ 2^63.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = int(15 * scale) // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_fp", F.lit(int(scale) // n).cast("long")
+    )
+
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank_fp", "outdeg")
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long")
+            .alias("_dangling")
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("outdeg").isNotNull()),
+                   e["src"] == with_deg["node"])
+            .select(
+                F.col("dst"),
+                # positive int64 `div` == floor division on both engines
+                F.expr("(85 * rank_fp) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (F.lit(base).cast("long")
+                 + F.expr(f"(85 * _dangling) div (100 * {n})")
+                 + F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
+                 ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

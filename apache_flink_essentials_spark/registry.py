@@ -3175,6 +3175,72 @@ _register("graph_pagerank_custsupp")(
 )
 
 
+# Fixed-point PageRank twin: every quantity is an int64 multiple of
+# 1e-12 and every division floors, so integer-sum commutativity makes the
+# result bit-exact under ANY shuffle order — the float pagerank above
+# stays rows-only (last-ulp depends on partitioning), this variant is a
+# full hash-matched oracle row. The DuckDB twin unrolls the same 5
+# iterations as CTE stages (`//` floor-div == Spark `div` on positives).
+_PR_FP_ITERS = 5
+_PR_FP_SCALE = 10**12
+
+
+def _pagerank_fp_oracle() -> str:
+    head = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey::BIGINT AS src,
+             (l_suppkey + 1000000)::BIGINT AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, (%(scale)d // (SELECT n FROM nn))::BIGINT AS rank_fp
+      FROM nodes
+    )""" % {"scale": _PR_FP_SCALE}
+    steps = []
+    for i in range(1, _PR_FP_ITERS + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+    d{i} AS (
+      SELECT coalesce(sum(r.rank_fp), 0)::BIGINT AS dang
+      FROM {p} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             sum((85 * r.rank_fp) // (100 * o.outdeg))::BIGINT AS contrib
+      FROM e JOIN {p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nd.node,
+             ((15 * {_PR_FP_SCALE}) // (100 * (SELECT n FROM nn))
+              + (85 * (SELECT dang FROM d{i}))
+                  // (100 * (SELECT n FROM nn))
+              + coalesce(c.contrib, 0))::BIGINT AS rank_fp
+      FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+    )""")
+    return (
+        head + "".join(steps)
+        + f"\n    SELECT node::BIGINT AS node, rank_fp FROM r{_PR_FP_ITERS}"
+    )
+
+
+_register(
+    "graph_pagerank_fixedpoint", _pagerank_fp_oracle(), late=True,
+)(lambda spark, sf: G.pagerank_fixedpoint(
+    load_table(spark, "orders", sf)
+    .join(load_table(spark, "lineitem", sf),
+          F.col("o_orderkey") == F.col("l_orderkey"))
+    .select(F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("dst")),
+    iterations=_PR_FP_ITERS,
+    scale=_PR_FP_SCALE,
+))
+
+
 # =========================================================================
 # document chunking + corpus drift
 # =========================================================================
