@@ -998,6 +998,103 @@ def mmr_diversify(
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
 
 
+def mmr_diversify_exact(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+    k: int = 5,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Expression-path twin of :func:`mmr_diversify` with a reproducibility
+    contract: every candidate-candidate similarity is the deterministic
+    left-assoc cosine fold ROUNDED to ``round_dp`` before any comparison,
+    so the greedy argmax sequence — and therefore the whole selection — is
+    bit-identical across engines and shuffle orders. This is what makes MMR
+    oracle-checkable: the pandas form above ranks on numpy-matmul floats
+    (sum order differs in the last ulp), this form trades a bounded
+    quantization for exactness.
+
+    Shape: one within-query all-pairs sim table over the BOUNDED candidate
+    set (top-k lists are request-sized by contract — |Q|·k² pairs, never a
+    corpus quadratic), then ``k`` unrolled selection steps, each a window
+    rank over ≤|Q|·k rows plus a tiny aggregate join; every selected set is
+    localCheckpoint-ed (10-row jobs) so the final plan stays O(k) shallow.
+    The relevance column is used as given (the bruteforce KNN tier already
+    rounds it by the same contract).
+    """
+    one_minus = 1.0 - lam  # inline THIS double everywhere (≠ literal 0.3)
+    cand = candidates.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("cid"),
+        F.col(score_col).cast("double").alias("rel"),
+        F.col(vec_col).alias("_v"),
+        safe_norm_expr(F.col(vec_col)).alias("_n"),
+    ).localCheckpoint(eager=True)
+    a = cand.select("q", F.col("cid").alias("ia"), F.col("_v").alias("va"),
+                    F.col("_n").alias("na"))
+    b = cand.select("q", F.col("cid").alias("ib"), F.col("_v").alias("vb"),
+                    F.col("_n").alias("nb"))
+    sims = (
+        a.join(b, "q")
+        .select(
+            "q", "ia", "ib",
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                round_dp,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    remaining = cand.select("q", "cid", "rel")
+    picked = None  # union of (q, cid, rank, mmr_score) rows
+    for step in range(1, k + 1):
+        if step == 1:
+            scored = remaining.select(
+                "q", "cid", (F.lit(lam) * F.col("rel")).alias("mmr_score")
+            )
+        else:
+            # max sim from each remaining candidate to the picked set —
+            # a join against ≤|Q|·(step-1) rows, then a per-candidate max
+            msim = (
+                sims.join(
+                    picked.select("q", F.col("cid").alias("ib")),
+                    ["q", "ib"],
+                )
+                .groupBy("q", F.col("ia").alias("cid"))
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = (
+                remaining.join(msim, ["q", "cid"])
+                .select(
+                    "q", "cid",
+                    (F.lit(lam) * F.col("rel")
+                     - F.lit(one_minus) * F.col("max_sim")).alias("mmr_score"),
+                )
+            )
+        w = Window.partitionBy("q").orderBy(
+            F.desc("mmr_score"), F.asc("cid")
+        )
+        sel = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("q", "cid", F.lit(step).alias("rank"), "mmr_score")
+            .localCheckpoint(eager=True)
+        )
+        picked = sel if picked is None else picked.unionByName(sel)
+        remaining = remaining.join(
+            sel.select("q", "cid"), ["q", "cid"], "left_anti"
+        )
+    return picked.select(
+        F.col("q").alias(query_col), "rank", F.col("cid").alias(id_col),
+        "mmr_score",
+    )
+
+
 def knn_cosine_matryoshka(
     embeddings: DataFrame,
     queries: DataFrame,

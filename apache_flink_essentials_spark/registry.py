@@ -4301,6 +4301,112 @@ def _vec_mmr(spark: SparkSession, sf: str) -> DataFrame:
 _register("vec_mmr_diversify")(_vec_mmr)
 
 
+# Oracle-checkable MMR twin: rounding every candidate-candidate cosine to
+# 6dp BEFORE any comparison makes the greedy argmax sequence engine- and
+# shuffle-order-independent, so the whole k-step selection replays in SQL
+# as unrolled CTE stages (the pandas form above stays rows-only: numpy
+# matmul sums differ in the last ulp). The damping constants are inlined
+# from the SAME Python doubles on both sides — `1 - 0.7` is
+# 0.30000000000000004, not the literal 0.3.
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam = repr(_MMR_LAM)
+    om = repr(1.0 - _MMR_LAM)
+    sq = (
+        "coalesce(nullif(sqrt(list_aggregate(list_transform(range(1, 65),"
+        " i -> {v}.embedding[i]::DOUBLE * {v}.embedding[i]::DOUBLE),"
+        " 'sum')), 0), 1)"
+    )
+    head = f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC)
+                 AS rnk
+        FROM scored
+      ) WHERE rnk <= 50
+    ),
+    cv AS (
+      SELECT c.query_id AS q, c.neighbor_id AS cid, c.cosine AS rel,
+             emb.embedding, {sq.format(v="emb")} AS nrm
+      FROM cands c JOIN embeddings emb ON emb.vec_id = c.neighbor_id
+    ),
+    sims AS (
+      SELECT a.q, a.cid AS ia, b.cid AS ib,
+             round(list_aggregate(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                 'sum') / (a.nrm * b.nrm), 6) AS sim
+      FROM cv a JOIN cv b ON a.q = b.q
+    ),
+    sel1 AS (
+      SELECT q, cid, 1 AS rank, mmr_score FROM (
+        SELECT q, cid, mmr_score,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY mmr_score DESC, cid ASC) AS rr
+        FROM (SELECT q, cid, {lam} * rel AS mmr_score FROM cv)
+      ) WHERE rr = 1
+    ),
+    p1 AS (SELECT q, cid FROM sel1)"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f""",
+    sel{i} AS (
+      SELECT q, cid, {i} AS rank, mmr_score FROM (
+        SELECT q, cid, mmr_score,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY mmr_score DESC, cid ASC) AS rr
+        FROM (
+          SELECT r.q, r.cid,
+                 {lam} * r.rel - {om} * m.max_sim AS mmr_score
+          FROM cv r
+          JOIN (SELECT s.q, s.ia AS cid, max(s.sim) AS max_sim
+                FROM sims s JOIN p{i - 1} p ON s.q = p.q AND s.ib = p.cid
+                GROUP BY s.q, s.ia) m
+            ON r.q = m.q AND r.cid = m.cid
+          WHERE NOT EXISTS (SELECT 1 FROM p{i - 1} p2
+                            WHERE p2.q = r.q AND p2.cid = r.cid)
+        )
+      ) WHERE rr = 1
+    ),
+    p{i} AS (SELECT q, cid FROM p{i - 1}
+             UNION ALL SELECT q, cid FROM sel{i})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        head + "".join(steps)
+        + f"""
+    SELECT q AS query_id, rank, cid AS neighbor_id, mmr_score
+    FROM ({union})"""
+    )
+
+
+def _vec_mmr_exact(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    cands = V.knn_cosine_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=50
+    ).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return V.mmr_diversify_exact(
+        cands, "query_id", "neighbor_id", "embedding", "cosine",
+        k=_MMR_K, lam=_MMR_LAM,
+    )
+
+
+_register("vec_mmr_exact", _mmr_oracle(), late=True)(_vec_mmr_exact)
+
+
 # ---- contrastive training-pair construction ----
 def _contrastive_q(spark: SparkSession, sf: str) -> DataFrame:
     # positive mining + ring negatives fused over ONE scan — on the

@@ -62,3 +62,47 @@ def test_pagerank_duplicate_edges_collapse(spark):
     want = _py_pagerank([(1, 2), (2, 1)], iterations=5)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9)
+
+
+def _py_pagerank_fp(edges, iterations=5, scale=10**12):
+    out = {}
+    nodes = set()
+    for s, t in set(edges):
+        nodes.add(s)
+        nodes.add(t)
+        out.setdefault(s, set()).add(t)
+    n = len(nodes)
+    ranks = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        nxt = {v: base + (85 * dangling) // (100 * n) for v in nodes}
+        for s, ts in out.items():
+            share = (85 * ranks[s]) // (100 * len(ts))
+            for t in ts:
+                nxt[t] += share
+        ranks = nxt
+    return ranks
+
+
+def test_pagerank_fixedpoint_bit_exact_vs_model(spark):
+    # int64 fixed-point variant: EXACT equality (not approx) — the whole
+    # point of the integer form is bit-exactness under any shuffle order
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp for r in G.pagerank_fixedpoint(df).collect()}
+    want = _py_pagerank_fp(edges)
+    assert got == want
+
+
+def test_pagerank_fixedpoint_tracks_float_ranks(spark):
+    # quantization error vs the float form is bounded: ≤ 1e-6 relative
+    # on a small graph at scale=1e12
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fp = {r.node: r.rank_fp / 1e12
+          for r in G.pagerank_fixedpoint(df, iterations=5).collect()}
+    fl = {r.node: r.rank
+          for r in G.pagerank(df, iterations=5).collect()}
+    for v in fl:
+        assert fp[v] == pytest.approx(fl[v], abs=1e-6)

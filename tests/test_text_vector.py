@@ -483,6 +483,53 @@ def test_mmr_rank1_is_plain_argmax_and_deterministic(spark):
     assert [(r.rank, r.neighbor_id) for r in out] == [(1, 3)]
 
 
+def test_mmr_exact_agrees_with_pandas_mmr(spark):
+    # the expression-path twin must pick the same ids in the same order as
+    # the numpy greedy on well-separated data (rounded sims can only
+    # diverge on sub-1e-6 ties, absent here)
+    rows = [
+        (1, 10, [1.0, 0.0, 0.0], 0.95),
+        (1, 11, [0.999, 0.01, 0.0], 0.94),
+        (1, 12, [0.0, 1.0, 0.0], 0.80),
+        (1, 13, [0.0, 0.9, 0.4], 0.70),
+        (2, 20, [1.0, 0.0, 0.0], 0.9),
+        (2, 21, [0.0, 0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, embedding array<double>, cosine double",
+    )
+    want = sorted(
+        [(r.query_id, r.rank, r.neighbor_id)
+         for r in V.mmr_diversify(df, k=3, lam=0.5).collect()]
+    )
+    got = sorted(
+        [(r.query_id, r.rank, r.neighbor_id)
+         for r in V.mmr_diversify_exact(df, k=3, lam=0.5).collect()]
+    )
+    assert got == want
+    # and the diversity property holds directly
+    by_q = {}
+    for q, rank, nid in got:
+        by_q.setdefault(q, []).append(nid)
+    assert by_q[1][:2] == [10, 12]     # twin 11 skipped at rank 2
+
+
+def test_mmr_exact_rank1_tiebreak_and_k_truncation(spark):
+    rows = [
+        (1, 5, [1.0, 0.0], 0.9),
+        (1, 3, [0.0, 1.0], 0.9),   # score tie -> lower id is rank 1
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, embedding array<double>, cosine double"
+    )
+    out = sorted(
+        V.mmr_diversify_exact(df, k=1, lam=1.0).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.rank, r.neighbor_id) for r in out] == [(1, 3)]
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     # identical docs share ALL fingerprints; a doc sharing a long substring
     # shares at least one (the winnowing guarantee: len >= w + k - 1)
