@@ -29,6 +29,31 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot_expr` — the same fold parsed in ONE
+    py4j call. Use when an expression embeds many float literals (plane /
+    centroid tables): building those through the Column API costs a py4j
+    round trip per literal, which at 8×64 literals is more driver time
+    than the query's execution."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_dist_sql(a: str, center: list[float]) -> str:
+    """SQL-string twin of the ``(aᵢ−cᵢ)²`` fold against a literal center —
+    same rationale as :func:`_dot_sql` (k×dim literals through the Column
+    API dominate build time)."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in center) + ")"
+    return (
+        f"aggregate(zip_with({a}, {arr},"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -124,7 +149,7 @@ def cosine_pairs_blocked(
         F.col(vec_col).alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
-    return (
+    scored = (
         a.join(b, on=block_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -136,7 +161,14 @@ def cosine_pairs_blocked(
                 round_dp,
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # pushdown barrier (see embedding_dedup_pairs): keeps the threshold
+        # out of the join condition so the interpreted dot fold evaluates
+        # once per candidate pair, not once in the condition and again in
+        # the projection
+        .withColumn("_pushdown_barrier", F.monotonically_increasing_id())
+    )
+    return scored.filter(F.col("cosine") >= threshold).drop(
+        "_pushdown_barrier"
     )
 
 
@@ -186,31 +218,33 @@ def ann_lsh_cosine(
             embeddings, queries, k, num_planes, num_tables, id_col, vec_col, dim, round_dp
         )
 
-    def table_bucket_exprs(vec: Column) -> list[Column]:
+    # plane tables as ONE parsed SQL string — the Column-API form issues a
+    # py4j round trip per literal (tables × planes × dim of them: measured
+    # ~4 s of driver chatter per build at 8×4×64 before any execution);
+    # the parsed trees are identical, results bit-equal
+    def table_bucket_sqls(vec_alias: str) -> list[str]:
         out = []
         for t in range(num_tables):
             bits = []
             for p_idx in range(num_planes):
                 plane = _hyperplane(dim, t * num_planes + p_idx)
-                plane_col = F.array(*[F.lit(c) for c in plane])
-                d = dot_expr(vec, plane_col)
-                bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-            bucket = bits[0]
-            for b in bits[1:]:
-                bucket = bucket + b
-            out.append(bucket)
+                arr = "array(" + ",".join(f"{c!r}D" for c in plane) + ")"
+                bits.append(
+                    f"(CASE WHEN {_dot_sql(vec_alias, arr)} >= 0 "
+                    f"THEN {1 << p_idx} ELSE 0 END)"
+                )
+            out.append("(" + " + ".join(bits) + ")")
         return out
 
     def with_table_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         base = df.select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
         )
-        return base.select(
+        arr = "array(" + ", ".join(table_bucket_sqls(vec_alias)) + ")"
+        return base.selectExpr(
             id_alias,
             vec_alias,
-            F.posexplode(F.array(*table_bucket_exprs(F.col(vec_alias)))).alias(
-                "table_id", "bucket"
-            ),
+            f"posexplode({arr}) AS (table_id, bucket)",
         )
 
     e = with_table_buckets(embeddings, "neighbor_id", "n_vec")
@@ -333,18 +367,18 @@ def ivf_assign(
 
         return embeddings.withColumn("cluster_id", nearest(F.col(vec_col)))
 
-    def sq_dist(vec: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(*[sq_dist(F.col(vec_col), c) for c in centroids])
-    # argmin with deterministic low-index tiebreak
-    best = F.array_position(dists, F.array_min(dists)) - 1
-    return embeddings.withColumn("cluster_id", best.cast("int"))
+    # one parsed SQL string instead of k×dim F.lit py4j calls (see
+    # _dot_sql); argmin with deterministic low-index tiebreak
+    dists_sql = (
+        "array(" + ",".join(_sq_dist_sql(vec_col, c) for c in centroids) + ")"
+    )
+    return embeddings.withColumn(
+        "cluster_id",
+        F.expr(
+            f"cast(array_position({dists_sql}, array_min({dists_sql})) - 1"
+            " as int)"
+        ),
+    )
 
 
 def ivf_index(
@@ -386,14 +420,6 @@ def ivf_search(
     re-assigning per call.
     """
 
-    def sq_dist(vec: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     assigned = (
         pre_assigned
         if pre_assigned is not None
@@ -405,18 +431,19 @@ def ivf_search(
         norm_expr(F.col(vec_col)).alias("n_norm"),
         "cluster_id",
     )
-    dists = F.array(
-        *[
-            F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(centroids)
-        ]
+    # probe selection as ONE parsed SQL string (see _dot_sql): the
+    # struct(d, c) array sorts by distance then index — the same
+    # deterministic tiebreak as the Column form it replaces
+    structs = ",".join(
+        f"named_struct('d', {_sq_dist_sql(vec_col, c)}, 'c', {i})"
+        for i, c in enumerate(centroids)
     )
     probed = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm_expr(F.col(vec_col)).alias("q_norm"),
-            F.slice(F.array_sort(dists), 1, nprobe).alias("probes"),
+        queries.selectExpr(
+            f"{id_col} AS query_id",
+            f"{vec_col} AS q_vec",
+            f"sqrt({_dot_sql(vec_col, vec_col)}) AS q_norm",
+            f"slice(array_sort(array({structs})), 1, {nprobe}) AS probes",
         )
         .withColumn("probe", F.explode(F.col("probes.c")))
         .drop("probes")
@@ -537,35 +564,60 @@ def embedding_dedup_pairs(
     at dedup thresholds (≥.99) is high while cost stays Σ bucket²."""
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
-    def bucket_expr(vec: Column) -> Column:
-        bits = []
-        for p_idx, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(c) for c in plane])
-            d = dot_expr(vec, plane_col)
-            bits.append(F.when(d >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    # The bucket/norm expressions are built as ONE SQL string instead of
+    # nested Column calls: the Column form issues a py4j round trip per
+    # plane literal (8 planes × 64 lits ≈ 0.7 s of driver chatter PER
+    # BUILD at this shape — measured; execution itself is 0.55 s). The
+    # parsed trees are identical (same zip_with/aggregate fold, same
+    # casts), so results are bit-equal.
+    bits = []
+    for p_idx, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{c!r}D" for c in plane) + ")"
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, arr)} >= 0 "
+            f"THEN {1 << p_idx} ELSE 0 END)"
+        )
+    bucket_sql = "(" + " + ".join(bits) + ")"
 
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col)).alias("bucket")
+    # norms are per ROW (2 folds per row), not per pair; and the threshold
+    # filter sits behind a pushdown barrier. Without the barrier Catalyst
+    # pushes `round(cos) >= t` into the join condition AND re-derives it in
+    # the projection — the interpreted HOF dot then runs several times per
+    # candidate pair (HOFs never enter codegen, so each eval walks the
+    # array with per-element lambda dispatch).
+    base = embeddings.selectExpr(
+        id_col,
+        vec_col,
+        f"{bucket_sql} AS bucket",
+        f"sqrt({_dot_sql(vec_col, vec_col)}) AS _norm",
     )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "bucket", F.col("_norm").alias("_na"),
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "bucket", F.col("_norm").alias("_nb"),
     )
-    return (
+    scored = (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # monotonically_increasing_id is non-deterministic to Catalyst, so
+        # predicates cannot cross this projection: cosine is materialized
+        # ONCE and the filter below reads the column
+        .withColumn("_pushdown_barrier", F.monotonically_increasing_id())
+    )
+    return scored.filter(F.col("cosine") >= threshold).drop(
+        "_pushdown_barrier"
     )
 
 
@@ -789,14 +841,22 @@ def semantic_dedup(
     centers = kmeans_fit(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    # per-ROW norms + a pushdown barrier before the threshold filter, the
+    # embedding_dedup_pairs pattern: without it the interpreted cosine
+    # fold lands in the join condition and re-evaluates per candidate pair
     assigned = ivf_assign(embeddings, centers, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col), "cluster_id"
+        F.col(id_col),
+        F.col(vec_col),
+        "cluster_id",
+        norm_expr(F.col(vec_col)).alias("_norm"),
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cluster_id"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "cluster_id", F.col("_norm").alias("_na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cluster_id"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "cluster_id", F.col("_norm").alias("_nb"),
     )
     pairs = (
         a.join(b, "cluster_id")
@@ -805,9 +865,15 @@ def semantic_dedup(
             "cluster_id",
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
         )
+        .withColumn("_pushdown_barrier", F.monotonically_increasing_id())
         .filter(F.col("cosine") >= threshold)
+        .drop("_pushdown_barrier")
     )
     return pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         # one cluster per vector (functional dependency) — min() just keeps
@@ -908,19 +974,22 @@ def pca_project(
     before the per-component dot products (lambda-CSE rule — see
     SCALING.md), so the whole operator is two narrow projections.
     """
-    mean = F.array(*[F.lit(float(m)) for m in model["mean"]])
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = df.select(
-        F.col(id_col),
-        F.zip_with(vd, mean, lambda a, b: a - b).alias("_c"),
+    # literal mean/component tables as parsed SQL strings (see _dot_sql —
+    # (k+1)×dim F.lit py4j round trips otherwise dominate build time)
+    mean_arr = (
+        "array(" + ",".join(f"{float(m)!r}D" for m in model["mean"]) + ")"
     )
-    dots = [
-        dot_expr(
-            F.col("_c"), F.array(*[F.lit(float(x)) for x in comp])
-        )
+    staged = df.selectExpr(
+        id_col,
+        f"zip_with(transform({vec_col}, x -> cast(x as double)),"
+        f" {mean_arr}, (a, b) -> a - b) AS _c",
+    )
+    comp_arrs = [
+        "array(" + ",".join(f"{float(x)!r}D" for x in comp) + ")"
         for comp in model["components"]
     ]
-    return staged.select(F.col(id_col), F.array(*dots).alias(out_col))
+    dots = ",".join(_dot_sql("_c", arr) for arr in comp_arrs)
+    return staged.selectExpr(id_col, f"array({dots}) AS {out_col}")
 
 
 def mmr_diversify(
@@ -1234,17 +1303,6 @@ def knn_recall(
 # =========================================================================
 
 
-def _sq_dist_expr(vec: Column, center: list[float]) -> Column:
-    """Squared L2 between an array column and a literal center — the same
-    zip_with/aggregate fold the IVF tier uses (module-level for PQ)."""
-    c = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_fit(
     embeddings: DataFrame,
     m: int = 4,
@@ -1481,21 +1539,28 @@ def pq_encode(
 
         return embeddings.withColumn(out_col, codes(F.col(vec_col)))
 
-    vec = F.col(vec_col)
+    # codebook tables as ONE parsed SQL string (see _dot_sql — m×k×sub
+    # F.lit py4j round trips otherwise dominate build time); identical
+    # parsed trees, identical codes
     if normalize:
-        vec = F.transform(
-            vec_col, lambda x: x.cast("double") / safe_norm_expr(F.col(vec_col))
+        vec_sql = (
+            f"transform({vec_col}, x -> cast(x as double)"
+            f" / coalesce(nullif(sqrt({_dot_sql(vec_col, vec_col)}), 0D),"
+            " 1D))"
         )
+    else:
+        vec_sql = vec_col
 
-    def sub_code(s: int) -> Column:
-        sv = F.slice(vec, s * sub + 1, sub)
-        dists = F.array(*[
-            F.struct(_sq_dist_expr(sv, c).alias("d"), F.lit(j).alias("c"))
+    def sub_code_sql(s: int) -> str:
+        sv = f"slice({vec_sql}, {s * sub + 1}, {sub})"
+        structs = ",".join(
+            f"named_struct('d', {_sq_dist_sql(sv, c)}, 'c', {j})"
             for j, c in enumerate(codebooks[s])
-        ])
-        return F.array_min(dists)["c"]
+        )
+        return f"array_min(array({structs})).c"
 
-    return embeddings.withColumn(out_col, F.array(*[sub_code(s) for s in range(m)]))
+    codes_sql = "array(" + ",".join(sub_code_sql(s) for s in range(m)) + ")"
+    return embeddings.withColumn(out_col, F.expr(codes_sql))
 
 
 def pq_search(

@@ -34,7 +34,6 @@ ROWS_ONLY = {
     "graph_pagerank_custsupp",
     "multimodal_decode",
     "multimodal_features",
-    "ts_ewma_anomaly",
     "vec_ann_lsh",
     "vec_ivf_search",
     "vec_ivf_recall",
