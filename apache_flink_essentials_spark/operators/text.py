@@ -133,6 +133,46 @@ def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent character pairs inside whitespace tokens — the
+    statistic BPE tokenizer training (Sennrich et al. 2016, public arXiv
+    1508.07909) computes for its first merge: the highest-count pair
+    becomes the first merge rule. Running this over a candidate corpus is
+    the standard pre-training sanity check that tokenizer merges will be
+    dominated by the intended language/script mix.
+
+    Shape: tokenize → explode positions → ``substring(t, i, 2)`` pair →
+    hash aggregate with map-side combine (distinct character pairs are
+    alphabet², a few thousand rows at any corpus size) → one
+    single-partition top-k window over the AGGREGATED relation. Exact and
+    engine-portable: substring indexing is 1-based character (not byte)
+    semantics in both Spark and DuckDB; ties rank by pair ascending.
+
+    Output: (pair, n_occ, rank), rank 1..k.
+    """
+    toks = (
+        df.select(F.explode(tokens_expr(text_col)).alias("_t"))
+        .filter(F.length("_t") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("_t") - 1)
+        ).alias("_i"),
+        "_t",
+    ).select(F.expr("substring(_t, _i, 2)").alias("pair"))
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n_occ", "rank")
+    )
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Expression form of the document fingerprint."""
     return F.md5(F.concat_ws(" ", tokens_expr(text_col)))

@@ -2256,6 +2256,35 @@ _register("dedup_cc_canonical", _CC_ORACLE)(
     lambda spark, sf: D.dedup_clusters(load_table(spark, "documents", sf))
 )
 
+# BPE first-merge statistics: top adjacent character pairs within tokens.
+# substring is 1-based CHARACTER indexing in both engines; range(1, n) in
+# DuckDB ≡ sequence(1, n-1) in Spark (stop-exclusive vs inclusive).
+_register(
+    "text_bpe_pair_stats",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM documents
+    ), tok2 AS (
+      SELECT t FROM tok WHERE length(t) >= 2
+    ), pairs AS (
+      SELECT substring(t, CAST(i AS INT), 2) AS pair
+      FROM (SELECT t, unnest(range(1, length(t))) AS i FROM tok2)
+    ), cnt AS (
+      SELECT pair, count(*)::BIGINT AS n_occ FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occ, rank FROM (
+      SELECT pair, n_occ,
+             row_number() OVER (ORDER BY n_occ DESC, pair ASC)::INT AS rank
+      FROM cnt
+    ) WHERE rank <= 20
+    """,
+    late=True,
+)(lambda spark, sf: X.bpe_pair_stats(
+    load_table(spark, "documents", sf), k=20
+))
+
+
 # ---- corpus curation: domain mixing + repetition quality + packing ----
 from apache_flink_essentials_spark.operators import curation as CU  # noqa: E402
 

@@ -1166,3 +1166,18 @@ def test_pq_search_exclude_self_flag_for_external_queries(spark):
     ivf_wo = {r.neighbor_id for r in ivfpq_search(
         df, q, cents, books, k=16, nprobe=2).collect()}
     assert 0 in ivf_ws and 0 not in ivf_wo
+
+
+def test_bpe_pair_stats_counts_and_tiebreak(spark):
+    # "aaab" has pairs aa, aa, ab; two copies double the counts; "zz xy"
+    # plants a tie between distinct single-count pairs -> pair-asc ranks
+    rows = [(1, "aaab aaab"), (2, "zz xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pair: (r.n_occ, r.rank)
+           for r in X.bpe_pair_stats(df, k=10).collect()}
+    assert got["aa"] == (4, 1)
+    assert got["ab"] == (2, 2)
+    # single-count tie: 'xy' < 'zz' in pair-asc order
+    assert got["xy"][1] < got["zz"][1]
+    # single-char tokens contribute nothing
+    assert all(len(p) == 2 for p in got)
