@@ -813,6 +813,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    assign_arrow: bool = True,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023, public
     arXiv 2303.09540): cluster embeddings with k-means, then mark as
@@ -836,15 +838,26 @@ def semantic_dedup(
 
     Driver check is rows-only by design (k-means is float-iterative; the
     drop set is stable for a given fit but not SQL-expressible); semantics
-    are pinned by a planted-duplicate test instead.
+    are pinned by a planted-duplicate test instead. Pass ``centroids`` to
+    apply a PRE-FITTED partition (production: fit once, apply per shard) —
+    with fixed centroids and ``assign_arrow=False`` the whole drop list is
+    deterministic expression arithmetic, which is what lets the
+    `vec_semdedup_apply` registry twin hash-match a SQL oracle.
     """
-    centers = kmeans_fit(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    centers = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            dim=dim,
+        )
     )
     # per-ROW norms + a pushdown barrier before the threshold filter, the
     # embedding_dedup_pairs pattern: without it the interpreted cosine
     # fold lands in the join condition and re-evaluates per candidate pair
-    assigned = ivf_assign(embeddings, centers, id_col, vec_col).select(
+    assigned = ivf_assign(
+        embeddings, centers, id_col, vec_col, use_arrow=assign_arrow
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         "cluster_id",

@@ -5483,6 +5483,65 @@ def _pq_adc(spark: SparkSession, sf: str) -> DataFrame:
 # centroids as literals, coarse assignment + nprobe=2 probe selection +
 # cluster-confined ADC all replayed in SQL. Anchors the machinery of
 # vec_ivfpq_search (whose FITTED centroids/codebooks stay rows-only).
+# Fixed-centroid SemDedup twin: with a pre-fitted (here: splitmix-constant)
+# partition and the expression-path assignment, the whole SemDedup drop
+# list — argmin cluster assignment, within-cluster pair cosines (6dp
+# contract), threshold, lowest-id keeper — is deterministic arithmetic
+# that DuckDB replays exactly. Anchors the machinery of
+# vector_semantic_dedup (whose FITTED k-means stays rows-only).
+_SEMDEDUP_CENTS = [V._hyperplane(64, 700 + j) for j in range(4)]
+_SEMDEDUP_CENTS_SQL = ",\n      ".join(
+    f"({j}, [" + ",".join(repr(x) for x in _SEMDEDUP_CENTS[j])
+    + "]::DOUBLE[])"
+    for j in range(4)
+)
+_SEMDEDUP_COARSE_DIST = """list_aggregate(list_transform(range(1, 65),
+               i -> (e.embedding[i]::DOUBLE - ct.v[i])
+                    * (e.embedding[i]::DOUBLE - ct.v[i])),
+             'sum')"""
+
+_register(
+    "vec_semdedup_apply",
+    f"""
+    WITH cents(j, v) AS (VALUES
+      {_SEMDEDUP_CENTS_SQL}
+    ),
+    assign AS (
+      SELECT vec_id, j AS cluster_id FROM (
+        SELECT e.vec_id, ct.j,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SEMDEDUP_COARSE_DIST} ASC, ct.j ASC) AS rn
+        FROM embeddings e, cents ct
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT x.cluster_id, x.ia, x.ib, {_COS} AS cosine
+      FROM (
+        SELECT a1.cluster_id, a1.vec_id AS ia, b1.vec_id AS ib
+        FROM assign a1 JOIN assign b1
+          ON a1.cluster_id = b1.cluster_id AND a1.vec_id < b1.vec_id
+      ) x
+      JOIN embeddings a ON a.vec_id = x.ia
+      JOIN embeddings b ON b.vec_id = x.ib
+    )
+    SELECT ib AS vec_id,
+           min(cluster_id) AS cluster_id,
+           min(ia)::BIGINT AS kept_neighbor,
+           max(cosine) AS max_cosine
+    FROM cand WHERE cosine >= 0.4
+    GROUP BY ib
+    """,
+    late=True,
+)(lambda spark, sf: V.semantic_dedup(
+    load_table(spark, "embeddings", sf),
+    threshold=0.4,
+    dim=64,
+    centroids=_SEMDEDUP_CENTS,
+    assign_arrow=False,
+))
+
+
 _IVFPQ_ADC_CENTS = [V._hyperplane(64, 500 + j) for j in range(4)]
 _IVFPQ_ADC_CENTS_SQL = ",\n      ".join(
     f"({j}, [" + ",".join(repr(x) for x in _IVFPQ_ADC_CENTS[j])
