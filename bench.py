@@ -148,6 +148,16 @@ HEADLINE = [
     "curation_unimax_weights",
     "text_token_entropy",
     "j6_semijoin_rollup",
+    # round-7 additions: bit-exact fixed-point PageRank (iterative graph
+    # tier — Spark's per-iteration join/agg beats DuckDB's unrolled CTE
+    # ~3.5× at sf0.1), oracle-checkable greedy MMR, BPE first-merge pair
+    # statistics. The fixed-constant apply twins (vec_pq_adc,
+    # vec_ivfpq_adc, vec_pca_apply, vec_semdedup_apply) stay sweep-only:
+    # they anchor correctness of machinery whose FITTED forms are already
+    # benched.
+    "graph_pagerank_fixedpoint",
+    "vec_mmr_exact",
+    "text_bpe_pair_stats",
 ]
 
 
