@@ -364,3 +364,33 @@ def test_funnel_steps_matches_greedy_model(spark, rows, within):
         expect[u] = (times[0], times[1], times[2],
                      sum(1 for t in times if t is not None))
     assert got == expect
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(s != t for s, t in es))
+
+
+@given(edges=edges_strategy, iters=st.sampled_from([1, 3, 5]))
+@settings(**SETTINGS)
+def test_pagerank_fixedpoint_bit_exact_on_any_graph(spark, edges, iters):
+    # the int64 fixed-point form must equal the pure-python integer model
+    # EXACTLY (==, not approx) on arbitrary graphs — self-loops, dangling
+    # sinks, duplicate edges, disconnected nodes included. This is the
+    # whole contract: integer sums are order-independent, so no shuffle
+    # layout can perturb the result.
+    from apache_flink_essentials_spark.operators import graph as G
+    from test_graph import _py_pagerank_fp
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_fp
+        for r in G.pagerank_fixedpoint(df, iterations=iters).collect()
+    }
+    want = _py_pagerank_fp(edges, iterations=iters)
+    assert got == want
