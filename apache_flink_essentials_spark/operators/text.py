@@ -173,6 +173,74 @@ def bpe_pair_stats(
     )
 
 
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """The first ``n_merges`` BPE merge rules (Sennrich et al. 2016) as ONE
+    declarative plan — no driver-side loop, no collect between steps.
+
+    Each token is represented as its space-joined character sequence
+    ("abc" → "a b c"); one merge step counts all adjacent symbol pairs
+    corpus-wide, picks the most frequent (ties: pair ascending), and
+    rewrites every occurrence by literal ``replace(rep, 'x y', 'xy')`` —
+    left-to-right non-overlapping, identical in Spark and DuckDB, and
+    regex-safe for any symbols (no pattern compilation from data). The
+    chosen pair joins back as a broadcast 1-row relation, so the whole
+    k-step trainer is a single lazy plan: k corpus-scan aggregates, k
+    broadcast joins, zero driver round-trips. At 100 TB each step is one
+    map-side-combined hash aggregate over alphabet²-ish keys plus a
+    narrow rewrite — the scan cost IS the step cost.
+
+    Output: (step 1..n_merges, pair "x y", n_occ) — the merge table a BPE
+    tokenizer persists.
+    """
+    rep = df.select(
+        F.explode(tokens_expr(text_col)).alias("_t")
+    ).filter(F.length("_t") >= 2).select(
+        F.trim(F.regexp_replace("_t", "(.)", "$1 ")).alias("_rep")
+    )
+    out = None
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.col("_rep"), " ")
+        # guard: sequence(1, 0) DESCENDS to [1, 0] (the contrastive n_neg
+        # lesson) — a rep merged down to one symbol must yield no pairs
+        pairs = rep.select(
+            F.explode(
+                F.when(
+                    F.size(syms) >= 2,
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("_i"),
+            syms.alias("_s"),
+        ).select(
+            F.concat_ws(
+                " ", F.expr("_s[_i - 1]"), F.expr("_s[_i]")
+            ).alias("pair")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"), "pair", "n_occ"
+            )
+        )
+        out = top1 if out is None else out.unionByName(top1)
+        if step < n_merges:
+            rep = rep.crossJoin(
+                F.broadcast(top1.select(F.col("pair").alias("_p")))
+            ).select(
+                F.replace(
+                    F.col("_rep"), F.col("_p"),
+                    F.replace(F.col("_p"), F.lit(" "), F.lit("")),
+                ).alias("_rep")
+            )
+    return out
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Expression form of the document fingerprint."""
     return F.md5(F.concat_ws(" ", tokens_expr(text_col)))

@@ -2285,6 +2285,57 @@ _register(
 ))
 
 
+# BPE merge TRAINING (first 3 merges) — the iterative tokenizer trainer as
+# one declarative plan. Each step's top pair and corpus rewrite are exact
+# (integer counts, pair-asc tiebreak, literal non-overlapping replace —
+# identical left-to-right semantics in both engines), so the unrolled
+# 3-step CTE chain hash-matches.
+_BPE_MERGES = 3
+
+
+def _bpe_merges_oracle() -> str:
+    head = r"""
+    WITH r0 AS (
+      SELECT trim(regexp_replace(t, '(.)', '\1 ', 'g')) AS rep
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents) q
+      WHERE length(t) >= 2
+    )"""
+    steps = []
+    for i in range(1, _BPE_MERGES + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+    p{i} AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair
+      FROM (SELECT string_split(rep, ' ') AS s,
+                   unnest(range(1, len(string_split(rep, ' ')))) AS i
+            FROM {p}) q
+    ),
+    t{i} AS (
+      SELECT {i} AS step, pair, count(*)::BIGINT AS n_occ
+      FROM p{i} GROUP BY pair
+      ORDER BY n_occ DESC, pair ASC LIMIT 1
+    )""")
+        if i < _BPE_MERGES:
+            steps.append(f""",
+    r{i} AS (
+      SELECT replace(rep, (SELECT pair FROM t{i}),
+                     replace((SELECT pair FROM t{i}), ' ', '')) AS rep
+      FROM {p}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM t{i}" for i in range(1, _BPE_MERGES + 1)
+    )
+    return head + "".join(steps) + f"\n    SELECT step, pair, n_occ FROM ({union})"
+
+
+_register(
+    "text_bpe_train_merges", _bpe_merges_oracle(), late=True,
+)(lambda spark, sf: X.bpe_train_merges(
+    load_table(spark, "documents", sf), n_merges=_BPE_MERGES
+))
+
+
 # ---- corpus curation: domain mixing + repetition quality + packing ----
 from apache_flink_essentials_spark.operators import curation as CU  # noqa: E402
 

@@ -158,6 +158,7 @@ HEADLINE = [
     "graph_pagerank_fixedpoint",
     "vec_mmr_exact",
     "text_bpe_pair_stats",
+    "text_bpe_train_merges",
 ]
 
 

@@ -1181,3 +1181,15 @@ def test_bpe_pair_stats_counts_and_tiebreak(spark):
     assert got["xy"][1] < got["zz"][1]
     # single-char tokens contribute nothing
     assert all(len(p) == 2 for p in got)
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    # "abab" x2: step 1 merges the a-b pair (4 occurrences), step 2 the
+    # resulting ab-ab pair, step 3 falls through to the "cd" token
+    rows = [(1, "abab abab"), (2, "cd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.step, r.pair, r.n_occ)
+        for r in X.bpe_train_merges(df, n_merges=3).collect()
+    )
+    assert got == [(1, "a b", 4), (2, "ab ab", 2), (3, "c d", 1)]
