@@ -21,6 +21,7 @@ from apache_flink_essentials_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from apache_flink_essentials_spark.operators.text import (
+    bpe_train_merges,
     detect_language,
     quality_score,
     text_stats,
@@ -68,6 +69,13 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     n_final = curated.count()
     print(f"raw={n_raw} → kept={kept.count()} → unique={uniq.count()} → curated={n_final}")
     summary.show()
+
+    # 5. tokenizer bootstrap: the first BPE merge rules fitted on the
+    #    CURATED corpus (training the tokenizer on pre-dedup data would
+    #    weight boilerplate into the merge table)
+    print("first BPE merges on the curated corpus:")
+    bpe_train_merges(curated, n_merges=3).show(truncate=False)
+
     print(f"curated corpus written to {out} (partitioned by lang)")
     return curated
 
