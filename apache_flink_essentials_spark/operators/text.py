@@ -241,6 +241,46 @@ def bpe_train_merges(
     return out
 
 
+def bpe_segment(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a BPE merge table (ordered rules like ``"e r"``, the output of
+    :func:`bpe_train_merges`) and report per-document symbol accounting:
+    ``(doc_id, n_symbols, n_chars)``. ``n_chars`` counts the characters
+    that entered segmentation (token chars, whitespace excluded), so
+    ``n_chars / n_symbols`` is the vocabulary's compression ratio — the
+    standard fertility metric for a tokenizer on a candidate corpus.
+
+    The merge chain applies as ``len(merges)`` nested literal ``replace``
+    calls inside one projection — zero shuffle until the per-doc rollup;
+    left-to-right non-overlapping replace is the same greedy application
+    order as training, and identical across engines (both n_symbols and
+    n_chars are exact integers → hash-matched oracle).
+    """
+    rep: Column = F.trim(F.regexp_replace("_t", "(.)", "$1 "))
+    for m in merges:
+        rep = F.replace(rep, F.lit(m), F.lit(m.replace(" ", "")))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(text_col)).alias("_t"),
+    ).filter(F.col("_t") != "")
+    return (
+        toks.select(
+            F.col(id_col),
+            F.size(F.split(rep, " ")).cast("long").alias("_n_sym"),
+            F.length("_t").cast("long").alias("_n_chr"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_sym").alias("n_symbols"),
+            F.sum("_n_chr").alias("n_chars"),
+        )
+    )
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Expression form of the document fingerprint."""
     return F.md5(F.concat_ws(" ", tokens_expr(text_col)))

@@ -2336,6 +2336,37 @@ _register(
 ))
 
 
+# BPE APPLY with a FIXED merge table (applying any given table is valid
+# semantics regardless of what corpus trained it — the registered rules
+# are common English merges). Single-char tokens segment to one symbol;
+# n_chars excludes whitespace; both counts exact integers.
+_BPE_APPLY_MERGES = ["e r", "i n", "t h"]
+
+
+def _bpe_segment_oracle() -> str:
+    rep = "trim(regexp_replace(t, '(.)', '\\1 ', 'g'))"
+    for m in _BPE_APPLY_MERGES:
+        rep = f"replace({rep}, '{m}', '{m.replace(' ', '')}')"
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           sum(len(string_split({rep}, ' ')))::BIGINT AS n_symbols,
+           sum(length(t))::BIGINT AS n_chars
+    FROM tok WHERE t != ''
+    GROUP BY doc_id
+    """
+
+
+_register(
+    "text_bpe_segment", _bpe_segment_oracle(), late=True,
+)(lambda spark, sf: X.bpe_segment(
+    load_table(spark, "documents", sf), _BPE_APPLY_MERGES
+))
+
+
 # ---- corpus curation: domain mixing + repetition quality + packing ----
 from apache_flink_essentials_spark.operators import curation as CU  # noqa: E402
 

@@ -159,6 +159,7 @@ HEADLINE = [
     "vec_mmr_exact",
     "text_bpe_pair_stats",
     "text_bpe_train_merges",
+    "text_bpe_segment",
 ]
 
 

@@ -1193,3 +1193,12 @@ def test_bpe_train_merges_hand_computed(spark):
         for r in X.bpe_train_merges(df, n_merges=3).collect()
     )
     assert got == [(1, "a b", 4), (2, "ab ab", 2), (3, "c d", 1)]
+
+
+def test_bpe_segment_hand_computed(spark):
+    # merges ["e r","i n"]: "winter" -> w i n t e r -> (in) w in t er ->
+    # 4 symbols / 6 chars; "a" -> 1 symbol / 1 char
+    rows = [(1, "winter a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = X.bpe_segment(df, ["e r", "i n"]).collect()[0]
+    assert (r.n_symbols, r.n_chars) == (5, 7)
