@@ -154,6 +154,19 @@ def bpe_pair_stats(
 
     Output: (pair, n_occ, rank), rank 1..k.
     """
+    cnt = char_pair_counts(df, text_col)
+    return finish_bpe_pair_stats(cnt, k)
+
+
+def char_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The aggregation half of :func:`bpe_pair_stats` — (pair, n_occ)
+    counts. Works unchanged on a STREAMING DataFrame in complete mode:
+    state is the alphabet²-ish distinct-pair set (bounded regardless of
+    stream length) and the count is an associative integer sum, so the
+    finished aggregate is bit-identical to batch in any arrival order
+    (pinned by the stream≡batch test). Top-k ranking is derived on read
+    via :func:`finish_bpe_pair_stats` — a rank over a still-growing
+    count table is only final when the stream is."""
     toks = (
         df.select(F.explode(tokens_expr(text_col)).alias("_t"))
         .filter(F.length("_t") >= 2)
@@ -164,7 +177,13 @@ def bpe_pair_stats(
         ).alias("_i"),
         "_t",
     ).select(F.expr("substring(_t, _i, 2)").alias("pair"))
-    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occ"))
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+def finish_bpe_pair_stats(cnt: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k rank over a finished (pair, n_occ) aggregate — a
+    single-partition window over the alphabet²-sized relation, never the
+    data (ties rank by pair ascending)."""
     w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
     return (
         cnt.withColumn("rank", F.row_number().over(w))

@@ -928,3 +928,26 @@ def test_perplexity_buckets_over_token_ingest_equals_batch(spark):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) > 0
+
+
+def test_bpe_pair_counts_stream_equals_batch(spark):
+    # complete-mode pair-count aggregate over a replayed document stream
+    # == the batch bpe_pair_stats, bit-for-bit: bounded alphabet²-ish
+    # state, associative integer counts, rank derived on read
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.text import (
+        bpe_pair_stats,
+        char_pair_counts,
+        finish_bpe_pair_stats,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    agg = run_stream_to_df(
+        char_pair_counts(stream_in), output_mode="complete"
+    )
+    streamed = finish_bpe_pair_stats(agg, k=20)
+    batch = bpe_pair_stats(docs, k=20)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) == 20
