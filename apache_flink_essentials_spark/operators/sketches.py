@@ -248,3 +248,131 @@ def top_k_by_count(df: DataFrame, col: str | Column, k: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("item"))
         .limit(k)
     )
+
+
+def quantile_histogram_partials(
+    df: DataFrame,
+    col: str,
+    vmin: Column | float,
+    vmax: Column | float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The mergeable half of ``portable_quantile_bands``: equal-width
+    histogram counts over FIXED bounds ``[vmin, vmax]`` — the relation a
+    rollup table stores. Partials from different passes / days union and
+    re-merge losslessly (counts are additive integers), exactly like
+    ``portable_hll_partials``; any SQL engine reproduces the bucket ids
+    bit-for-bit because the only float ops are one subtraction, one
+    division, and one floor over IEEE doubles in a fixed operand order.
+    Requires ``vmax > vmin`` (degenerate single-value inputs need no
+    histogram). Values above/below the bounds clamp to the edge buckets,
+    so partials stay mergeable when a later day's data exceeds the bounds
+    the sketch was sized with."""
+    lo = F.lit(vmin) if isinstance(vmin, (int, float)) else vmin
+    hi = F.lit(vmax) if isinstance(vmax, (int, float)) else vmax
+    width = (hi - lo) / float(n_buckets)
+    bucket = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((F.col(col) - lo) / width), F.lit(n_buckets - 1).cast("bigint")
+        ),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def portable_quantile_bands(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Engine-portable approximate quantiles from an equal-width histogram
+    (the classic pre-sketch estimator; cf. Greenwald-Khanna '01 for the
+    adaptive successor): pass 1 computes exact (min, max, count), pass 2
+    the ``n_buckets`` equal-width bucket counts, and each requested
+    quantile resolves to the bucket containing rank ``ceil(q·n)`` with
+    linear interpolation inside the bucket. Unlike Spark's
+    ``percentile_approx`` (an opaque JVM sketch) every intermediate here
+    is deterministic integer-or-fixed-order-IEEE arithmetic, so the
+    estimate is oracle-checkable bit-for-bit AND the stored partials
+    (``quantile_histogram_partials``) can be merged by other engines —
+    the same lakehouse-interchange argument as ``portable_hll_distinct``.
+
+    Error bound: the estimate is within one bucket width of the true
+    quantile, i.e. ``(max-min)/n_buckets`` absolute — pinned in tests
+    against the exact percentile.
+
+    Scale shape: two map-side-combined aggregates; the second shuffle
+    carries at most ``n_buckets`` integer rows (the sketch, not the
+    data). The stats row and the quantile literals are broadcast; the
+    cumulative window runs over ``n_buckets`` rows on one task —
+    aggregate-sized by construction at ANY input scale.
+
+    Output: one row per requested quantile — (q, target_rank, bucket,
+    est) with ``est`` rounded to 6 dp (registry float convention).
+    """
+    spark = df.sparkSession
+    stats = (
+        df.where(F.col(col).isNotNull())
+        .agg(
+            F.min(col).alias("_vmin"),
+            F.max(col).alias("_vmax"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    with_stats = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(stats))
+    hist = quantile_histogram_partials(
+        with_stats, col, F.col("_vmin"), F.col("_vmax"), n_buckets
+    )
+    return quantiles_from_histogram(hist, stats, n_buckets, quantiles)
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    stats: DataFrame,
+    n_buckets: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Resolve quantile estimates from stored histogram partials + a
+    (min, max, count) stats row: re-sum per bucket (inputs may carry
+    several partial rows per bucket — the merge step), cumulate, locate
+    the bucket holding rank ``ceil(q·n)``, interpolate. Window + joins
+    all run over ``n_buckets``-sized relations."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
+    merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = merged.select(
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    joined = (
+        qs.crossJoin(F.broadcast(stats))
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("_n")))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum_before") < F.col("target_rank"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("target_rank")),
+        )
+    )
+    width = (F.col("_vmax") - F.col("_vmin")) / float(n_buckets)
+    est = F.col("_vmin") + width * (
+        F.col("bucket")
+        + (F.col("target_rank") - F.col("cum_before")) / F.col("cnt")
+    )
+    return joined.select(
+        "q",
+        "target_rank",
+        "bucket",
+        F.round(est, 6).alias("est"),
+    ).orderBy("q")

@@ -1381,3 +1381,106 @@ def gopher_quality_flags(
         *[expr.alias(name) for name, expr in flags.items()],
         overall.alias("gopher_pass"),
     )
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    n_weights: int = 2048,
+) -> DataFrame:
+    """Hashing-trick linear text classifier (Weinberger et al., ICML '09;
+    the fastText scoring shape, Joulin et al. '16): each token is hashed
+    into one of ``n_buckets`` feature buckets, the bucket's weight is
+    looked up, and the document score is the mean bucket weight. The
+    weight table here is a FROZEN DETERMINISTIC stand-in for trained
+    weights (w[b] = (b * 2654435761) mod n_weights, centered — Knuth's
+    multiplicative constant as a fixed pseudo-random draw): in production
+    the same plan runs with a broadcast weight map or an inlined literal
+    CASE, and the engine-side cost is identical. Token hash is the repo's
+    portable md5-prefix (identical hex in Spark and DuckDB), so the
+    oracle reproduces scores bit-for-bit.
+
+    Output: (doc_id, n_tokens, score, label) where score = sum(w)/
+    ((n_weights/2) * n_tokens) in [-1, 1] and label = keep iff score > 0.
+
+    Scale: ONE scan, ZERO shuffles — the per-token hash+weight+sum runs
+    as an array fold inside the scan stage (aggregate over the token
+    array), entirely JVM-side. At 100 TB this is the cheapest possible
+    shape for a quality-classifier pass: parquet-read bound, no exchange,
+    and the keep/drop label prunes before any downstream shuffle. The
+    integer weight sum is EXACT (bigint adds), so the only float op is
+    one final division — no reduction-order sensitivity.
+    """
+    half = n_weights // 2
+    toks = tokens_expr(text_col)
+
+    def tok_weight(t: Column) -> Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        )
+        return F.pmod(bucket * F.lit(2654435761), F.lit(n_weights)) - F.lit(half)
+
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + tok_weight(t)
+        ).alias("_sw"),
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("_sw") / (float(half) * F.col("n_tokens")), 6).alias("score"),
+    )
+    return out.withColumn(
+        "label", F.when(F.col("score") > 0, F.lit("keep")).otherwise(F.lit("drop"))
+    )
+
+
+def novelty_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    k-token shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document. Low novelty = the document is mostly made of n-grams
+    already seen in earlier documents — a cheap cross-document redundancy
+    signal complementing within-doc ``repetition_stats`` and pairwise
+    ``ngram_jaccard`` (the 'new text' measure used in dataset-growth
+    audits; same shingle basis as the dedup tier, ``shingles_expr``).
+
+    Scale: exactly TWO exchanges regardless of corpus size — (1) the
+    shingle shuffle for a whole-partition window min(doc_id) PARTITION BY
+    gram (an aggregate window, not a sort window; one shuffle replaces
+    the groupBy+self-join form's two), and (2) the per-doc hash agg of
+    fixed-width counts. Shuffle rows are (gram, doc_id) pairs only; at
+    100 TB the gram shuffle is the irreducible cost of any global
+    first-occurrence computation, and AQE handles hot grams. Counts are
+    exact integers; the final ratio is one int/int division.
+    """
+    from .dedup import shingles_expr  # call-time import avoids a cycle
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    flagged = grams.withColumn("first_doc", F.min(id_col).over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_novel"),
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

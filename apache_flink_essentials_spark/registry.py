@@ -6200,3 +6200,95 @@ _register(
     """,
     late=True,
 )(_bloom_semijoin_q)
+
+
+# =========================================================================
+# round-7 additions: hashing-trick classifier, novelty, portable quantiles
+# =========================================================================
+
+_register(
+    "text_hash_classifier",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             round(list_sum(list_transform(toks,
+                 t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 512
+                       * 2654435761) % 2048 - 1024))
+                   / (1024.0 * len(toks)), 6) AS score
+      FROM t
+    )
+    SELECT doc_id, n_tokens, score,
+           CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+    """,
+    late=True,
+)(lambda spark, sf: X.hash_classifier_score(load_table(spark, "documents", sf)))
+
+
+_register(
+    "text_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM toks
+    ), f AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+      FROM grams
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / count(*)
+             AS novelty
+    FROM f GROUP BY doc_id
+    """,
+    late=True,
+)(lambda spark, sf: X.novelty_stats(load_table(spark, "documents", sf)))
+
+
+def _quantile_bands_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK
+
+    return SK.portable_quantile_bands(_events(spark, sf), "value")
+
+
+_register(
+    "sketch_quantile_bands",
+    r"""
+    WITH s AS (
+      SELECT min(value) AS _vmin, max(value) AS _vmax, count(*) AS _n
+      FROM events WHERE value IS NOT NULL
+    ), h AS (
+      SELECT greatest(0, least(floor((value - _vmin)
+                                     / ((_vmax - _vmin) / 256.0)),
+                               255))::BIGINT AS bucket,
+             count(*) AS cnt
+      FROM events, s WHERE value IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT bucket, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM h
+    ), qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+    SELECT q, ceil(q * _n)::BIGINT AS target_rank, bucket,
+           round(_vmin + (_vmax - _vmin) / 256.0
+                 * (bucket + (ceil(q * _n)::BIGINT - cum_before) / cnt), 6)
+             AS est
+    FROM qs, c, s
+    WHERE cum_before < ceil(q * _n) AND cum_before + cnt >= ceil(q * _n)
+    ORDER BY q
+    """,
+    late=True,
+)(_quantile_bands_q)

@@ -1,0 +1,63 @@
+"""Hashing-trick classifier + cross-document novelty: planted-corpus
+golden checks and pure-python model equivalence (the oracle twin covers
+the md5 arithmetic; these pin the SEMANTICS on controlled inputs)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from apache_flink_essentials_spark.operators.text import (
+    hash_classifier_score,
+    novelty_stats,
+)
+
+
+def _py_weight(token: str, n_buckets: int = 512, n_weights: int = 2048) -> int:
+    b = int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n_buckets
+    return (b * 2654435761) % n_weights - n_weights // 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_classifier_matches_python_model(spark):
+    rows = [(1, "the quick brown fox"), (2, "jumps over the lazy dog dog")]
+    out = {r.doc_id: r for r in hash_classifier_score(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        sw = sum(_py_weight(t) for t in toks)
+        expect = round(sw / (1024.0 * len(toks)), 6)
+        got = out[doc_id]
+        assert got.n_tokens == len(toks)
+        assert abs(got.score - expect) < 1e-9
+        assert got.label == ("keep" if got.score > 0 else "drop")
+
+
+def test_hash_classifier_score_bounded(spark, ):
+    rows = [(i, f"token{i} alpha beta gamma") for i in range(50)]
+    scores = [r.score for r in hash_classifier_score(_docs(spark, rows)).collect()]
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+    assert len(set(scores)) > 1  # weights actually vary across buckets
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact repeat: zero novelty
+        (3, "a b c x y z"),        # mixes old and new grams
+    ]
+    out = {r.doc_id: r for r in novelty_stats(_docs(spark, rows)).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    # doc 3 grams: "a b c" (seen in doc 1), "b c x", "c x y", "x y z" (novel)
+    assert out[3].n_grams == 4
+    assert out[3].n_novel == 3
+    assert abs(out[3].novelty - 0.75) < 1e-12
+
+
+def test_novelty_short_doc_single_gram(spark):
+    rows = [(1, "one two"), (2, "one two")]
+    out = {r.doc_id: r for r in novelty_stats(_docs(spark, rows)).collect()}
+    assert out[1].n_grams == 1 and out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
