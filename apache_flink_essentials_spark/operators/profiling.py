@@ -430,3 +430,87 @@ def mad_outliers(
             robust_z.alias("robust_z"),
         )
     )
+
+
+# fixed Benford first-digit probabilities log10(1 + 1/d), inlined as
+# literals (and duplicated verbatim in the oracle) so no transcendental
+# runs engine-side — the one source of cross-engine float drift
+BENFORD_P = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366, 4: 0.096910013,
+    5: 0.079181246, 6: 0.0669467896, 7: 0.057991947, 8: 0.0511525224,
+    9: 0.0457574906,
+}
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit profile — the classic fabricated-data /
+    unit-mixing screen for numeric columns (Benford 1938; used in data-
+    quality suites as a distribution-drift canary). The first significant
+    digit is taken INTEGER-side (round to cents → bigint → leading char
+    of the decimal rendering) because int→string is engine-portable while
+    double→string and log10 are not. Output: one row per digit with the
+    observed share next to the Benford expectation — per-digit rows
+    instead of a summed chi² so no cross-engine float reduction exists.
+
+    Scale: one scan + a 9-row hash agg (map-side combined); the window
+    for the total runs over 9 rows.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(col) * 100, 0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull() & (F.col(col) > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs") / total).alias("obs_p"),
+        expected.alias("benford_p"),
+    ).orderBy("digit")
+
+
+def chi2_cells(df: DataFrame, row_col: str, col_expr: Column, col_name: str) -> DataFrame:
+    """Chi-square independence cells for a two-way contingency table
+    (row_col × a derived column): observed count, expected count under
+    independence (row_total · col_total / n), and the per-cell χ²
+    contribution. Emitted PER CELL rather than summed — integer counts
+    and fixed-operand-order divisions make every cell engine-portable,
+    while a summed statistic would be reduction-order sensitive.
+
+    Scale: one (row,col)-keyed hash agg; marginals via two window sums
+    over the CELL GRID (|rows|×|cols| rows, aggregate-sized), never a
+    second data scan.
+    """
+    from pyspark.sql.window import Window
+
+    cells = (
+        df.where(F.col(row_col).isNotNull())
+        .groupBy(F.col(row_col).alias("r"), col_expr.alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_tot = F.sum("n_obs").over(Window.partitionBy("r"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("c"))
+    n = F.sum("n_obs").over(Window.partitionBy())
+    expected = row_tot * col_tot / n
+    return (
+        cells.select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_name),
+            "n_obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected, 6
+            ).alias("chi2_contrib"),
+        )
+        .orderBy(row_col, col_name)
+    )

@@ -1484,3 +1484,69 @@ def novelty_stats(
             (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    k: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. '10), the distinct-candidate
+    variant: stopwords delimit candidate phrases; per document, each
+    word's score is degree/frequency over the doc's DISTINCT candidate
+    phrases (degree = Σ length of phrases containing the word), and a
+    phrase's score is the sum of its words' scores. Scores are carried in
+    EXACT integer millionths (``degree*1e6 div freq``) so the per-phrase
+    sum is order-independent — no float reduction anywhere; ties broken
+    by phrase text. Output: top-``k`` phrases per doc with the integer
+    score and rank.
+
+    Scale: all shuffles are keyed by (doc, word) / (doc, phrase) / doc —
+    never global — and the phrase candidates are built array-side inside
+    the scan (mark stopwords → join → split), so the exploded relation is
+    the only data growth. The word-score join co-partitions with the
+    word aggregate (same keys), and the final top-k is a per-doc window
+    over a handful of candidate rows.
+    """
+    qid = F.col(id_col)
+    marked = F.transform(
+        tokens_expr(text_col),
+        lambda t: F.when(t.isin(*stopwords), F.lit("|")).otherwise(t),
+    )
+    phr = (
+        df.select(qid, F.explode(F.split(F.array_join(marked, " "), r"\s*\|\s*")).alias("_p"))
+        .select(qid, F.trim(F.col("_p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .distinct()
+    )
+    pw = phr.select(
+        qid, F.col("phrase"), F.split("phrase", r"\s+").alias("_ws")
+    ).select(
+        qid,
+        F.col("phrase"),
+        F.size("_ws").cast("bigint").alias("_plen"),
+        F.explode("_ws").alias("word"),
+    )
+    ws = pw.groupBy(qid, F.col("word")).agg(
+        F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_degree")
+    )
+    scored = (
+        pw.join(ws, [id_col, "word"])
+        .groupBy(qid, F.col("phrase"))
+        .agg(
+            F.sum(F.expr("(_degree * 1000000) div _freq"))
+            .cast("bigint")
+            .alias("score_milli")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_milli"), F.asc("phrase"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid, "phrase", "score_milli", F.col("rk").cast("bigint").alias("rk"))
+    )

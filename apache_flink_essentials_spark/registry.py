@@ -6292,3 +6292,184 @@ _register(
     """,
     late=True,
 )(_quantile_bands_q)
+
+
+_register(
+    "text_rake_keyphrases",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, list_transform(toks,
+          t -> CASE WHEN t IN ('the','a','and','of','to','in','is')
+               THEN '|' ELSE t END) AS m
+      FROM toks
+    ), phr AS (
+      SELECT DISTINCT doc_id, trim(p) AS phrase
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(array_to_string(m, ' '),
+                                             '\s*\|\s*')) AS p
+            FROM marked)
+      WHERE trim(p) <> ''
+    ), pw AS (
+      SELECT doc_id, phrase,
+             len(string_split_regex(phrase, '\s+'))::BIGINT AS plen,
+             unnest(string_split_regex(phrase, '\s+')) AS word
+      FROM phr
+    ), ws AS (
+      SELECT doc_id, word, count(*) AS freq, sum(plen)::BIGINT AS degree
+      FROM pw GROUP BY 1, 2
+    ), ps AS (
+      SELECT pw.doc_id, pw.phrase,
+             sum((ws.degree * 1000000) // ws.freq)::BIGINT AS score_milli
+      FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.word = ws.word
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_id, phrase, score_milli,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_milli DESC, phrase) AS rk
+      FROM ps
+    )
+    SELECT doc_id, phrase, score_milli, rk::BIGINT AS rk FROM r WHERE rk <= 3
+    """,
+    late=True,
+)(lambda spark, sf: X.rake_keyphrases(load_table(spark, "documents", sf)))
+
+
+_register(
+    "events_benford_digits",
+    r"""
+    WITH c AS (
+      SELECT substr(round(value * 100, 0)::BIGINT::VARCHAR, 1, 1)::INT
+               AS digit,
+             count(*) AS n_obs
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY 1
+    )
+    SELECT digit, n_obs,
+           n_obs / sum(n_obs) OVER () AS obs_p,
+           CASE digit
+             WHEN 1 THEN 0.3010299957 WHEN 2 THEN 0.1760912591
+             WHEN 3 THEN 0.1249387366 WHEN 4 THEN 0.096910013
+             WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.0669467896
+             WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.0511525224
+             WHEN 9 THEN 0.0457574906 END::DOUBLE AS benford_p
+    FROM c ORDER BY digit
+    """,
+    late=True,
+)(lambda spark, sf: P.benford_digits(_events(spark, sf), "value"))
+
+
+_register(
+    "events_chi2_type_band",
+    r"""
+    WITH cells AS (
+      SELECT event_type, floor(value / 100)::BIGINT AS band,
+             count(*) AS n_obs
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, band, n_obs,
+             sum(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+             sum(n_obs) OVER (PARTITION BY band) AS col_tot,
+             sum(n_obs) OVER () AS n
+      FROM cells
+    )
+    SELECT event_type, band, n_obs,
+           round(row_tot * col_tot / n, 6) AS expected,
+           round((n_obs - row_tot * col_tot / n)
+                 * (n_obs - row_tot * col_tot / n)
+                 / (row_tot * col_tot / n), 6) AS chi2_contrib
+    FROM m ORDER BY event_type, band
+    """,
+    late=True,
+)(lambda spark, sf: P.chi2_cells(
+    _events(spark, sf).filter(F.col("value").isNotNull()),
+    "event_type",
+    F.floor(F.col("value") / 100).cast("bigint"),
+    "band",
+))
+
+
+def _salted_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key two-phase aggregation attestation: `salted_agg` routes each
+    of the handful of event_type keys through 16 salted reducers before a
+    16-row merge — the shape that keeps a 100 TB single-key aggregation
+    off one reducer. The oracle is the PLAIN group-by: correctness is
+    exactly the claim that salting never changes the answer (value sums
+    ride DECIMAL partials, so the two-phase merge is associative-exact)."""
+    from apache_flink_essentials_spark.operators import skew as SKW
+
+    ev = _events(spark, sf)
+    out = SKW.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count(F.lit(1))),
+            "sum_value": ("sum", F.sum(F.col("value").cast("decimal(18,2)"))),
+            "max_value": ("max", F.max("value")),
+        },
+        salt_from=F.col("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+_register(
+    "skew_salted_event_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    late=True,
+)(_salted_counts_q)
+
+
+def _replicated_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Salt-and-replicate join attestation: orders scatter across 16 salts
+    of c_custkey while customer replicates 16× — the plan for a hot join
+    key whose dimension side is too big to broadcast but fine to
+    replicate n×. Oracle = the plain inner join: salting is invisible in
+    the result (DECIMAL partials keep the revenue sum exact)."""
+    from apache_flink_essentials_spark.operators import skew as SKW
+
+    orders = load_table(spark, "orders", sf).select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderkey"
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = SKW.replicate_join_skewed(
+        orders, cust, "custkey", salt_from=F.col("o_orderkey"), n_salts=16
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_register(
+    "skew_replicated_join",
+    """
+    SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    late=True,
+)(_replicated_join_q)

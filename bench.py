@@ -160,6 +160,19 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "text_bpe_train_merges",
     "text_bpe_segment",
+    # round-7 session additions: hashing-trick quality classifier (the
+    # zero-shuffle scan-stage fold shape), cross-document n-gram novelty
+    # (gram-shuffle window min), portable histogram quantiles (mergeable
+    # integer partials, n_buckets-row shuffle)
+    "text_hash_classifier",
+    "text_novelty",
+    "sketch_quantile_bands",
+    # round-7 session additions (batch 2): RAKE keyphrases (doc-keyed
+    # join/agg chain), chi-square independence cells (cell-grid windows),
+    # salt-and-replicate hot-key join (the skew-mitigation plan itself)
+    "text_rake_keyphrases",
+    "events_chi2_type_band",
+    "skew_replicated_join",
 ]
 
 

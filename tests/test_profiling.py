@@ -229,3 +229,34 @@ def test_winsorize_clips_tails_only(spark):
     by_id = {r.event_id: r for r in out}
     assert by_id[50].value_w == by_id[50].value
     assert by_id[99].value == 10_000.0 and by_id[99].value_w < 10_000.0
+
+
+def test_benford_digits_planted(spark):
+    from apache_flink_essentials_spark.operators.profiling import (
+        BENFORD_P,
+        benford_digits,
+    )
+
+    rows = [(float(v),) for v in (1.0, 1.5, 19.0, 2.0, 30.0, 0.09, -4.0, 0.0)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_digits(df, "v").collect()}
+    # -4.0 and 0.0 excluded; 0.09 → cents 9 → digit 9
+    assert out[1].n_obs == 3 and out[2].n_obs == 1
+    assert out[3].n_obs == 1 and out[9].n_obs == 1
+    assert abs(sum(r.obs_p for r in out.values()) - 1.0) < 1e-12
+    assert out[1].benford_p == BENFORD_P[1]
+
+
+def test_chi2_cells_independent_table_is_zero(spark):
+    # perfectly independent 2x2 contingency: chi2 contribution == 0
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators.profiling import chi2_cells
+
+    rows = [("a", 0)] * 10 + [("a", 1)] * 10 + [("b", 0)] * 30 + [("b", 1)] * 30
+    df = spark.createDataFrame(rows, "k string, band long")
+    out = chi2_cells(df, "k", F.col("band"), "band").collect()
+    assert len(out) == 4
+    assert all(r.chi2_contrib == 0.0 for r in out)
+    assert {(r.k, r.band): r.n_obs for r in out}[("b", 0)] == 30
+    assert all(r.expected == float(r.n_obs) for r in out)

@@ -79,3 +79,50 @@ def test_bucketed_join_has_no_shuffle(spark, events):
 
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
     assert joined.count() == events.count()
+
+
+def test_salted_agg_equals_plain_groupby(spark, events):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators.skew import salted_agg
+
+    salted = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "mx": ("max", F.max("value")),
+        },
+        salt_from=F.col("event_id"),
+        n_salts=8,
+    ).collect()
+    plain = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    )
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_replicate_join_skewed_equals_plain_join(spark, events):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators.skew import (
+        replicate_join_skewed,
+    )
+
+    dim = events.select("event_type").distinct().withColumn(
+        "type_tag", F.upper(F.col("event_type"))
+    )
+    rep = replicate_join_skewed(
+        events.select("event_id", "event_type"),
+        dim,
+        "event_type",
+        salt_from=F.col("event_id"),
+        n_salts=4,
+    )
+    plain = events.select("event_id", "event_type").join(dim, "event_type")
+    assert rep.count() == plain.count()
+    a = sorted(map(tuple, rep.select("event_id", "type_tag").collect()))
+    b = sorted(map(tuple, plain.select("event_id", "type_tag").collect()))
+    assert a == b

@@ -951,3 +951,56 @@ def test_bpe_pair_counts_stream_equals_batch(spark):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) == 20
+
+
+def test_quantile_histogram_stream_equals_batch(spark):
+    # complete-mode bucket-count aggregate over a replayed event stream,
+    # with FIXED configured bounds (how a production rollup sizes the
+    # sketch), == the batch partials resolved through the same
+    # quantiles_from_histogram — bit-for-bit: counts are associative
+    # integers and the bucket id is deterministic fixed-order IEEE math
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.sketches import (
+        portable_quantile_bands,
+        quantile_histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    row = events.agg(
+        F.min("value").alias("_vmin"),
+        F.max("value").alias("_vmax"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    stats = events.sparkSession.createDataFrame(
+        [(row._vmin, row._vmax, row._n)], "_vmin double, _vmax double, _n long"
+    )
+    stream_in = replay_as_stream(events, num_files=3, order_by="event_id")
+    agg = run_stream_to_df(
+        quantile_histogram_partials(
+            stream_in, "value", row._vmin, row._vmax, n_buckets=64
+        ),
+        output_mode="complete",
+    )
+    streamed = quantiles_from_histogram(agg, stats, 64).collect()
+    batch = portable_quantile_bands(events, "value", n_buckets=64).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) == 3
+
+
+def test_hash_classifier_stream_equals_batch(spark):
+    # stateless scan-stage fold → append-mode streaming is the identical
+    # plan per micro-batch; the quality-filter-on-ingest shape
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.text import (
+        hash_classifier_score,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    streamed = run_stream_to_df(
+        hash_classifier_score(stream_in), output_mode="append"
+    )
+    b = sorted(map(tuple, hash_classifier_score(docs).collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) == 500

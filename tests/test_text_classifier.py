@@ -61,3 +61,30 @@ def test_novelty_short_doc_single_gram(spark):
     out = {r.doc_id: r for r in novelty_stats(_docs(spark, rows)).collect()}
     assert out[1].n_grams == 1 and out[1].novelty == 1.0
     assert out[2].novelty == 0.0
+
+
+def test_rake_scores_planted_document(spark):
+    # "fast table scan" is delimited by stopwords; RAKE should score the
+    # long phrase above the singletons: each word has freq=1, degree=3 →
+    # score 3e6 each → phrase sum 9e6; singleton "merge" scores 1e6
+    from apache_flink_essentials_spark.operators.text import rake_keyphrases
+
+    rows = [(1, "the fast table scan of merge in sort")]
+    out = rake_keyphrases(_docs(spark, rows), k=10).collect()
+    by_phrase = {r.phrase: r for r in out}
+    assert by_phrase["fast table scan"].score_milli == 9_000_000
+    assert by_phrase["merge"].score_milli == 1_000_000
+    assert by_phrase["fast table scan"].rk == 1
+
+
+def test_rake_degree_counts_shared_words(spark):
+    # "big data" and "data lake": data has freq=2, degree=4 → score 2e6;
+    # big/lake freq=1 degree=2 → 2e6; both phrases sum to 4e6, tie broken
+    # by phrase text
+    from apache_flink_essentials_spark.operators.text import rake_keyphrases
+
+    rows = [(1, "big data of data lake")]
+    out = rake_keyphrases(_docs(spark, rows), k=10).collect()
+    scores = {r.phrase: (r.score_milli, r.rk) for r in out}
+    assert scores["big data"] == (4_000_000, 1)
+    assert scores["data lake"] == (4_000_000, 2)
