@@ -183,3 +183,65 @@ def last_touch_attribution(
         F.when(qualified, F.col("_prev.id")).alias("attributed_id"),
         F.when(qualified, target_ts_s - prev_ts_s).alias("gap_seconds"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over per-basket DISTINCT item sets
+    (Agrawal & Srikant, VLDB '94 — the pairwise tier): for each ordered
+    item pair (a → b), support = |baskets with both|, confidence =
+    support / |baskets with a|, lift = confidence / (|baskets with b| /
+    |baskets|). All counts are integers; the divisions are fixed-operand-
+    order int/int → engine-portable doubles (rounded to 6 dp).
+
+    Scale: the distinct (basket, item) projection is one shuffle; the
+    pair generation is a SELF-JOIN ON BASKET — bounded per basket by the
+    distinct-item count (the item DOMAIN, not the event count; baskets
+    are capped at |domain|² pairs, the classic a-priori pairwise bound),
+    never a global cross. Item marginals are domain-sized and broadcast
+    both ways.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    nb = bi.agg(F.countDistinct("basket").alias("n_baskets"))
+    item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        bi.alias("l")
+        .join(bi.alias("r"), "basket")
+        .where(F.col("l.item") != F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("antecedent"),
+            F.col("r.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    ia = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    ic = item_counts.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    out = (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(F.col("support") / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("n_ante"))
+                / (F.col("n_cons") / F.col("n_baskets")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+    return out

@@ -376,3 +376,84 @@ def quantiles_from_histogram(
         "bucket",
         F.round(est, 6).alias("est"),
     ).orderBy("q")
+
+
+def grouped_quantile_bands(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    n_buckets: int = 128,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group ``portable_quantile_bands``: each key gets its own exact
+    (min, max, count) bounds and an equal-width histogram, so the
+    estimate quality is uniform across groups with different value
+    ranges (a global-bounds histogram would starve narrow groups of
+    resolution). Same determinism argument as the global form; requires
+    every group to have vmax > vmin.
+
+    Scale: the stats aggregate is keys-sized and broadcast back onto the
+    scan; the histogram shuffle carries at most |keys| × n_buckets
+    integer rows; cumulation windows run per key over n_buckets rows.
+
+    Output: one row per (key..., q).
+    """
+    from pyspark.sql.window import Window
+
+    kcols = [F.col(k) for k in keys]
+    nn = df.where(F.col(col).isNotNull())
+    stats = nn.groupBy(*kcols).agg(
+        F.min(col).alias("_vmin"),
+        F.max(col).alias("_vmax"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = nn.join(F.broadcast(stats), list(keys))
+    width = (F.col("_vmax") - F.col("_vmin")) / float(n_buckets)
+    bucket = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((F.col(col) - F.col("_vmin")) / width),
+            F.lit(n_buckets - 1).cast("bigint"),
+        ),
+    )
+    hist = joined.groupBy(*kcols, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        *kcols,
+        F.col("bucket"),
+        F.col("cnt"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    spark = df.sparkSession
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    withq = (
+        stats.crossJoin(F.broadcast(qs))
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("_n")))
+        .join(
+            cum,
+            [
+                *(list(keys)),
+            ],
+        )
+        .where(
+            (F.col("cum_before") < F.col("target_rank"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("target_rank"))
+        )
+    )
+    est = F.col("_vmin") + width * (
+        F.col("bucket")
+        + (F.col("target_rank") - F.col("cum_before")) / F.col("cnt")
+    )
+    return withq.select(
+        *kcols,
+        "q",
+        "target_rank",
+        "bucket",
+        F.round(est, 6).alias("est"),
+    ).orderBy(*keys, "q")

@@ -1550,3 +1550,67 @@ def rake_keyphrases(
         .filter(F.col("rk") <= k)
         .select(qid, "phrase", "score_milli", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_sizes: tuple[int, ...] = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Tokenizer-design coverage curve: for each candidate vocabulary size
+    N, the fraction of all token OCCURRENCES covered by the N most
+    frequent token types (ties broken by token text, so the curve is
+    deterministic). The standard first diagnostic when sizing a
+    vocabulary or auditing OOV pressure before a BPE train
+    (cf. ``oov_rate`` for a FIXED vocab; this sweeps the size axis).
+
+    Output: (vocab_size, covered_occurrences, total_occurrences,
+    coverage) — one row per requested N; integer sums, one final int/int
+    division.
+
+    Scale: one token hash-agg (map-side combined), then ranking/windows
+    over the TYPE table (vocabulary-sized, not corpus-sized) — at 100 TB
+    the type table is millions of rows vs trillions of occurrences, so
+    the rank sort is negligible; the coverage rows are a broadcast-sized
+    cross of |vocab_sizes| literals against the ranked types.
+    """
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        F.col("n"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "rk",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+    )
+    spark = df.sparkSession
+    sizes = spark.createDataFrame(
+        [(int(s),) for s in vocab_sizes], "vocab_size long"
+    )
+    # per size: the largest rk <= N (handles N > |vocab|: takes the last row)
+    joined = sizes.join(
+        F.broadcast(cum), F.col("rk") <= F.col("vocab_size"), "left"
+    )
+    return (
+        joined.groupBy("vocab_size")
+        .agg(
+            F.max("cum_n").alias("covered_occurrences"),
+            F.max("total_n").alias("total_occurrences"),
+        )
+        .select(
+            "vocab_size",
+            "covered_occurrences",
+            "total_occurrences",
+            (F.col("covered_occurrences") / F.col("total_occurrences")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("vocab_size")
+    )

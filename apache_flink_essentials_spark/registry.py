@@ -6473,3 +6473,116 @@ _register(
     """,
     late=True,
 )(_replicated_join_q)
+
+
+_register(
+    "text_vocab_coverage",
+    r"""
+    WITH occ AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM occ GROUP BY 1
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM counts
+    ), cum AS (
+      SELECT rk,
+             sum(n) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM ranked
+    ), sizes AS (
+      SELECT unnest([100, 500, 1000, 5000])::BIGINT AS vocab_size
+    ), agg AS (
+      SELECT vocab_size,
+             max(cum_n)::BIGINT AS covered_occurrences,
+             max(total_n)::BIGINT AS total_occurrences
+      FROM sizes LEFT JOIN cum ON rk <= vocab_size
+      GROUP BY vocab_size
+    )
+    SELECT vocab_size, covered_occurrences, total_occurrences,
+           covered_occurrences / total_occurrences AS coverage
+    FROM agg ORDER BY vocab_size
+    """,
+    late=True,
+)(lambda spark, sf: X.vocab_coverage(load_table(spark, "documents", sf)))
+
+
+def _assoc_rules_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    return PT.association_rules(_events(spark, sf))
+
+
+_register(
+    "events_assoc_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+    ), nb AS (
+      SELECT count(DISTINCT basket) AS n_baskets FROM bi
+    ), ic AS (
+      SELECT item, count(*) AS n_item FROM bi GROUP BY 1
+    ), pairs AS (
+      SELECT l.item AS antecedent, r.item AS consequent,
+             count(*) AS support
+      FROM bi l JOIN bi r ON l.basket = r.basket AND l.item <> r.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT antecedent, consequent, support,
+           round(support / ia.n_item, 6) AS confidence,
+           round((support / ia.n_item) / (ib.n_item / n_baskets), 6)
+             AS lift
+    FROM pairs
+    JOIN ic ia ON ia.item = antecedent
+    JOIN ic ib ON ib.item = consequent, nb
+    ORDER BY antecedent, consequent
+    """,
+    late=True,
+)(_assoc_rules_q)
+
+
+def _quantile_by_type_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK2
+
+    return SK2.grouped_quantile_bands(
+        _events(spark, sf), "value", ["event_type"], n_buckets=128
+    )
+
+
+_register(
+    "events_quantile_by_type",
+    r"""
+    WITH nn AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, min(value) AS _vmin, max(value) AS _vmax,
+             count(*) AS _n
+      FROM nn GROUP BY 1
+    ), h AS (
+      SELECT nn.event_type,
+             greatest(0, least(floor((value - _vmin)
+                                     / ((_vmax - _vmin) / 128.0)),
+                               127))::BIGINT AS bucket,
+             count(*) AS cnt
+      FROM nn JOIN s ON nn.event_type = s.event_type
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM h
+    ), qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+    SELECT s.event_type, q, ceil(q * _n)::BIGINT AS target_rank, bucket,
+           round(_vmin + (_vmax - _vmin) / 128.0
+                 * (bucket + (ceil(q * _n)::BIGINT - cum_before) / cnt), 6)
+             AS est
+    FROM s CROSS JOIN qs
+    JOIN c ON c.event_type = s.event_type
+    WHERE cum_before < ceil(q * _n)
+      AND cum_before + cnt >= ceil(q * _n)
+    ORDER BY s.event_type, q
+    """,
+    late=True,
+)(_quantile_by_type_q)

@@ -173,6 +173,12 @@ HEADLINE = [
     "text_rake_keyphrases",
     "events_chi2_type_band",
     "skew_replicated_join",
+    # round-7 session additions (batch 3): tokenizer coverage curve
+    # (type-table ranking), market-basket rules (basket-bounded self-join),
+    # per-group histogram quantiles
+    "text_vocab_coverage",
+    "events_assoc_rules",
+    "events_quantile_by_type",
 ]
 
 

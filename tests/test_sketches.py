@@ -193,3 +193,25 @@ def test_quantile_bands_exact_on_uniform_ramp(spark):
     # with equality on a ramp
     assert bands[0.5] == 500.0
     assert bands[0.9] == 900.0
+
+
+def test_grouped_quantile_bands_per_group_bound(spark, events):
+    # the documented bound is vs the DISCRETE (rank-based) quantile: the
+    # value at rank ceil(q*n) lies in the chosen bucket, so the estimate
+    # is within one bucket width of it. (The interpolated percentile can
+    # sit an order-statistic gap away on sparse tails — not the target.)
+    import math
+
+    nb = 64
+    out = S.grouped_quantile_bands(
+        events, "value", ["event_type"], n_buckets=nb
+    ).collect()
+    by_type = {}
+    for r in events.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert len(out) > 0
+    for r in out:
+        vals = sorted(by_type[r.event_type])
+        width = (vals[-1] - vals[0]) / nb
+        disc = vals[math.ceil(r.q * len(vals)) - 1]
+        assert abs(r.est - disc) <= width + 1e-9, (r.event_type, r.q, r.est, disc)

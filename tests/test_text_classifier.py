@@ -88,3 +88,18 @@ def test_rake_degree_counts_shared_words(spark):
     scores = {r.phrase: (r.score_milli, r.rk) for r in out}
     assert scores["big data"] == (4_000_000, 1)
     assert scores["data lake"] == (4_000_000, 2)
+
+
+def test_vocab_coverage_planted(spark):
+    from apache_flink_essentials_spark.operators.text import vocab_coverage
+
+    # 6 "aa", 3 "bb", 1 "cc" → top-1 covers 6/10, top-2 covers 9/10
+    rows = [(1, "aa aa aa bb"), (2, "aa aa aa bb bb cc")]
+    out = {
+        r.vocab_size: r
+        for r in vocab_coverage(_docs(spark, rows), vocab_sizes=(1, 2, 10)).collect()
+    }
+    assert (out[1].covered_occurrences, out[1].total_occurrences) == (6, 10)
+    assert out[2].covered_occurrences == 9
+    assert out[10].coverage == 1.0  # N beyond the vocab covers everything
+    assert out[1].coverage == 0.6
