@@ -310,3 +310,23 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "sample_ms")
     )
+
+
+def documents_as_video(documents: DataFrame, ms_per_char: int = 40) -> DataFrame:
+    """Adapter: derive deterministic VIDEO media rows from the documents
+    fixture (every third doc; duration proportional to length) so the
+    duration-driven plumbing — frame planning, per-frame fan-out — is
+    exercisable and oracle-checkable without binary video payloads.
+    Pure column expressions; payload stays the UTF-8 text bytes."""
+    return documents.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video/x-fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * ms_per_char).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -506,3 +506,71 @@ def ewma_smooth(
         f" / aggregate(_win, CAST(0.0 AS DOUBLE),"
         f" (a, x) -> a * {decay}D + CAST(1.0 AS DOUBLE)) AS ewma",
     )
+
+
+def lag_correlation(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    lags: Sequence[int] = (0, 1, 2, 3),
+    step_s: int = 3600,
+) -> DataFrame:
+    """Cross-correlation between two event-type count series at integer
+    lags (does type_a activity LEAD type_b?): bucket both types into
+    step_s bins, inner-join the series against itself shifted by
+    lag·step_s, and compute Pearson r per lag from INTEGER power sums —
+    r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). Every sum is
+    an exact BIGINT (counts and their products), so the only float ops
+    are two correctly-rounded IEEE sqrts and one division in fixed
+    operand order — engine-portable, no reduction-order sensitivity
+    (the trick that makes a correlation oracle-checkable at all; a
+    double-typed corr() aggregate is not). Zero-variance lags are
+    filtered, not NULL-propagated.
+
+    Scale: one bin hash-agg over the scan (map-side combined), then the
+    lag joins run on the BINNED series (|bins| rows, not events); the
+    power sums are a |lags|-row aggregate. At 1e9-per-bin counts the
+    BIGINT power sums approach overflow — swap the partials to
+    DECIMAL(38,0) at that scale (same plan shape).
+
+    Output: (lag, n, r) per lag with r rounded to 6 dp.
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    series = (
+        df.where(F.col(type_col).isin(type_a, type_b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col(type_col) == type_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(type_col) == type_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    spark = df.sparkSession
+    lag_df = spark.createDataFrame([(int(l),) for l in lags], "lag long")
+    a = series.select(F.col("bin"), F.col("ca"))
+    b = series.select(F.col("bin").alias("bin_b"), F.col("cb"))
+    paired = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("bin_b") == F.col("bin") + F.col("lag"))
+    )
+    sums = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sx"),
+        F.sum("cb").alias("sy"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+        F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.where((vx > 0) & (vy > 0))
+        .select(
+            "lag",
+            "n",
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("r"),
+        )
+        .orderBy("lag")
+    )

@@ -6586,3 +6586,63 @@ _register(
     """,
     late=True,
 )(_quantile_by_type_q)
+
+
+def _lag_corr_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    return TS.lag_correlation(
+        _events(spark, sf), "ts", "event_type", "view", "click"
+    )
+
+
+_register(
+    "ts_lag_correlation",
+    """
+    WITH series AS (
+      SELECT epoch(ts)::BIGINT // 3600 AS bin,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS cb
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    ), lags AS (SELECT unnest([0, 1, 2, 3])::BIGINT AS lag),
+    paired AS (
+      SELECT lag, a.ca, b.cb
+      FROM series a CROSS JOIN lags
+      JOIN series b ON b.bin = a.bin + lag
+    ), sums AS (
+      SELECT lag, count(*)::BIGINT AS n,
+             sum(ca)::BIGINT AS sx, sum(cb)::BIGINT AS sy,
+             sum(ca * cb)::BIGINT AS sxy,
+             sum(ca * ca)::BIGINT AS sxx,
+             sum(cb * cb)::BIGINT AS syy
+      FROM paired GROUP BY 1
+    )
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS r
+    FROM sums
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY lag
+    """,
+    late=True,
+)(_lag_corr_q)
+
+
+def _frame_plan_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return M.frame_sample_plan(M.documents_as_video(docs), every_ms=1000)
+
+
+_register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, n_chars * 40 + 1, 1000))::BIGINT AS sample_ms
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    late=True,
+)(_frame_plan_q)

@@ -179,6 +179,10 @@ HEADLINE = [
     "text_vocab_coverage",
     "events_assoc_rules",
     "events_quantile_by_type",
+    # round-7 session additions (batch 4): integer-exact lag correlation
+    # (binned-series self-join), duration-driven frame-sample planning
+    "ts_lag_correlation",
+    "multimodal_frame_plan",
 ]
 
 

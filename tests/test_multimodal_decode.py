@@ -221,3 +221,27 @@ def test_decode_media_probe(spark):
     assert rows[2].format == "wav"
     assert rows[2].sample_rate == 8000 and rows[2].duration_ms == 500
     assert rows[3].format is None
+
+
+def test_frame_sample_plan_duration_driven(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators.multimodal import (
+        documents_as_video,
+        frame_sample_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "x" * 10), (6, "y" * 62), (7, "skipped")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    plan = frame_sample_plan(documents_as_video(docs), every_ms=1000).collect()
+    by_id = {}
+    for r in plan:
+        by_id.setdefault(r.media_id, []).append(r.sample_ms)
+    # doc 3: 10 chars * 40 ms = 400 ms → one sample at 0
+    assert sorted(by_id[3]) == [0]
+    # doc 6: 62 * 40 = 2480 ms → samples at 0, 1000, 2000
+    assert sorted(by_id[6]) == [0, 1000, 2000]
+    # doc 7: doc_id % 3 != 0 → not video
+    assert 7 not in by_id

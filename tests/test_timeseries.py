@@ -206,3 +206,50 @@ def test_ewma_smooth_window_truncates(spark):
     out = {r.id: r.ewma for r in TS.ewma_smooth(
         df, "k", "ts", "value", "id", alpha=0.5, window=2).collect()}
     assert abs(out[3] - 40.0 / 1.5) < 1e-12
+
+
+def test_lag_correlation_detects_planted_shift(spark):
+    # series B is EXACTLY series A shifted by 2 bins → r = 1.0 at lag 2,
+    # and the integer-power-sum Pearson is exact there
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        lag_correlation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    counts = [1, 5, 2, 7, 3, 6, 4, 8, 2, 9]
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((base + datetime.timedelta(hours=i), "a"))
+        for _ in range(c):
+            rows.append((base + datetime.timedelta(hours=i + 2), "b"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        r.lag: r
+        for r in lag_correlation(
+            df, "ts", "event_type", "a", "b", lags=(0, 1, 2, 3)
+        ).collect()
+    }
+    assert out[2].r == 1.0
+    assert out[2].n == 10  # all ten bins pair up at the true lag
+    assert all(out[l].r < 1.0 for l in (0, 1, 3) if l in out)
+
+
+def test_lag_correlation_skips_zero_variance(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        lag_correlation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append((base + datetime.timedelta(hours=i), "a"))  # constant 1/bin
+        for _ in range(i + 1):
+            rows.append((base + datetime.timedelta(hours=i), "b"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = lag_correlation(df, "ts", "event_type", "a", "b", lags=(0,)).collect()
+    assert out == []  # constant series has no defined correlation
