@@ -1247,3 +1247,41 @@ def perplexity_buckets(
             F.max(score_col).alias(f"max_{score_col}"),
         )
     )
+
+
+def softdedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft deduplication training weights (the SoftDeDup idea — keep
+    duplicates but DOWN-WEIGHT them instead of dropping: each document
+    in an exact-duplicate cluster of size m gets weight 1/m, so every
+    distinct text contributes exactly one document's worth of gradient
+    regardless of its copy count). Clustering is the repo's exact-dedup
+    fingerprint (md5 over whitespace-normalized text), so the weights
+    are fully deterministic and oracle-checkable; weight is an int/int
+    division (unrounded — the minhash_lsh_pairs portability argument).
+
+    Scale: ONE aggregate-window pass — cluster sizes attach via
+    count PARTITION BY fingerprint (the dsir_weights window idiom:
+    no groupBy+join, no second scan); the fingerprint shuffle is the
+    same one exact dedup already pays.
+
+    Output: (doc_id, cluster_size, weight).
+    """
+    from apache_flink_essentials_spark.operators.text import fingerprint_expr
+
+    w = Window.partitionBy("_f")
+    return (
+        df.select(F.col(id_col), fingerprint_expr(text_col).alias("_f"))
+        .select(
+            F.col(id_col),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .select(
+            id_col,
+            "cluster_size",
+            (F.lit(1) / F.col("cluster_size")).alias("weight"),
+        )
+    )

@@ -1059,3 +1059,135 @@ def paragraph_dedup_stream(
         .withColumn("_pkey", F.md5(F.col("paragraph")))
     )
     return paras.dropDuplicatesWithinWatermark(["_pkey"])
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash ESTIMATOR attestation: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching minhash slots /
+    num_hashes — the Broder '97 unbiased estimator the whole
+    MinHash+LSH stack rests on) SIDE BY SIDE with the exact shingle-set
+    Jaccard, so the estimator's error is driver-visible per pair (and
+    oracle-checkable: both numbers are deterministic md5/int arithmetic).
+    ``minhash_lsh_pairs`` uses the exact value to verify; this op exists
+    to audit the estimator itself — the number a production pipeline
+    trusts when it SKIPS exact verification at 100 TB.
+
+    Scale: identical topology to ``minhash_lsh_pairs`` (one band-bucket
+    shuffle, in-bucket pair generation, token sets join back in); the
+    signature rides along as a num_hashes-element array of 8-char
+    strings, a fixed ~64 bytes per row.
+
+    Output: (id_a, id_b, est_jaccard, jaccard) for candidates with
+    exact jaccard >= 0.5 OR estimate >= 0.5 (both sides of the
+    estimator's error are interesting).
+    """
+    assert num_hashes % 4 == 0
+    num_seeds = num_hashes // 4
+    rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    base = df.repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col),
+        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
+        shingles_expr(text_col, shingle_k).alias("shingles"),
+    )
+    hashed = base.select(
+        id_col,
+        "tok_set",
+        *[
+            hashed_shingles_expr(F.col("shingles"), s).alias(f"h{s}")
+            for s in range(num_seeds)
+        ],
+    )
+    sig = hashed.select(
+        id_col,
+        "tok_set",
+        F.array(
+            *[
+                minhash_from_hashed(f"h{i // 4}", i % 4)
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        "tok_set",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        banded.select(id_col, "band_idx", "band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    candidates = (
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+    sides = sig.select(F.col(id_col), "tok_set", "sig")
+    joined = candidates.join(
+        sides.select(
+            F.col(id_col).alias("id_a"),
+            F.col("tok_set").alias("tok_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        sides.select(
+            F.col(id_col).alias("id_b"),
+            F.col("tok_set").alias("tok_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter((F.col("jaccard") >= 0.5) | (F.col("est_jaccard") >= 0.5))
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )

@@ -6646,3 +6646,84 @@ _register(
     """,
     late=True,
 )(_frame_plan_q)
+
+
+_register(
+    "dedup_minhash_estimate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS tok_set
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, tok_set,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> md5('0:' || s)) AS h0,
+             list_transform(shingles, s -> md5('1:' || s)) AS h1
+      FROM sh
+    ), mh AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform(h0, h -> h[1:8]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[9:16]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[17:24]), 'min'),
+              list_aggregate(list_transform(h0, h -> h[25:32]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[1:8]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[9:16]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[17:24]), 'min'),
+              list_aggregate(list_transform(h1, h -> h[25:32]), 'min')] AS mh
+      FROM hashed
+    ), banded AS (
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band_idx,
+             unnest([md5(mh[1] || '|' || mh[2]), md5(mh[3] || '|' || mh[4]),
+                     md5(mh[5] || '|' || mh[6]), md5(mh[7] || '|' || mh[8])])
+               AS band_hash
+      FROM mh
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             len(list_filter(range(1, 9),
+                 i -> ma.mh[i] = mb.mh[i])) / 8 AS est_jaccard,
+             len(list_intersect(ta.tok_set, tb.tok_set))
+               / len(list_distinct(ta.tok_set || tb.tok_set)) AS jaccard
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.id_a
+      JOIN mh mb ON mb.doc_id = p.id_b
+      JOIN toks ta ON ta.doc_id = p.id_a
+      JOIN toks tb ON tb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, jaccard
+    FROM scored WHERE jaccard >= 0.5 OR est_jaccard >= 0.5
+    """,
+    late=True,
+)(lambda spark, sf: D.minhash_estimate_pairs(load_table(spark, "documents", sf)))
+
+
+_register(
+    "curation_softdedup_weights",
+    r"""
+    WITH f AS (
+      SELECT doc_id, md5(array_to_string(
+               string_split_regex(lower(text), '\s+'), ' ')) AS _f
+      FROM documents
+    ), c AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY _f) AS cluster_size
+      FROM f
+    )
+    SELECT doc_id, cluster_size::BIGINT AS cluster_size,
+           1 / cluster_size AS weight
+    FROM c
+    """,
+    late=True,
+)(lambda spark, sf: CU.softdedup_weights(load_table(spark, "documents", sf)))

@@ -183,6 +183,11 @@ HEADLINE = [
     # (binned-series self-join), duration-driven frame-sample planning
     "ts_lag_correlation",
     "multimodal_frame_plan",
+    # round-7 session additions (batch 5): MinHash estimator audit (the
+    # number production trusts when skipping exact verification), soft
+    # dedup weights (down-weight duplicates instead of dropping)
+    "dedup_minhash_estimate",
+    "curation_softdedup_weights",
 ]
 
 

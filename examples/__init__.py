@@ -17,6 +17,8 @@ North-star extensions (no reference counterpart — SURVEY §2.10):
   continuous_rollup_job.py   incremental OLAP rollup
   curation_rules_and_pq.py   Gopher rules → paragraph dedup → dataset card →
                              perplexity buckets; IVF-PQ index/search + recall
+  tokenizer_design.py        vocab coverage sweep → OOV audit → BPE train →
+                             segmentation compression
 
 Run: ``python -m examples.data_streams`` etc. Batch jobs print results;
 streaming jobs run a bounded replay (availableNow) so they terminate.

@@ -1,0 +1,12 @@
+"""Example jobs stay runnable: smoke the round-7 tokenizer workbench
+end-to-end against the smallest fixture (the other examples are pinned
+piecewise through their operators' own tests and oracle rows)."""
+
+
+def test_tokenizer_design_example_runs(spark):
+    from examples.tokenizer_design import run
+
+    coverage = run(spark, sf_dir="/root/testdata/sf0.001")
+    rows = {r.vocab_size: r.coverage for r in coverage.collect()}
+    assert rows[5000] == 1.0
+    assert all(0 < c <= 1.0 for c in rows.values())

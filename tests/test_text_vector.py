@@ -1202,3 +1202,59 @@ def test_bpe_segment_hand_computed(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = X.bpe_segment(df, ["e r", "i n"]).collect()[0]
     assert (r.n_symbols, r.n_chars) == (5, 7)
+
+
+def test_minhash_estimate_exact_duplicates_agree(spark):
+    from apache_flink_essentials_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "completely different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in minhash_estimate_pairs(df).collect()}
+    dup = out[(1, 2)]
+    # identical shingle sets → identical signatures → estimate == exact == 1
+    assert dup.est_jaccard == 1.0 and dup.jaccard == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_minhash_estimate_is_slotwise_fraction(spark):
+    from apache_flink_essentials_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k zz"),  # near-dup: one token changed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_estimate_pairs(df, num_hashes=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # estimate is k/8 for integer k, exact jaccard below 1
+    assert r.est_jaccard in [i / 8 for i in range(9)]
+    assert 0.5 <= r.jaccard < 1.0
+
+
+def test_softdedup_weights_planted_clusters(spark):
+    from apache_flink_essentials_spark.operators.curation import (
+        softdedup_weights,
+    )
+
+    rows = [
+        (1, "same text"),
+        (2, "same   text"),        # whitespace-normalized duplicate
+        (3, "same text"),
+        (4, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in softdedup_weights(df).collect()}
+    assert out[1].cluster_size == 3 and out[1].weight == 1 / 3
+    assert out[2].cluster_size == 3
+    assert out[4].cluster_size == 1 and out[4].weight == 1.0
+    # total weight == number of distinct texts
+    assert abs(sum(r.weight for r in out.values()) - 2.0) < 1e-12
