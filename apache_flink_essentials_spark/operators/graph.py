@@ -196,3 +196,37 @@ def pagerank_fixedpoint(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of a (src, dst) edge list — the first thing to
+    read before running ANY iterative graph algorithm at scale: the max
+    out/in degree bounds the hottest join partition in every pagerank /
+    label-propagation / CC superstep, and a power-law tail is the cue to
+    salt or cap (the same hot-key story as the dedup tier's bucket caps).
+
+    Edges are deduplicated first (multi-edges inflate degrees); output is
+    (side 'src'|'dst', degree, n_nodes) — the distribution, not the
+    per-node table, so the result is aggregate-sized at any graph size.
+
+    Scale: one distinct shuffle on the edge pair, then per-side degree
+    hash aggs and a degree-histogram agg — all keyed, all map-side
+    combined.
+    """
+    e = edges.select("src", "dst").distinct()
+    out_deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("src").alias("side"), "degree")
+    )
+    in_deg = (
+        e.groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("dst").alias("side"), "degree")
+    )
+    return (
+        out_deg.unionByName(in_deg)
+        .groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("side", "degree")
+    )

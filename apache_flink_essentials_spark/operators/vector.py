@@ -1827,3 +1827,43 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
     )
+
+
+def ivf_balance_report(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = False,
+) -> DataFrame:
+    """IVF index health report: per-cluster population, share, and load
+    factor (n_vecs·k / n — 1.0 = perfectly balanced). The number that
+    decides whether an IVF index is USABLE at scale: a cluster holding
+    20% of a 100 TB corpus makes every probe touching it a fifth-of-the-
+    data scan regardless of nprobe, and the fix (re-fit, split the hot
+    cluster, or spill to a finer quantizer) starts from exactly this
+    table (FAISS's imbalance_factor diagnostic).
+
+    Defaults to the pure-expression assignment so the report is
+    oracle-checkable with FIXED centroids (the vec_ivfpq_adc twin
+    pattern); pass use_arrow=True for the production fitted-index path
+    (equality of the two assignments is pinned in tests).
+
+    Scale: the assignment is a narrow broadcast map; the report is one
+    k-row hash agg + a k-row window. Output: (cluster_id, n_vecs, share,
+    load_factor), int/int divisions in fixed operand order.
+    """
+    from pyspark.sql.window import Window
+
+    k = len(centroids)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, use_arrow)
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    n = F.sum("n_vecs").over(Window.partitionBy())
+    return counts.select(
+        "cluster_id",
+        "n_vecs",
+        (F.col("n_vecs") / n).alias("share"),
+        (F.col("n_vecs") * F.lit(k) / n).alias("load_factor"),
+    ).orderBy("cluster_id")

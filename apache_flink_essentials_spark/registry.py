@@ -6727,3 +6727,78 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: CU.softdedup_weights(load_table(spark, "documents", sf)))
+
+
+_IVF_BALANCE_CENTS = [V._hyperplane(64, 800 + j) for j in range(8)]
+_IVF_BALANCE_CENTS_SQL = ",\n      ".join(
+    f"({j}, [" + ",".join(repr(x) for x in _IVF_BALANCE_CENTS[j])
+    + "]::DOUBLE[])"
+    for j in range(8)
+)
+
+_register(
+    "vec_ivf_balance",
+    f"""
+    WITH cents(j, v) AS (VALUES
+      {_IVF_BALANCE_CENTS_SQL}
+    ), assign AS (
+      SELECT vec_id, j AS cluster_id FROM (
+        SELECT e.vec_id, ct.j,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_aggregate(list_transform(range(1, 65),
+                     i -> (e.embedding[i]::DOUBLE - ct.v[i])
+                          * (e.embedding[i]::DOUBLE - ct.v[i])),
+                   'sum') ASC, ct.j ASC) AS rn
+        FROM embeddings e, cents ct
+      ) WHERE rn = 1
+    ), counts AS (
+      SELECT cluster_id, count(*) AS n_vecs FROM assign GROUP BY 1
+    )
+    SELECT cluster_id, n_vecs,
+           n_vecs / sum(n_vecs) OVER () AS share,
+           n_vecs * 8 / sum(n_vecs) OVER () AS load_factor
+    FROM counts ORDER BY cluster_id
+    """,
+    late=True,
+)(lambda spark, sf: V.ivf_balance_report(
+    load_table(spark, "embeddings", sf), _IVF_BALANCE_CENTS
+))
+
+
+def _degree_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G2
+
+    edges = (
+        load_table(spark, "orders", sf)
+        .join(
+            load_table(spark, "lineitem", sf),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+        )
+    )
+    return G2.degree_distribution(edges)
+
+
+_register(
+    "graph_degree_stats",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey::BIGINT AS src,
+             l_suppkey::BIGINT + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), d AS (
+      SELECT 'src' AS side, src AS node, count(*) AS degree
+      FROM e GROUP BY 2
+      UNION ALL
+      SELECT 'dst' AS side, dst AS node, count(*) AS degree
+      FROM e GROUP BY 2
+    )
+    SELECT side, degree, count(*)::BIGINT AS n_nodes
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    late=True,
+)(_degree_stats_q)

@@ -188,6 +188,10 @@ HEADLINE = [
     # dedup weights (down-weight duplicates instead of dropping)
     "dedup_minhash_estimate",
     "curation_softdedup_weights",
+    # round-7 session additions (batch 6): IVF index health (the probe-
+    # cost diagnostic), graph degree histogram (the pre-iteration skew read)
+    "vec_ivf_balance",
+    "graph_degree_stats",
 ]
 
 

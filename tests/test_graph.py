@@ -106,3 +106,19 @@ def test_pagerank_fixedpoint_tracks_float_ranks(spark):
           for r in G.pagerank(df, iterations=5).collect()}
     for v in fl:
         assert fp[v] == pytest.approx(fl[v], abs=1e-6)
+
+
+def test_degree_distribution_dedups_multi_edges(spark):
+    from apache_flink_essentials_spark.operators.graph import (
+        degree_distribution,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 10), (3, 12)],  # (1,10) repeated
+        "src long, dst long",
+    )
+    out = {(r.side, r.degree): r.n_nodes for r in degree_distribution(edges).collect()}
+    # out-degrees: node1 -> 2, node2 -> 1, node3 -> 1
+    assert out[("src", 2)] == 1 and out[("src", 1)] == 2
+    # in-degrees: 10 <- 2 (deduped), 11 <- 1, 12 <- 1
+    assert out[("dst", 2)] == 1 and out[("dst", 1)] == 2

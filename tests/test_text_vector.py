@@ -1258,3 +1258,20 @@ def test_softdedup_weights_planted_clusters(spark):
     assert out[4].cluster_size == 1 and out[4].weight == 1.0
     # total weight == number of distinct texts
     assert abs(sum(r.weight for r in out.values()) - 2.0) < 1e-12
+
+
+def test_ivf_balance_report_arrow_equals_expression(spark):
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.vector import (
+        _hyperplane,
+        ivf_balance_report,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = [_hyperplane(64, 800 + j) for j in range(8)]
+    expr = ivf_balance_report(emb, cents, use_arrow=False).collect()
+    arrow = ivf_balance_report(emb, cents, use_arrow=True).collect()
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, arrow))
+    assert abs(sum(r.share for r in expr) - 1.0) < 1e-9
+    # load factors average to 1 by construction (k clusters, weights share*k)
+    assert abs(sum(r.load_factor for r in expr) - 8.0) < 1e-9
