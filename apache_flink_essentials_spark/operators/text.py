@@ -1610,6 +1610,18 @@ def vocab_coverage(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return coverage_from_counts(counts, vocab_sizes)
+
+
+def coverage_from_counts(
+    counts: DataFrame,
+    vocab_sizes: tuple[int, ...] = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Coverage-curve tail over a materialized (tok, n) type table — the
+    shared report half of batch ``vocab_coverage`` and the streaming
+    ``token_counts_stream`` ingest (complete-mode counts are the same
+    relation, so stream+report ≡ one-shot batch, pinned in tests).
+    Everything here runs over vocabulary-sized input."""
     w_rank = Window.orderBy(F.desc("n"), F.asc("tok"))
     ranked = counts.select(
         F.col("n"),
@@ -1621,7 +1633,7 @@ def vocab_coverage(
         F.sum("n").over(w_cum).alias("cum_n"),
         F.sum("n").over(Window.partitionBy()).alias("total_n"),
     )
-    spark = df.sparkSession
+    spark = counts.sparkSession
     sizes = spark.createDataFrame(
         [(int(s),) for s in vocab_sizes], "vocab_size long"
     )

@@ -198,3 +198,25 @@ def tokenize_ingest_stream(
     return stream.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
+
+
+def token_counts_stream(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming half of the vocabulary-coverage report: a complete-mode
+    token-type count aggregate over arriving documents. Counts are
+    associative integers, so the streaming state is the TYPE TABLE
+    (vocabulary-sized, bounded), never the corpus — the same state-shape
+    argument as the BPE pair-count twin. The coverage curve itself
+    (rank + cumulate + size sweep — ``text.coverage_from_counts``) runs
+    on read over the materialized type table: ranking is a global sort,
+    non-incremental by semantics, but it re-runs over |vocab| rows, not
+    |corpus|.
+    """
+    from apache_flink_essentials_spark.operators.text import tokens_expr
+
+    return (
+        stream.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

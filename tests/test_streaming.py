@@ -1004,3 +1004,27 @@ def test_hash_classifier_stream_equals_batch(spark):
     b = sorted(map(tuple, hash_classifier_score(docs).collect()))
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) == 500
+
+
+def test_vocab_coverage_stream_equals_batch(spark):
+    # complete-mode token-type counts over a replayed stream + the shared
+    # coverage tail == the one-shot batch curve, bit-for-bit (counts are
+    # associative integers; the state is the vocabulary, not the corpus)
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.text import (
+        coverage_from_counts,
+        vocab_coverage,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        token_counts_stream,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    counts = run_stream_to_df(
+        token_counts_stream(stream_in), output_mode="complete"
+    )
+    streamed = coverage_from_counts(counts).collect()
+    batch = vocab_coverage(docs).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) == 4
