@@ -6600,7 +6600,7 @@ _register(
     "ts_lag_correlation",
     """
     WITH series AS (
-      SELECT epoch(ts)::BIGINT // 3600 AS bin,
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
                AS ca,
              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
