@@ -205,9 +205,18 @@ def association_rules(
     never a global cross. Item marginals are domain-sized and broadcast
     both ways.
     """
+    from .transform import _estimated_input_bytes
+
     bi = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
+    # bi feeds FOUR consumers (n_baskets, marginals, both self-join
+    # sides); above ~64 MB of input the lazily-materialized form beats
+    # four recomputations of the scan+distinct — below it, recompute is
+    # cheaper than the write (the dsir_weights size gate)
+    size = _estimated_input_bytes(df)
+    if size is None or size >= (64 << 20):
+        bi = bi.localCheckpoint(eager=False)
     nb = bi.agg(F.countDistinct("basket").alias("n_baskets"))
     item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
