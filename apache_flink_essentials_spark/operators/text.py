@@ -1506,20 +1506,19 @@ def rake_keyphrases(
     by phrase text. Output: top-``k`` phrases per doc with the integer
     score and rank.
 
-    Scale/plan shape (A/B-measured at sf0.1): candidate phrases are
-    deduped ARRAY-side (array_distinct) instead of a row-level DISTINCT —
-    phrase identity is per-doc, so the global shuffle bought nothing;
-    per-doc word scores come back as ONE MAP per doc (map_from_entries
-    over the (doc, word) aggregate) and each phrase re-scores array-side
-    via an ``aggregate`` fold with O(1) map lookups — replacing the
-    (doc, word)-keyed join+re-agg pair. Three exchanges total: the
-    (doc, word) hash agg, the doc-keyed map rollup, and the doc-keyed
-    score join feeding the per-doc top-k window. The scan leg is
-    CPU-heavy array work, so it rides ``floor_parallelism`` (the winnow
-    16 KB/task gate) — on under-split small inputs the phrase build
-    otherwise runs on ONE task (measured 1.9 s → 1.4 s warm, 9 s → 1.8 s
-    cold at sf0.1); at real scale the input has enough splits and the
-    exchange never fires.
+    Plan shape (A/B-measured at sf0.1): candidate phrases dedup
+    ARRAY-side (phrase identity is per-doc — a global DISTINCT bought
+    nothing), and per-word degree/frequency attach as AGGREGATE WINDOWS
+    ``PARTITION BY (doc, word)`` over the exploded phrase-word relation —
+    the dsir_weights idiom: no word-score groupBy, no join back, no
+    second explode (the map-scored join form measured 1.47 s warm, this
+    form 1.06-1.21 s). Three exchanges total, all doc-/word-keyed: the
+    (doc, word) window shuffle, the (doc, phrase) score agg, and the
+    per-doc top-k window. The scan leg is CPU-heavy array work, so it
+    rides ``floor_parallelism`` (the winnow 16 KB/task gate) — on
+    under-split small inputs the phrase build otherwise runs on ONE task
+    (measured 9 s → 1.8 s cold at sf0.1); at real scale the input has
+    enough splits and the exchange never fires.
     """
     from .transform import floor_parallelism
 
@@ -1542,38 +1541,30 @@ def rake_keyphrases(
             lambda p: p != "",
         )
     )
-    base = df.select(qid, phrases.alias("_phr"))
     pw = (
-        base.select(qid, F.explode("_phr").alias("phrase"))
+        df.select(qid, F.explode(phrases).alias("phrase"))
         .select(qid, F.col("phrase"), F.split("phrase", " ").alias("_ws"))
         .select(
             qid,
+            F.col("phrase"),
             F.size("_ws").cast("bigint").alias("_plen"),
             F.explode("_ws").alias("word"),
         )
     )
-    ws = pw.groupBy(qid, F.col("word")).agg(
-        F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_degree")
+    # integer word score via one windowed pass; `div` keeps the exact
+    # bigint semantics (floor(x/y) over doubles would be fine below 2^53
+    # but div never degrades)
+    over = f"PARTITION BY `{id_col}`, word"
+    scored_words = pw.select(
+        qid,
+        F.col("phrase"),
+        F.expr(
+            f"(sum(_plen) OVER ({over}) * 1000000)"
+            f" div count(1) OVER ({over})"
+        ).alias("_w_score"),
     )
-    wmap = ws.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.col("word"), F.expr("(_degree * 1000000) div _freq"))
-            )
-        ).alias("_wm")
-    )
-    scored = (
-        base.join(wmap, id_col)
-        .select(qid, F.explode("_phr").alias("phrase"), F.col("_wm"))
-        .select(
-            qid,
-            F.col("phrase"),
-            F.aggregate(
-                F.split("phrase", " "),
-                F.lit(0).cast("bigint"),
-                lambda acc, w: acc + F.element_at(F.col("_wm"), w),
-            ).alias("score_milli"),
-        )
+    scored = scored_words.groupBy(qid, F.col("phrase")).agg(
+        F.sum("_w_score").cast("bigint").alias("score_milli")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score_milli"), F.asc("phrase"))
     return (
