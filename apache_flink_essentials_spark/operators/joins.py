@@ -655,3 +655,63 @@ def _bloom_build(
         for s in range(k_hashes)
     )
     return arr_sql, checks
+
+
+def fs_match_weights(
+    records: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    fields: dict[str, tuple[Column, float, float]],
+    t_match_micro: int,
+    t_nonmatch_micro: int,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA '69) over a
+    candidate-pair table: each comparison field contributes
+    ``log2(m/u)`` on agreement and ``log2((1-m)/(1-u))`` on disagreement
+    (m = P(agree | same entity), u = P(agree | different)); pairs
+    classify as match / possible / nonmatch by thresholding the summed
+    weight. The m/u probabilities are caller-supplied constants (in
+    production EM-estimated offline — Winkler's method — and frozen into
+    the job exactly like this), so the per-field weights bake into the
+    plan as INTEGER MICRO-LOG LITERALS: no engine-side log, exact bigint
+    sums, fully oracle-checkable (the Benford-literal discipline).
+
+    ``fields``: out_name → (agreement Column over the ``_a_``/``_b_``
+    prefixed attribute pair, m, u).
+
+    Scale: candidates carry only id pairs (the blocked fuzzy join
+    upstream bounds them); the two attribute attachments are key-equi
+    joins that broadcast when the record side is dimension-sized; the
+    scoring itself is a pure projection — no shuffle beyond the joins.
+    """
+    import math
+
+    # fields' agreement expressions reference `_a_<col>` / `_b_<col>`;
+    # attach every record attribute under both prefixes
+    attrs = [c for c in records.columns if c != id_col]
+    a = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in attrs],
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in attrs],
+    )
+    j = candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    agree_cols = []
+    total = F.lit(0).cast("bigint")
+    for name, (agree_expr, m, u) in fields.items():
+        w_agree = round(math.log2(m / u) * 1e6)
+        w_dis = round(math.log2((1 - m) / (1 - u)) * 1e6)
+        agree = agree_expr.cast("int").alias(f"agree_{name}")
+        agree_cols.append(agree)
+        w = F.when(agree_expr, F.lit(w_agree)).otherwise(F.lit(w_dis))
+        total = total + w
+    out = j.select("id_a", "id_b", *agree_cols, total.alias("weight_micro"))
+    return out.select(
+        "*",
+        F.when(F.col("weight_micro") >= t_match_micro, F.lit("match"))
+        .when(F.col("weight_micro") <= t_nonmatch_micro, F.lit("nonmatch"))
+        .otherwise(F.lit("possible"))
+        .alias("label"),
+    ).orderBy("id_a", "id_b")

@@ -6802,3 +6802,111 @@ _register(
     """,
     late=True,
 )(_degree_stats_q)
+
+
+# ---- Fellegi-Sunter probabilistic record linkage ----
+import math as _math  # noqa: E402
+
+_FS_FIELDS = {
+    # name → (m, u): P(agree | same entity), P(agree | different entity).
+    # Frozen constants (EM-estimated offline in production); the log2
+    # weights bake into BOTH plans as integer micro literals.
+    "name": (0.9, 0.01),
+    "nation": (0.95, 0.04),
+    "segment": (0.9, 0.2),
+}
+_FS_W = {
+    k: (
+        round(_math.log2(m / u) * 1e6),
+        round(_math.log2((1 - m) / (1 - u)) * 1e6),
+    )
+    for k, (m, u) in _FS_FIELDS.items()
+}
+_FS_T_MATCH = 8_000_000
+_FS_T_NONMATCH = 0
+
+
+def _fs_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    blk = F.lower(F.substring("c_name", 1, 16))
+    cand = (
+        c.select(F.col("c_custkey").alias("id_a"), blk.alias("_blk"))
+        .join(c.select(F.col("c_custkey").alias("id_b"), blk.alias("_blk")), "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    fields = {
+        "name": (
+            F.levenshtein(
+                F.lower(F.col("_a_c_name")), F.lower(F.col("_b_c_name"))
+            )
+            <= 1,
+            *_FS_FIELDS["name"],
+        ),
+        "nation": (
+            F.col("_a_c_nationkey") == F.col("_b_c_nationkey"),
+            *_FS_FIELDS["nation"],
+        ),
+        "segment": (
+            F.col("_a_c_mktsegment") == F.col("_b_c_mktsegment"),
+            *_FS_FIELDS["segment"],
+        ),
+    }
+    return J.fs_match_weights(
+        c, cand, "c_custkey", fields, _FS_T_MATCH, _FS_T_NONMATCH
+    )
+
+
+_register(
+    "er_fs_match_weights",
+    f"""
+    WITH cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+    ), j AS (
+      SELECT id_a, id_b,
+             (levenshtein(lower(a.c_name), lower(b.c_name)) <= 1)::INT
+               AS agree_name,
+             (a.c_nationkey = b.c_nationkey)::INT AS agree_nation,
+             (a.c_mktsegment = b.c_mktsegment)::INT AS agree_segment
+      FROM cand
+      JOIN customer a ON a.c_custkey = id_a
+      JOIN customer b ON b.c_custkey = id_b
+    ), w AS (
+      SELECT *,
+             (CASE WHEN agree_name = 1 THEN {_FS_W["name"][0]}
+                   ELSE {_FS_W["name"][1]} END
+              + CASE WHEN agree_nation = 1 THEN {_FS_W["nation"][0]}
+                     ELSE {_FS_W["nation"][1]} END
+              + CASE WHEN agree_segment = 1 THEN {_FS_W["segment"][0]}
+                     ELSE {_FS_W["segment"][1]} END)::BIGINT AS weight_micro
+      FROM j
+    )
+    SELECT id_a, id_b, agree_name, agree_nation, agree_segment,
+           weight_micro,
+           CASE WHEN weight_micro >= {_FS_T_MATCH} THEN 'match'
+                WHEN weight_micro <= {_FS_T_NONMATCH} THEN 'nonmatch'
+                ELSE 'possible' END AS label
+    FROM w ORDER BY id_a, id_b
+    """,
+    late=True,
+)(_fs_weights_q)
+
+
+_register(
+    "text_langid_confusion",
+    f"""
+    SELECT d.lang, det.detected_lang, count(*)::BIGINT AS n_docs
+    FROM documents d JOIN ({_lang_oracle()}) det ON d.doc_id = det.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    late=True,
+)(lambda spark, sf: load_table(spark, "documents", sf)
+  .select(F.col("lang"), X.detected_lang_expr("text").alias("detected_lang"))
+  .groupBy("lang", "detected_lang")
+  .agg(F.count(F.lit(1)).alias("n_docs"))
+  .orderBy("lang", "detected_lang"))

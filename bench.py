@@ -192,6 +192,10 @@ HEADLINE = [
     # cost diagnostic), graph degree histogram (the pre-iteration skew read)
     "vec_ivf_balance",
     "graph_degree_stats",
+    # round-7 session additions (batch 7): Fellegi-Sunter probabilistic
+    # record linkage (integer micro-log weights), language-ID confusion
+    "er_fs_match_weights",
+    "text_langid_confusion",
 ]
 
 

@@ -297,3 +297,48 @@ def test_bloom_anti_join_keeps_null_key_rows(spark):
                   key=nk)
     assert got == want
     assert (None, "c") in got and (None, "d") in got
+
+
+def test_fs_match_weights_planted(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators.joins import fs_match_weights
+
+    records = spark.createDataFrame(
+        [
+            (1, "acme corp", 7, "AUTO"),
+            (2, "acme corp", 7, "AUTO"),    # exact duplicate of 1
+            (3, "acme corpx", 9, "BLDG"),   # name within lev 1, rest differs
+        ],
+        "id long, name string, nation int, seg string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    fields = {
+        "name": (
+            F.levenshtein(F.lower("_a_name"), F.lower("_b_name")) <= 1,
+            0.9,
+            0.01,
+        ),
+        "nation": (F.col("_a_nation") == F.col("_b_nation"), 0.95, 0.04),
+        "seg": (F.col("_a_seg") == F.col("_b_seg"), 0.9, 0.2),
+    }
+    out = {
+        (r.id_a, r.id_b): r
+        for r in fs_match_weights(
+            records, cand, "id", fields, 8_000_000, 0
+        ).collect()
+    }
+    w = lambda m, u: round(math.log2(m / u) * 1e6)  # noqa: E731
+    full = w(0.9, 0.01) + w(0.95, 0.04) + w(0.9, 0.2)
+    assert out[(1, 2)].weight_micro == full
+    assert out[(1, 2)].label == "match"
+    partial = (
+        w(0.9, 0.01)
+        + round(math.log2(0.05 / 0.96) * 1e6)
+        + round(math.log2(0.1 / 0.8) * 1e6)
+    )
+    assert out[(1, 3)].weight_micro == partial
+    assert out[(1, 3)].agree_name == 1 and out[(1, 3)].agree_nation == 0
+    assert out[(1, 3)].label in ("possible", "nonmatch")

@@ -103,3 +103,23 @@ def test_vocab_coverage_planted(spark):
     assert out[2].covered_occurrences == 9
     assert out[10].coverage == 1.0  # N beyond the vocab covers everything
     assert out[1].coverage == 0.6
+
+
+def test_langid_confusion_counts_are_complete(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.text import detected_lang_expr
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    conf = (
+        docs.select(F.col("lang"), detected_lang_expr("text").alias("det"))
+        .groupBy("lang", "det")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in conf) == docs.count()
+    # the detector should get the labeled language right more often than
+    # any single wrong guess for at least one language (sanity, not acc)
+    diag = sum(r["count"] for r in conf if r.lang == r.det)
+    assert diag > 0
