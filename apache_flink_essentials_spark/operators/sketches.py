@@ -457,3 +457,67 @@ def grouped_quantile_bands(
         "bucket",
         F.round(est, 6).alias("est"),
     ).orderBy(*keys, "q")
+
+
+def hll_set_ops(
+    df: DataFrame,
+    col: str,
+    left_filter: Column,
+    right_filter: Column,
+    p: int = 8,
+) -> DataFrame:
+    """Distinct-count SET ALGEBRA from portable-HLL registers (the Theta-
+    sketch use case on HLL machinery): |A| and |B| from their own
+    registers, |A∪B| from the ELEMENTWISE MAX MERGE of the two partial
+    register sets (exact sketch algebra — union of HLLs is lossless, the
+    property rollup tables rely on), and |A∩B| by inclusion-exclusion
+    |A|+|B|−|A∪B| (estimate of estimates — error compounds when the
+    intersection is small relative to the union; surfaced raw, not
+    clamped, so the caller sees the sign). Every register is integer-
+    exact and the estimate arithmetic is fixed-order — oracle-checkable
+    like ``portable_hll_distinct``.
+
+    One scan: membership in A/B is exploded per row (a row can be in
+    BOTH — overlapping filters are the whole point of set ops), then one
+    (side, bucket) register aggregate; the union re-merges the same
+    partials with the side key dropped. Shuffles carry at most 2·2^p
+    integer rows.
+
+    Output: 4 rows — (set_op ∈ left|right|union|intersection, estimate).
+    """
+    sides = df.select(
+        F.col(col),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(left_filter, F.lit("left")),
+                    F.when(right_filter, F.lit("right")),
+                )
+            )
+        ).alias("side"),
+    )
+    partials = portable_hll_partials(sides, col, keys=("side",), p=p)
+    partials = partials.localCheckpoint(eager=False)
+
+    def est(pdf: DataFrame, label: str) -> DataFrame:
+        m = portable_hll_merge(pdf, p=p)
+        return m.select(
+            F.lit(label).alias("set_op"),
+            F.col("hll_distinct").alias("estimate"),
+        )
+
+    left = est(partials.where(F.col("side") == "left").drop("side"), "left")
+    right = est(partials.where(F.col("side") == "right").drop("side"), "right")
+    union = est(partials.drop("side"), "union")
+    inter = (
+        left.select(F.col("estimate").alias("_l"))
+        .crossJoin(right.select(F.col("estimate").alias("_r")))
+        .crossJoin(union.select(F.col("estimate").alias("_u")))
+        .select(
+            F.lit("intersection").alias("set_op"),
+            (F.col("_l") + F.col("_r") - F.col("_u")).alias("estimate"),
+        )
+    )
+    return left.unionByName(right).unionByName(union).unionByName(inter).orderBy(
+        "set_op"
+    )

@@ -6910,3 +6910,76 @@ _register(
   .groupBy("lang", "detected_lang")
   .agg(F.count(F.lit(1)).alias("n_docs"))
   .orderBy("lang", "detected_lang"))
+
+
+def _hll_scalar_est(src: str) -> str:
+    """Scalar portable-HLL estimate over a (mx)-register relation — the
+    sketch_hll_distinct arithmetic as a reusable SQL fragment (p=8)."""
+    return f"""(
+      SELECT CASE WHEN raw <= 640.0 AND v_empty > 0
+                  THEN round(256.0 * ln(256.0 / v_empty), 4)
+                  ELSE raw END
+      FROM (
+        SELECT 256 - present AS v_empty,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 2199023255552.0
+                 / (s_present
+                    + (256 - present) * 2199023255552::BIGINT)::DOUBLE
+                 AS raw
+        FROM (SELECT count(*)::BIGINT AS present,
+                     sum(1::BIGINT << (41 - mx))::BIGINT AS s_present
+              FROM {src} t)
+      )
+    )"""
+
+
+def _hll_setops_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK3
+
+    ev = _events(spark, sf)
+    return SK3.hll_set_ops(
+        ev,
+        "user_id",
+        F.col("event_type").isin("view", "click"),
+        F.col("event_type").isin("click", "purchase"),
+    )
+
+
+_register(
+    "sketch_hll_setops",
+    f"""
+    WITH sides AS (
+      SELECT user_id, 'left' AS side FROM events
+      WHERE event_type IN ('view', 'click')
+      UNION ALL
+      SELECT user_id, 'right' AS side FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), hb AS (
+      SELECT side,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT % 256
+               AS bucket,
+             floor(('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+                   / 256.0)::BIGINT AS w
+      FROM sides
+    ), rho AS (
+      SELECT side, bucket,
+             max(CASE WHEN w = 0 THEN 41
+                      ELSE 41 - length(bin(w)) END) AS mx
+      FROM hb GROUP BY 1, 2
+    ), urho AS (
+      SELECT bucket, max(mx) AS mx FROM rho GROUP BY 1
+    )
+    SELECT 'intersection' AS set_op,
+           {_hll_scalar_est("(SELECT mx FROM rho WHERE side = 'left')")}
+           + {_hll_scalar_est("(SELECT mx FROM rho WHERE side = 'right')")}
+           - {_hll_scalar_est("urho")} AS estimate
+    UNION ALL
+    SELECT 'left', {_hll_scalar_est("(SELECT mx FROM rho WHERE side = 'left')")}
+    UNION ALL
+    SELECT 'right', {_hll_scalar_est("(SELECT mx FROM rho WHERE side = 'right')")}
+    UNION ALL
+    SELECT 'union', {_hll_scalar_est("urho")}
+    ORDER BY set_op
+    """,
+    late=True,
+)(_hll_setops_q)

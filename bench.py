@@ -196,6 +196,9 @@ HEADLINE = [
     # record linkage (integer micro-log weights), language-ID confusion
     "er_fs_match_weights",
     "text_langid_confusion",
+    # round-7 session additions (batch 8): HLL set algebra (union via
+    # register max-merge, intersection by inclusion-exclusion)
+    "sketch_hll_setops",
 ]
 
 

@@ -394,3 +394,90 @@ def test_pagerank_fixedpoint_bit_exact_on_any_graph(spark, edges, iters):
     }
     want = _py_pagerank_fp(edges, iterations=iters)
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda v: max(v) > min(v)),
+    nb=st.integers(min_value=2, max_value=32),
+)
+@settings(**SETTINGS)
+def test_quantile_bands_bound_holds_on_any_data(spark, vals, nb):
+    # the histogram estimate is within one bucket width of the DISCRETE
+    # rank quantile for ANY input distribution and bucket count
+    import math
+
+    from apache_flink_essentials_spark.operators.sketches import (
+        portable_quantile_bands,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = portable_quantile_bands(
+        df, "v", n_buckets=nb, quantiles=(0.5, 0.9)
+    ).collect()
+    s = sorted(vals)
+    width = (s[-1] - s[0]) / nb
+    for r in out:
+        disc = s[math.ceil(r.q * len(s)) - 1]
+        assert abs(r.est - disc) <= width + 1e-6 * max(1.0, abs(disc))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "the", "a", "of"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_rake_matches_python_model_on_any_corpus(spark, texts):
+    # distinct-candidate RAKE == the pure-python model for ANY corpus over
+    # a small token alphabet (stopwords delimit; integer millionth scores)
+    from apache_flink_essentials_spark.operators.text import (
+        RAKE_STOPWORDS,
+        rake_keyphrases,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in rake_keyphrases(df, k=1000).collect():
+        got.setdefault(r.doc_id, {})[r.phrase] = r.score_milli
+
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        phrases, cur = [], []
+        for t in toks:
+            if t in RAKE_STOPWORDS:
+                if cur:
+                    phrases.append(" ".join(cur))
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(" ".join(cur))
+        phrases = sorted(set(phrases))
+        if not phrases:
+            assert doc_id not in got
+            continue
+        freq, degree = {}, {}
+        for p in phrases:
+            ws = p.split()
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(ws)
+        expect = {
+            p: sum((degree[w] * 1_000_000) // freq[w] for w in p.split())
+            for p in phrases
+        }
+        assert got.get(doc_id, {}) == expect, (doc_id, text)

@@ -215,3 +215,40 @@ def test_grouped_quantile_bands_per_group_bound(spark, events):
         width = (vals[-1] - vals[0]) / nb
         disc = vals[math.ceil(r.q * len(vals)) - 1]
         assert abs(r.est - disc) <= width + 1e-9, (r.event_type, r.q, r.est, disc)
+
+
+def test_hll_set_ops_union_is_lossless_merge(spark, events):
+    # union estimate == one-shot sketch of the union rows (register max
+    # merge is exact sketch algebra), and estimates track exact counts
+    A = F.col("event_type").isin("view", "click")
+    B = F.col("event_type").isin("click", "purchase")
+    out = {r.set_op: r.estimate for r in S.hll_set_ops(events, "user_id", A, B).collect()}
+    one_shot_union = S.portable_hll_distinct(
+        events.where(A | B), "user_id"
+    ).collect()[0]["hll_distinct"]
+    assert out["union"] == one_shot_union
+    exact_l = events.where(A).select("user_id").distinct().count()
+    exact_i = (
+        events.where(A).select("user_id").intersect(
+            events.where(B).select("user_id")).count()
+    )
+    assert abs(out["left"] - exact_l) <= max(5, 0.26 * exact_l)
+    # intersection is an estimate-of-estimates: allow the compounded bound
+    assert abs(out["intersection"] - exact_i) <= max(10, 0.5 * exact_i)
+
+
+def test_hll_set_ops_disjoint_intersection_near_zero(spark):
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("even")
+    )
+    out = {
+        r.set_op: r.estimate
+        for r in S.hll_set_ops(
+            df, "id", F.col("even"), ~F.col("even")
+        ).collect()
+    }
+    # 1000 distinct each side, disjoint: the inclusion-exclusion error
+    # scales with the UNION (rsd 6.5% at m=256, three compounding
+    # estimates: ~sqrt(3)*0.065*2000 at 1 sigma) — assert 3 sigma of that
+    assert abs(out["intersection"]) <= 3 * 0.065 * 2000 * 1.8
+    assert abs(out["left"] - 1000) <= 260

@@ -1028,3 +1028,35 @@ def test_vocab_coverage_stream_equals_batch(spark):
     batch = vocab_coverage(docs).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(streamed) == 4
+
+
+def test_grouped_quantile_histogram_stream_equals_batch(spark):
+    # per-key complete-mode (key, bucket) counts with fixed per-key bounds
+    # == batch grouped histogram partials: the per-group rollup twin
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.sketches import (
+        quantile_histogram_partials,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    bounds = {
+        r.event_type: (r.vmin, r.vmax)
+        for r in events.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .collect()
+    }
+    t = sorted(bounds)[0]
+    vmin, vmax = bounds[t]
+    stream_in = replay_as_stream(
+        events.filter(F.col("event_type") == t), num_files=3, order_by="event_id"
+    )
+    agg = run_stream_to_df(
+        quantile_histogram_partials(stream_in, "value", vmin, vmax, 32),
+        output_mode="complete",
+    )
+    batch = quantile_histogram_partials(
+        events.filter(F.col("event_type") == t), "value", vmin, vmax, 32
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
