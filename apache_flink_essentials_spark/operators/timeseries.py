@@ -574,3 +574,69 @@ def lag_correlation(
         )
         .orderBy("lag")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step_s: int = 3600,
+    threshold_sigma: float = 4.0,
+) -> DataFrame:
+    """CUSUM drift detection over a binned count-weighted series (Page
+    1954): bin the stream, take per-bin mean values, accumulate
+    one-sided deviations from the GLOBAL mean
+    (``s_hi = running Σ max-style drift upward, s_lo downward`` — here
+    the classic two-sided tabular CUSUM without reset, the audit form),
+    and flag bins where |cusum| exceeds ``threshold_sigma·σ·√i`` (the
+    random-walk envelope — a real level shift grows LINEARLY in i and
+    escapes the √i envelope; noise stays inside).
+
+    Portability: per-bin sums/counts are exact integers-and-decimals;
+    the global mean and σ are one fixed-order computation each; the
+    cumulative sum is a WINDOW ORDERED BY bin — a sequential fold in a
+    deterministic order, identical in both engines (the EWMA
+    recursive-CTE twin argument). Output rounded to 6 dp.
+
+    Scale: one bin hash-agg over the scan; everything after runs on the
+    BINNED relation (|bins| rows) — a 1-row stats broadcast and one
+    ordered window. At 100 TB the bin table is hours/days-sized.
+
+    Output: (bin, bin_mean, cusum, is_changepoint) ordered by bin.
+    """
+    from pyspark.sql.window import Window
+
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    bins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+        .select(
+            "bin", (F.col("_s").cast("double") / F.col("_n")).alias("bin_mean")
+        )
+    )
+    stats = bins.agg(
+        F.avg("bin_mean").alias("_mu"),
+        F.stddev_pop("bin_mean").alias("_sigma"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    idx = Window.orderBy("bin")
+    joined = bins.crossJoin(F.broadcast(stats))
+    out = joined.select(
+        "bin",
+        F.round("bin_mean", 6).alias("bin_mean"),
+        F.round(
+            F.sum(F.col("bin_mean") - F.col("_mu")).over(w), 6
+        ).alias("cusum"),
+        (
+            F.abs(F.sum(F.col("bin_mean") - F.col("_mu")).over(w))
+            > F.lit(threshold_sigma)
+            * F.col("_sigma")
+            * F.sqrt(F.row_number().over(idx).cast("double"))
+        ).alias("is_changepoint"),
+    )
+    return out.orderBy("bin")

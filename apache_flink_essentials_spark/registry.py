@@ -6983,3 +6983,36 @@ _register(
     """,
     late=True,
 )(_hll_setops_q)
+
+
+def _cusum_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS2
+
+    return TS2.cusum_changepoints(_events(spark, sf), "ts", "value")
+
+
+_register(
+    "ts_cusum_changepoints",
+    """
+    WITH bins AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS bin_mean
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), stats AS (
+      SELECT avg(bin_mean) AS mu, stddev_pop(bin_mean) AS sigma
+      FROM bins
+    )
+    SELECT bin, round(bin_mean, 6) AS bin_mean,
+           round(sum(bin_mean - mu) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cusum,
+           abs(sum(bin_mean - mu) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             > 4.0 * sigma
+               * sqrt((row_number() OVER (ORDER BY bin))::DOUBLE)
+             AS is_changepoint
+    FROM bins, stats ORDER BY bin
+    """,
+    late=True,
+)(_cusum_q)

@@ -199,6 +199,9 @@ HEADLINE = [
     # round-7 session additions (batch 8): HLL set algebra (union via
     # register max-merge, intersection by inclusion-exclusion)
     "sketch_hll_setops",
+    # round-7 session additions (batch 9): CUSUM level-shift detection
+    # over the binned relation
+    "ts_cusum_changepoints",
 ]
 
 

@@ -19,6 +19,8 @@ North-star extensions (no reference counterpart — SURVEY §2.10):
                              perplexity buckets; IVF-PQ index/search + recall
   tokenizer_design.py        vocab coverage sweep → OOV audit → BPE train →
                              segmentation compression
+  drift_monitoring.py        Benford / chi-square / quantile-band / CUSUM /
+                             lag-correlation drift screens
 
 Run: ``python -m examples.data_streams`` etc. Batch jobs print results;
 streaming jobs run a bounded replay (availableNow) so they terminate.

@@ -10,3 +10,12 @@ def test_tokenizer_design_example_runs(spark):
     rows = {r.vocab_size: r.coverage for r in coverage.collect()}
     assert rows[5000] == 1.0
     assert all(0 < c <= 1.0 for c in rows.values())
+
+
+def test_drift_monitoring_example_runs(spark):
+    from examples.drift_monitoring import run
+
+    lag = run(spark, sf_dir="/root/testdata/sf0.001")
+    rows = lag.collect()
+    assert len(rows) >= 1
+    assert all(-1.0 <= r.r <= 1.0 for r in rows)

@@ -253,3 +253,47 @@ def test_lag_correlation_skips_zero_variance(spark):
     df = spark.createDataFrame(rows, "ts timestamp, event_type string")
     out = lag_correlation(df, "ts", "event_type", "a", "b", lags=(0,)).collect()
     assert out == []  # constant series has no defined correlation
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    # flat series at 10.0 for 48 bins, then a sustained shift to 20.0:
+    # the cusum escapes the sqrt(i) envelope after the shift and is
+    # near-zero (inside it) before
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(96):
+        level = 10.0 if i < 48 else 20.0
+        rows.append((base + datetime.timedelta(hours=i), level))
+        rows.append((base + datetime.timedelta(hours=i, minutes=30), level))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(cusum_changepoints(df, "ts", "value").collect(),
+                 key=lambda r: r.bin)
+    flagged = [r for r in out if r.is_changepoint]
+    assert flagged, "the level shift must be flagged"
+    # mean-centered CUSUM localizes the shift at the |cusum| ARGMAX: the
+    # last pre-shift bin (deviations accumulate up to the break, then
+    # unwind) — bins[47] is the 48th bin, the final one at the old level
+    peak = max(out, key=lambda r: abs(r.cusum))
+    assert peak.bin == out[47].bin
+    assert peak.is_changepoint
+
+
+def test_cusum_constant_series_flags_nothing(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(hours=i), 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = cusum_changepoints(df, "ts", "value").collect()
+    assert all(not r.is_changepoint for r in out)
+    assert all(r.cusum == 0.0 for r in out)
