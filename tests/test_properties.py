@@ -481,3 +481,53 @@ def test_rake_matches_python_model_on_any_corpus(spark, texts):
             for p in phrases
         }
         assert got.get(doc_id, {}) == expect, (doc_id, text)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    n_shards=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_portable_hll_merge_of_any_split_equals_one_shot(spark, vals, n_shards):
+    # sketch algebra holds for ANY data and ANY sharding: registers are
+    # integer maxima, so merge(partials(shard_i)) == one_shot(all)
+    from apache_flink_essentials_spark.operators.sketches import (
+        portable_hll_distinct,
+        portable_hll_merge,
+        portable_hll_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i % n_shards) for i, v in enumerate(vals)], "v long, shard int"
+    )
+    sharded = portable_hll_partials(df, "v", keys=("shard",))
+    merged = portable_hll_merge(sharded.drop("shard")).collect()[0]
+    one = portable_hll_distinct(df, "v").collect()[0]
+    assert (merged.register_sum, merged.v_empty, merged.hll_distinct) == (
+        one.register_sum,
+        one.v_empty,
+        one.hll_distinct,
+    )
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["x y", "x  y", "a b c", "q", "a b  c"]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_softdedup_weights_sum_to_distinct_texts(spark, texts):
+    # Σ weights == number of distinct normalized texts, for ANY corpus —
+    # the invariant that makes soft dedup gradient-neutral per unique text
+    from apache_flink_essentials_spark.operators.curation import (
+        softdedup_weights,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = softdedup_weights(df).collect()
+    n_distinct = len({" ".join(t.lower().split()) for t in texts})
+    assert abs(sum(r.weight for r in out) - n_distinct) < 1e-9
+    assert all(r.weight == 1 / r.cluster_size for r in out)
