@@ -1285,3 +1285,57 @@ def softdedup_weights(
             (F.lit(1) / F.col("cluster_size")).alias("weight"),
         )
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget corpus selection → the documents a fixed
+    training-token budget buys, picked in quality-density order:
+    rank documents by ``density = distinct-token ratio`` (a cheap,
+    deterministic quality proxy — boilerplate and repetition score low)
+    and take the prefix whose cumulative token count fits the budget.
+
+    Output: ``(doc_id, n_tokens, density, cum_tokens)`` for the selected
+    prefix, ordered by the selection order. A budget-constrained variant
+    of `unimax_weights` thinking: what subset do I train on when I can
+    afford B tokens, not the whole corpus?
+
+    Determinism: density is an exact BIGINT/BIGINT rational; the
+    selection order (density DESC, id ASC) is total; the running total
+    sums BIGINT token counts — every step engine-portable, no floats in
+    the ordering.
+
+    Scale: scoring is one narrow codegen pass over the scan; the
+    ranking + running total is the distributed two-phase
+    `global_prefix_sum` (range partition on the order key, local
+    cumsum, broadcast per-partition offsets) — no single-task window,
+    no driver collect. The budget cut is a filter on the running total.
+    """
+    from apache_flink_essentials_spark.operators.text import tokens_expr
+    from apache_flink_essentials_spark.operators.transform import (
+        global_prefix_sum,
+    )
+
+    toks = tokens_expr(text_col)
+    scored = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("long")
+         / F.size(toks).cast("long")).alias("density"),
+    ).where(F.col("n_tokens") > 0)
+    # order key: density DESC == negated density ASC (exact rational —
+    # negation is lossless), id tiebreak makes the order total
+    keyed = scored.withColumn("_neg_density", -F.col("density"))
+    cum = global_prefix_sum(
+        keyed, ["_neg_density", id_col], "n_tokens", "cum_tokens"
+    )
+    return (
+        cum.where(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "n_tokens", "density",
+                F.col("cum_tokens").cast("long").alias("cum_tokens"))
+        .orderBy("cum_tokens")
+    )

@@ -230,3 +230,207 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("side", "degree")
     )
+
+
+def undirected_edges(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Canonicalize a pair relation into a distinct undirected edge list
+    ``(a, b)`` with ``a < b`` — self-loops and duplicate/reversed pairs
+    dropped. One distinct shuffle; the normal front door for
+    :func:`triangle_stats`."""
+    a, b = F.col(a_col), F.col(b_col)
+    return (
+        df.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Global triangle census of an undirected graph → ONE row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)``.
+
+    Input: canonical edge list from :func:`undirected_edges` (``a < b``,
+    distinct, no self-loops).
+
+    Algorithm (the MapReduce-classic degree-ordered orientation of
+    Suri & Vassilvitskii '11 "Counting Triangles and the Curse of the
+    Last Reducer", WWW — public paper): orient every edge from the
+    endpoint that is SMALLER in the total order (degree, node) to the
+    larger one. Every triangle then has exactly one node with out-edges
+    to both others, so generating candidate wedges from co-out-neighbor
+    pairs and left-semi-joining them against the oriented edge list
+    counts each triangle exactly once — and the wedge generation is
+    quadratic in the OUT-degree, which orientation bounds by O(sqrt(m))
+    on any graph, killing the hub-node m² blowup that id-ordering
+    suffers on star graphs.
+
+    The (degree, node) order is packed into one BIGINT
+    ``degree * 10^12 + node`` so the orientation comparison, the wedge
+    self-join and the closing-edge join all run on a single primitive
+    key (documented domain assumption: node ids < 10^12, degrees
+    < 9·10^5 — both asserted cheaply upstream at real scale).
+
+    ``max_degree`` drops nodes above a degree cap BEFORE orientation —
+    the hot-block cap idiom (see SCALING.md): a 10^6-degree hub alone
+    contributes up to 10^12 wedge candidates; capped results are a
+    documented under-count of triangles THROUGH dropped hubs.
+
+    Scale: degrees = one hash agg on the exploded endpoints; orientation
+    = two broadcast-or-shuffle joins of the slim (node, ord) relation;
+    wedge generation = self-equi-join on the oriented source (bounded by
+    orientation); closure test = one equi-join on the packed pair. All
+    aggregates map-side combined; output is one row.
+
+    ``global_clustering = 3 * n_triangles / n_wedges`` is a ratio of two
+    BIGINTs — bit-identical across engines (no rounding needed).
+    """
+    e = edges.select("a", "b")
+    if max_degree is not None:
+        deg0 = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_degree)
+            .drop("_d")
+        )
+        e = e.join(
+            deg0.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(deg0.withColumnRenamed("node", "b"), "b", "left_semi")
+        e = e.select("a", "b")
+    e = e.localCheckpoint(eager=False)
+
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ord_ = deg.select(
+        "node",
+        (F.col("degree").cast("long") * F.lit(10**12) + F.col("node"))
+        .alias("ord"),
+    )
+    # totals that don't need orientation: nodes, edges, wedges
+    totals = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("degree").cast("long")) / 2).cast("long")
+        .alias("n_edges"),
+        F.sum(
+            (F.col("degree").cast("long")
+             * (F.col("degree").cast("long") - 1)) / 2
+        ).cast("long").alias("n_wedges"),
+    )
+    oriented = (
+        e.join(ord_.select(F.col("node").alias("a"),
+                           F.col("ord").alias("ord_a")), "a")
+        .join(ord_.select(F.col("node").alias("b"),
+                          F.col("ord").alias("ord_b")), "b")
+        .select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("ord_a"))
+            .otherwise(F.col("ord_b")).alias("src"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("ord_b"))
+            .otherwise(F.col("ord_a")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select("src", F.col("dst").alias("w1"))
+    w2 = oriented.select("src", F.col("dst").alias("w2"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("w1") < F.col("w2"))
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    )
+    tri = (
+        wedges.join(oriented, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.lit(3).cast("long") * F.col("n_triangles")
+                   / F.col("n_wedges"))
+            .otherwise(F.lit(0.0)).alias("global_clustering"),
+        )
+    )
+
+
+def neighbor_overlap_pairs(
+    bipartite: DataFrame,
+    node_col: str,
+    neighbor_col: str,
+    max_wedge_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Jaccard neighbor-set overlap between node pairs of a bipartite
+    relation → ``(node_a, node_b, n_common, deg_a, deg_b, jaccard)``.
+
+    The audience-overlap / link-prediction primitive: nodes are e.g.
+    suppliers, neighbors are the customers who bought from them;
+    ``jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` scores how
+    interchangeable two suppliers' customer bases are.
+
+    Shape: the (node, neighbor) relation is deduplicated, then candidate
+    pairs come from WEDGES — a self-equi-join on the shared neighbor
+    (a < b), never node × node — so only pairs with ≥1 common neighbor
+    are ever materialized, and the common count is a hash agg on the
+    pair. Degrees join back from a slim per-node aggregate;
+    ``jaccard = n_common / (deg_a + deg_b - n_common)`` is a ratio of
+    BIGINTs — bit-identical across engines.
+
+    ``max_wedge_degree`` is the hot-neighbor cap: one neighbor shared by
+    m nodes emits C(m,2) pairs, so at 100 TB ALWAYS set it (drops
+    wedges THROUGH mega-degree neighbors — e.g. a customer who bought
+    from every supplier carries no overlap signal anyway; documented
+    under-count, same recall trade as the dedup tier's bucket caps).
+    """
+    base = (
+        bipartite.select(
+            F.col(node_col).alias("node"),
+            F.col(neighbor_col).alias("nb"),
+        )
+        .filter(F.col("node").isNotNull() & F.col("nb").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_wedge_degree is not None:
+        keep = (
+            base.groupBy("nb")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") <= max_wedge_degree)
+            .drop("_m")
+        )
+        wedge_src = base.join(keep, "nb", "left_semi")
+    else:
+        wedge_src = base
+    deg = base.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    left = wedge_src.select(F.col("node").alias("node_a"), "nb")
+    right = wedge_src.select(F.col("node").alias("node_b"), "nb")
+    common = (
+        left.join(right, "nb")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(
+            deg.select(F.col("node").alias("node_a"),
+                       F.col("deg").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"),
+                         F.col("deg").alias("deg_b")), "node_b")
+        .select(
+            "node_a", "node_b", "n_common", "deg_a", "deg_b",
+            (F.col("n_common")
+             / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

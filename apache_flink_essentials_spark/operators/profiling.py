@@ -514,3 +514,48 @@ def chi2_cells(df: DataFrame, row_col: str, col_expr: Column, col_name: str) -> 
         )
         .orderBy(row_col, col_name)
     )
+
+
+def referential_audit(
+    relations: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Referential-integrity audit across a schema's foreign-key edges →
+    one row per relation ``(relation, n_rows, n_null_fk, n_orphans)``.
+
+    ``relations`` is a list of (name, fact_df, fk_col, dim_df, pk_col).
+    An orphan is a NON-NULL foreign key with no match in the dimension —
+    exactly what breaks every downstream join silently (inner joins drop
+    the rows; the counts here are the monitoring signal). NULL keys are
+    counted separately: a NULL fk is a modeling choice, an orphan is
+    corruption.
+
+    Scale: per relation, one left_anti join keyed on the fk (AQE picks
+    broadcast when the dim is small — region/nation always; a 100 TB
+    fact vs a 1e9-row dim falls back to shuffle-hash) plus one scan-side
+    aggregate for rows/nulls; each relation's result is ONE row, and the
+    union of one-row aggregates is driver-free.
+    """
+    outs = []
+    for name, fact, fk, dim, pk in relations:
+        counts = fact.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(fk).isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_fk"),
+        )
+        orphans = (
+            fact.where(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)).distinct(),
+                  fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            counts.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("relation"),
+                "n_rows", "n_null_fk", "n_orphans",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")

@@ -1,0 +1,102 @@
+"""Market-basket co-occurrence similarity — the item-item collaborative
+filtering primitive (classic Amazon item-to-item CF, Linden et al. '03,
+IEEE Internet Computing — public paper).
+
+North-star breadth beyond the reference surface (the reference has no
+recommendation operators): co-purchase statistics over TPC-H-shaped
+(order, part) baskets. Complements `events_assoc_rules` (confidence/lift
+rule mining over event sessions) with the *similarity* view: cosine on the
+binary basket-incidence vectors, which is what item-item recommenders
+actually rank by.
+
+Scale shape (the part that must survive 100 TB):
+
+  * pair generation is confined WITHIN baskets — a self-equi-join on the
+    basket key, never item × item. Work is Σ_basket C(size, 2); the
+    ``max_basket_size`` cap drops degenerate mega-baskets (a crawler
+    "order" containing every item) before they emit a quadratic block —
+    the same hot-block cap idiom as the dedup tier (SCALING.md).
+  * item supports are one hash agg on the deduplicated incidence
+    relation; they attach to pairs via two slim joins (AQE picks
+    broadcast when the item table is small).
+  * the basket total N is a one-row aggregate broadcast into the final
+    projection — lift needs it; it never leaves the cluster.
+
+Determinism: supports and co-counts are BIGINTs; ``lift`` is a pure
+rational of BIGINTs (bit-identical across engines, registered UNROUNDED);
+``cosine = n_ab / sqrt(n_a · n_b)`` crosses a transcendental, so it is
+rounded to 6 decimals per the repo convention and ordering uses the
+integer support + item-id tiebreak, never the rounded double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cocount: int = 1,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Item-pair co-occurrence stats over a (basket, item) relation →
+    ``(item_a, item_b, n_ab, n_a, n_b, cosine, lift)`` with
+    ``item_a < item_b``.
+
+    ``cosine = n_ab / sqrt(n_a * n_b)`` (rounded, 6 dp);
+    ``lift = n_ab * N / (n_a * n_b)`` (exact rational, unrounded) where
+    N is the number of distinct baskets.
+    """
+    inc = (
+        df.select(
+            F.col(basket_col).alias("basket"),
+            F.col(item_col).alias("item"),
+        )
+        .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_basket_size is not None:
+        keep = (
+            inc.groupBy("basket")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") <= max_basket_size)
+            .drop("_m")
+        )
+        pair_src = inc.join(keep, "basket", "left_semi")
+    else:
+        pair_src = inc
+    support = inc.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    n_baskets = inc.agg(
+        F.countDistinct("basket").alias("_n_baskets")
+    )
+    left = pair_src.select("basket", F.col("item").alias("item_a"))
+    right = pair_src.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_cocount)
+    )
+    return (
+        pairs.join(
+            support.select(F.col("item").alias("item_a"),
+                           F.col("n").alias("n_a")), "item_a")
+        .join(support.select(F.col("item").alias("item_b"),
+                             F.col("n").alias("n_b")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("cosine"),
+            (F.col("n_ab") * F.col("_n_baskets")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )

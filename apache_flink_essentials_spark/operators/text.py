@@ -1648,3 +1648,77 @@ def coverage_from_counts(
         )
         .orderBy("vocab_size")
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", max_rank: int | None = None
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution → ONE
+    row ``(n_terms, total_tokens, slope, intercept, r2)``: least-squares
+    regression of ln(frequency) on ln(rank) with terms ranked by
+    (frequency DESC, term ASC). A natural corpus follows slope ≈ −1;
+    a big deviation is the classic screen for TEMPLATE/SPAM corpora
+    (too flat = near-uniform boilerplate vocabulary, too steep = a few
+    tokens dominating — both poison tokenizer training).
+
+    ``max_rank`` restricts the fit to the head of the distribution (the
+    standard practice — the long unigram tail is noise-dominated).
+
+    Determinism: term counts are exact BIGINTs; the rank is a total
+    order; ln() of identical BIGINTs is the same libm double in both
+    engines up to 1 ulp, and the regression sums fold vocabulary-sized
+    relations — slope/intercept/r² are rounded to 6 dp per the repo's
+    transcendental-aggregate rule.
+
+    Scale: tokenize + explode is one codegen pass (parallelism floored
+    for CPU-heavy hashing inputs upstream); term counts are a map-side-
+    combined hash agg; the rank over the VOCABULARY-sized count table
+    uses the distributed two-phase `global_row_number` (never a
+    single-task window — a 100 TB web corpus's whitespace vocabulary is
+    billions of distinct strings); the final fit is a one-row aggregate.
+    """
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_neg_cnt", -F.col("cnt"))
+    )
+    ranked = global_row_number(counts, ["_neg_cnt", "term"], "rank")
+    if max_rank is not None:
+        ranked = ranked.where(F.col("rank") <= max_rank)
+    pts = ranked.select(
+        "cnt",
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cnt").alias("total_tokens"),
+        F.sum("lx").alias("_sx"),
+        F.sum("ly").alias("_sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("_sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("_sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return sums.select(
+        "n_terms",
+        "total_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
+        .alias("intercept"),
+        F.round(
+            slope
+            * (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (n * F.col("_syy") - F.col("_sy") * F.col("_sy")),
+            6,
+        ).alias("r2"),
+    )

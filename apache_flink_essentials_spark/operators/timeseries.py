@@ -640,3 +640,144 @@ def cusum_changepoints(
         ).alias("is_changepoint"),
     )
     return out.orderBy("bin")
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3, 6, 12, 24),
+    step_s: int = 3600,
+) -> DataFrame:
+    """Autocorrelation function of the binned mean-value series at the
+    given integer lags → ``(lag, n_pairs, acf)`` — the seasonality
+    screen run before fitting any forecast model (a 24-lag spike at
+    hourly bins = daily cycle).
+
+    ``acf_k = Σ_t (x_t−μ)(x_{t−k}−μ) / Σ_t (x_t−μ)²`` with x = per-bin
+    mean and μ, the variance and all products computed over the BINNED
+    series. Per-bin means are exact (DECIMAL sum / BIGINT count, the
+    `cusum_changepoints` convention); the moment sums are double folds
+    over the bin table, so the final ratio is rounded to 6 dp per the
+    repo's transcendental-aggregate rule (reduction-order ulps live far
+    below 1e-6 on an hours-sized bin table).
+
+    Scale: one bin hash-agg over the scan (map-side combined);
+    everything after runs on the |bins|-row relation — a broadcast
+    |lags|-row cross join, one equi-join of the binned series against
+    its shifted self, and a |lags|-row aggregate. Missing bins simply
+    drop their pairs (no gapfill assumption).
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    bins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+        .select(
+            "bin",
+            (F.col("_s").cast("double") / F.col("_n")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = bins.agg(F.avg("x").alias("_mu"))
+    centered = bins.crossJoin(F.broadcast(stats)).select(
+        "bin", (F.col("x") - F.col("_mu")).alias("d")
+    )
+    den = centered.agg(F.sum(F.col("d") * F.col("d")).alias("_den"))
+    spark = df.sparkSession
+    lag_df = spark.createDataFrame([(int(l),) for l in lags], "lag long")
+    a = centered.select("bin", F.col("d").alias("da"))
+    b = centered.select(F.col("bin").alias("bin_b"), F.col("d").alias("db"))
+    paired = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("bin_b") == F.col("bin") + F.col("lag"))
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("da") * F.col("db")).alias("_num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag", "n_pairs",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def trend_ols(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group closed-form least-squares trend of value vs time →
+    ``(group, n, slope_per_hour, intercept, r2)`` — the drift/trend
+    screen (is purchase value creeping up over the month, per event
+    type?).
+
+    Engine-portable by construction: x = epoch second MINUS the group's
+    own min epoch (small integers), y = the 2-decimal value; every
+    power sum (Sx, Sy, Sxx, Sxy, Syy) accumulates EXACT integers /
+    DECIMALs (order-independent addition), is cast to double once, and
+    the slope/intercept/r² arithmetic is a fixed-order IEEE expression
+    of those exact operands — bit-identical across engines, registered
+    UNROUNDED (the repo's per-row-rational rule). slope is scaled to
+    per-hour units (×3600) to keep magnitudes readable.
+
+    Scale: one min-epoch hash agg joined back (broadcast at group-key
+    cardinality), one power-sum hash agg over the scan — both map-side
+    combined; the closed form runs on the |groups|-row aggregate.
+    Overflow headroom: x ≤ span seconds (2.6e6 for a month); x² sums
+    go through DECIMAL(38,0), never a raw BIGINT sum.
+    """
+    g = F.col(group_col)
+    mins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(F.min(F.col(ts_col).cast("long")).alias("_t0"))
+    )
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(mins), g == F.col("_g"))
+        .select(
+            g.alias("grp"),
+            (F.col(ts_col).cast("long") - F.col("_t0")).alias("x"),
+            F.col(value_col).cast("decimal(18,2)").alias("y"),
+        )
+    )
+    sums = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((F.col("y") * F.col("x")).cast("decimal(38,2)")).alias("_sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    # degenerate denominators (a one-point group / all-equal x => no fit;
+    # zero y-variance => r² undefined) surface as NULL instead of an
+    # ANSI-mode divide-by-zero — the fixture tables never hit them, so
+    # the guards don't perturb oracle parity
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den_x != 0, num / den_x)
+    return sums.select(
+        F.col("grp").alias(group_col),
+        "n",
+        (slope * F.lit(3600.0)).alias("slope_per_hour"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        F.when((den_x != 0) & (den_y != 0), (num / den_x) * num / den_y)
+        .alias("r2"),
+    ).orderBy(group_col)

@@ -461,3 +461,68 @@ def global_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running total of ``value_col`` over a TOTAL order —
+    the prefix-sum sibling of :func:`global_row_number` (same two-phase
+    shape, same adaptive single-split gate). The inclusive running total
+    a greedy budget selector needs (`take documents in score order until
+    the token budget is spent`) is a single-partition ``Window.orderBy``
+    in the naive form — this version range-partitions on the order
+    columns, cumulates locally, and adds per-partition value offsets
+    from a (num_partitions)-row broadcast, so no stage ever funnels the
+    data through one task.
+
+    Deterministic whenever ``order_cols`` is a total order AND the
+    value type has order-independent addition (integers / DECIMAL —
+    NOT raw doubles, whose partial-sum grouping would differ between
+    the one-task and two-phase plans).
+    """
+    if input_is_single_split(df):
+        return df.withColumn(
+            out_col,
+            F.sum(value_col).over(
+                Window.orderBy(*order_cols).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    p = df.repartitionByRange(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism,
+        *order_cols,
+    ).withColumn("_pid", F.spark_partition_id())
+    local = p.withColumn(
+        "_lcum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).localCheckpoint(eager=False)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_lcum").alias("_ptot"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_voff"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_voff") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_voff")
+    )

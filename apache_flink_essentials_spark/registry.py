@@ -7016,3 +7016,314 @@ _register(
     """,
     late=True,
 )(_cusum_q)
+
+
+# =========================================================================
+# round 8: graph census / overlap, reco co-occurrence, OLS trend, ACF,
+# token-budget selection, referential audit, Zipf fit
+# =========================================================================
+from apache_flink_essentials_spark.operators import reco as R  # noqa: E402
+
+
+def _tri_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G3
+
+    part = (
+        load_table(spark, "part", sf)
+        .where(F.col("p_brand").startswith("Brand#1"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), "l_partkey", "left_semi")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        left.join(right, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
+    return G3.triangle_stats(G3.undirected_edges(pairs, "pa", "pb"))
+
+
+_register(
+    "graph_triangle_stats",
+    """
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+           FROM lineitem JOIN pp ON l_partkey = p_partkey),
+    e AS (SELECT DISTINCT x.v AS a, y.v AS b
+          FROM li x JOIN li y ON x.o = y.o AND x.v < y.v),
+    deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+            GROUP BY 1),
+    ordv AS (SELECT node, degree * 1000000000000 + node AS ord FROM deg),
+    o AS (SELECT least(oa.ord, ob.ord) AS src,
+                 greatest(oa.ord, ob.ord) AS dst
+          FROM e JOIN ordv oa ON e.a = oa.node
+                 JOIN ordv ob ON e.b = ob.node),
+    tri AS (SELECT count(*)::BIGINT AS n_triangles
+            FROM (SELECT w1.src AS s, w1.dst AS d1, w2.dst AS d2
+                  FROM o w1 JOIN o w2
+                    ON w1.src = w2.src AND w1.dst < w2.dst) w
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE o.src = w.d1 AND o.dst = w.d2)),
+    tot AS (SELECT count(*)::BIGINT AS n_nodes,
+                   (sum(degree) / 2)::BIGINT AS n_edges,
+                   sum(degree * (degree - 1) / 2)::BIGINT AS n_wedges
+            FROM deg)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN (3 * n_triangles) / n_wedges::DOUBLE
+                ELSE 0.0 END AS global_clustering
+    FROM tot, tri
+    """,
+    late=True,
+)(_tri_q)
+
+
+def _supplier_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G3
+
+    bip = (
+        load_table(spark, "orders", sf)
+        .join(load_table(spark, "lineitem", sf),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("node"),
+                F.col("o_custkey").alias("nb"))
+    )
+    return (
+        G3.neighbor_overlap_pairs(bip, "node", "nb")
+        .orderBy(F.col("n_common").desc(), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+_register(
+    "graph_supplier_overlap",
+    """
+    WITH base AS (SELECT DISTINCT l_suppkey AS node, o_custkey AS nb
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM base GROUP BY 1),
+    common AS (SELECT x.node AS node_a, y.node AS node_b,
+                      count(*)::BIGINT AS n_common
+               FROM base x JOIN base y
+                 ON x.nb = y.nb AND x.node < y.node
+               GROUP BY 1, 2)
+    SELECT node_a, node_b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+           n_common / (da.deg + db.deg - n_common)::DOUBLE AS jaccard
+    FROM common JOIN deg da ON node_a = da.node
+                JOIN deg db ON node_b = db.node
+    ORDER BY n_common DESC, node_a, node_b LIMIT 20
+    """,
+    late=True,
+)(_supplier_overlap_q)
+
+
+_register(
+    "reco_item_cooccurrence",
+    """
+    WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem),
+    support AS (SELECT item, count(*)::BIGINT AS n FROM inc GROUP BY 1),
+    nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM inc),
+    pairs AS (SELECT x.item AS item_a, y.item AS item_b,
+                     count(*)::BIGINT AS n_ab
+              FROM inc x JOIN inc y
+                ON x.basket = y.basket AND x.item < y.item
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT item_a, item_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+           round(n_ab / sqrt((sa.n * sb.n)::DOUBLE), 6) AS cosine,
+           (n_ab * n_baskets) / (sa.n * sb.n)::DOUBLE AS lift
+    FROM pairs JOIN support sa ON item_a = sa.item
+               JOIN support sb ON item_b = sb.item, nb
+    ORDER BY n_ab DESC, item_a, item_b LIMIT 50
+    """,
+    late=True,
+)(lambda spark, sf: R.item_cooccurrence(
+    load_table(spark, "lineitem", sf), "l_orderkey", "l_partkey",
+    min_cocount=2)
+  .orderBy(F.col("n_ab").desc(), "item_a", "item_b").limit(50))
+
+
+_register(
+    "events_ols_trend",
+    """
+    WITH mins AS (SELECT event_type AS g,
+                         min(floor(epoch(ts))::BIGINT) AS t0
+                  FROM events WHERE value IS NOT NULL GROUP BY 1),
+    base AS (SELECT event_type AS grp,
+                    floor(epoch(ts))::BIGINT - t0 AS x,
+                    CAST(value AS DECIMAL(18,2)) AS y
+             FROM events JOIN mins ON event_type = g
+             WHERE value IS NOT NULL),
+    sums AS (SELECT grp, count(*)::BIGINT AS n,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum((x * x)::DECIMAL(38,0)) AS sxx,
+                    sum((y * x)::DECIMAL(38,2)) AS sxy,
+                    sum((y * y)::DECIMAL(38,4)) AS syy
+             FROM base GROUP BY 1)
+    SELECT grp AS event_type, n,
+           ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+             * 3600.0 AS slope_per_hour,
+           (sy::DOUBLE
+            - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+              * sx::DOUBLE) / n::DOUBLE AS intercept,
+           ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+           * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) AS r2
+    FROM sums ORDER BY event_type
+    """,
+    late=True,
+)(lambda spark, sf: TS.trend_ols(_events(spark, sf), "event_type", "ts", "value"))
+
+
+_register(
+    "ts_acf",
+    """
+    WITH bins AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), mu AS (SELECT avg(x) AS mu FROM bins),
+    c AS (SELECT bin, x - mu AS d FROM bins, mu),
+    den AS (SELECT sum(d * d) AS den FROM c),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(6),(12),(24)) t(lag)),
+    num AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+                   sum(a.d * b.d) AS num
+            FROM c a CROSS JOIN lags
+                 JOIN c b ON b.bin = a.bin + lag
+            GROUP BY 1)
+    SELECT lag::BIGINT AS lag, n_pairs, round(num / den, 6) AS acf
+    FROM num, den ORDER BY lag
+    """,
+    late=True,
+)(lambda spark, sf: TS.acf(_events(spark, sf), "ts", "value"))
+
+
+_register(
+    "curation_token_budget",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             length(string_split_regex(lower(text), '\s+'))::BIGINT
+               AS n_tokens,
+             length(list_distinct(string_split_regex(lower(text), '\s+')))
+               / length(string_split_regex(lower(text), '\s+'))::DOUBLE
+               AS density
+      FROM documents
+      WHERE length(string_split_regex(lower(text), '\s+')) > 0
+    ), cum AS (
+      SELECT doc_id, n_tokens, density,
+             sum(n_tokens) OVER (ORDER BY density DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, density, cum_tokens
+    FROM cum WHERE cum_tokens <= 100000 ORDER BY cum_tokens
+    """,
+    late=True,
+)(lambda spark, sf: CU.token_budget_select(
+    load_table(spark, "documents", sf), 100_000))
+
+
+def _ref_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf)
+    c = load_table(spark, "customer", sf)
+    s = load_table(spark, "supplier", sf)
+    p = load_table(spark, "part", sf)
+    n = load_table(spark, "nation", sf)
+    r = load_table(spark, "region", sf)
+    return P.referential_audit([
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ])
+
+
+def _ref_audit_oracle() -> str:
+    rels = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    parts = [
+        f"""
+        SELECT '{name}' AS relation,
+               (SELECT count(*) FROM {fact})::BIGINT AS n_rows,
+               (SELECT count(*) FROM {fact}
+                WHERE {fk} IS NULL)::BIGINT AS n_null_fk,
+               (SELECT count(*) FROM {fact} f
+                WHERE f.{fk} IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM {dim} d
+                   WHERE d.{pk} = f.{fk}))::BIGINT AS n_orphans
+        """
+        for name, fact, fk, dim, pk in rels
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+_register("dq_referential_audit", _ref_audit_oracle(), late=True)(
+    _ref_audit_q
+)
+
+
+_register(
+    "text_zipf_fit",
+    r"""
+    WITH counts AS (
+      SELECT term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      WHERE term != '' GROUP BY 1
+    ), ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank
+      FROM counts
+    ), pts AS (
+      SELECT cnt, ln(rank::DOUBLE) AS lx, ln(cnt::DOUBLE) AS ly
+      FROM ranked
+    ), sums AS (
+      SELECT count(*)::BIGINT AS n_terms, sum(cnt)::BIGINT AS total_tokens,
+             sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
+             sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+      FROM pts
+    )
+    SELECT n_terms, total_tokens,
+           round((n_terms::DOUBLE * sxy - sx * sy)
+                 / (n_terms::DOUBLE * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n_terms::DOUBLE * sxy - sx * sy)
+                        / (n_terms::DOUBLE * sxx - sx * sx)) * sx)
+                 / n_terms::DOUBLE, 6) AS intercept,
+           round(((n_terms::DOUBLE * sxy - sx * sy)
+                  / (n_terms::DOUBLE * sxx - sx * sx))
+                 * (n_terms::DOUBLE * sxy - sx * sy)
+                 / (n_terms::DOUBLE * syy - sy * sy), 6) AS r2
+    FROM sums
+    """,
+    late=True,
+)(lambda spark, sf: X.zipf_fit(load_table(spark, "documents", sf)))

@@ -1,0 +1,326 @@
+"""Round-8 operator batch: triangle census, neighbor overlap, item
+co-occurrence, OLS trend, ACF, token-budget selection, referential audit,
+Zipf fit, distributed prefix sum — hand-computed fixtures (SURVEY §5)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---- graph.triangle_stats ------------------------------------------------
+
+def _tri(spark, edges):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return G.triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_k4(spark):
+    # complete graph on 4 nodes: 6 edges, 4 triangles, 12 wedges,
+    # clustering 3*4/12 = 1.0
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    r = _tri(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_clustering == 1.0
+
+
+def test_triangle_stats_path_has_none(spark):
+    r = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert r.n_triangles == 0
+    assert r.n_wedges == 2
+    assert r.global_clustering == 0.0
+
+
+def test_triangle_stats_star_plus_closure(spark):
+    # star 0-{1,2,3} plus edge 1-2: exactly one triangle (0,1,2);
+    # wedges: deg(0)=3 -> 3, deg(1)=deg(2)=2 -> 1 each => 5
+    r = _tri(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert r.global_clustering == 3 * 1 / 5
+
+
+def test_triangle_stats_degree_cap_drops_hub(spark):
+    # hub 0 touches everyone; capping at degree 2 removes the hub and
+    # its triangles, leaving the 1-2 edge only
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "a long, b long"
+    )
+    r = G.triangle_stats(df, max_degree=2).collect()[0]
+    assert r.n_triangles == 0
+    assert r.n_edges == 1
+
+
+def test_undirected_edges_canonicalizes(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3), (None, 1), (4, 5)], "a long, b long"
+    )
+    rows = sorted(
+        (r.a, r.b) for r in G.undirected_edges(df, "a", "b").collect()
+    )
+    assert rows == [(1, 2), (4, 5)]
+
+
+# ---- graph.neighbor_overlap_pairs ---------------------------------------
+
+def test_neighbor_overlap_jaccard(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # N(1)={a,b,c}, N(2)={b,c,d}, N(3)={x}
+    bip = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "d"),
+         (3, "x")],
+        "node long, nb string",
+    )
+    rows = G.neighbor_overlap_pairs(bip, "node", "nb").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.node_a, r.node_b, r.n_common) == (1, 2, 2)
+    assert r.jaccard == 2 / 4
+
+
+def test_neighbor_overlap_hot_cap(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # neighbor "hub" shared by 3 nodes is dropped at cap 2; pair (1,2)
+    # survives via "b"
+    bip = spark.createDataFrame(
+        [(1, "hub"), (2, "hub"), (3, "hub"), (1, "b"), (2, "b")],
+        "node long, nb string",
+    )
+    rows = G.neighbor_overlap_pairs(
+        bip, "node", "nb", max_wedge_degree=2
+    ).collect()
+    assert [(r.node_a, r.node_b, r.n_common) for r in rows] == [(1, 2, 1)]
+    # degrees still count the capped neighbor (caps affect candidate
+    # generation, not the truth of |N(x)|)
+    assert rows[0].deg_a == 2 and rows[0].deg_b == 2
+
+
+# ---- reco.item_cooccurrence ---------------------------------------------
+
+def test_item_cooccurrence_counts(spark):
+    from apache_flink_essentials_spark.operators import reco as R
+
+    baskets = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30), (3, 10)],
+        "basket long, item long",
+    )
+    rows = {(r.item_a, r.item_b): r
+            for r in R.item_cooccurrence(baskets, "basket", "item").collect()}
+    r = rows[(10, 20)]
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.cosine == round(2 / math.sqrt(6), 6)
+    assert r.lift == 2 * 3 / (3 * 2)  # == 1.0
+    assert rows[(10, 30)].n_ab == 1 and rows[(20, 30)].n_ab == 1
+
+
+def test_item_cooccurrence_basket_cap(spark):
+    from apache_flink_essentials_spark.operators import reco as R
+
+    baskets = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)],
+        "basket long, item long",
+    )
+    rows = R.item_cooccurrence(
+        baskets, "basket", "item", max_basket_size=2
+    ).collect()
+    assert [(r.item_a, r.item_b, r.n_ab) for r in rows] == [(10, 20, 1)]
+
+
+# ---- timeseries.trend_ols ------------------------------------------------
+
+def test_trend_ols_exact_line(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # y = 2*x_seconds + 5 -> slope_per_hour = 7200, r2 = 1
+    rows = [("a", f"2024-01-01 00:00:{s:02d}", float(2 * s + 5))
+            for s in range(0, 50)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    r = TS.trend_ols(df, "event_type", "ts", "value").collect()[0]
+    assert r.n == 50
+    assert abs(r.slope_per_hour - 7200.0) < 1e-6
+    assert abs(r.intercept - 5.0) < 1e-9
+    assert abs(r.r2 - 1.0) < 1e-12
+
+
+def test_trend_ols_flat_series(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    rows = [("a", f"2024-01-01 00:00:{s:02d}", 3.0) for s in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    r = TS.trend_ols(df, "event_type", "ts", "value").collect()[0]
+    assert abs(r.slope_per_hour) < 1e-9
+    assert abs(r.intercept - 3.0) < 1e-9
+    assert r.r2 is None  # zero y-variance: r² undefined, not an error
+
+
+# ---- timeseries.acf ------------------------------------------------------
+
+def test_acf_alternating_series(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # one event per hour, value alternating +1/-1 around 0:
+    # acf(1) = -1, acf(2) = +1 (up to the n/(n-k) truncation of the
+    # non-normalized estimator on a finite series)
+    rows = [(f"2024-01-01 {h:02d}:00:00", 1.0 if h % 2 == 0 else -1.0)
+            for h in range(24)]
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {r.lag: r for r in TS.acf(df, "ts", "value", lags=(1, 2)).collect()}
+    assert out[1].n_pairs == 23 and out[2].n_pairs == 22
+    assert out[1].acf == pytest.approx(-23 / 24, abs=1e-6)
+    assert out[2].acf == pytest.approx(22 / 24, abs=1e-6)
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    vals = [round(math.sin(h / 3.0) * 10 + 50, 2) for h in range(48)]
+    rows = [(f"2024-01-0{1 + h // 24} {h % 24:02d}:30:00", v)
+            for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    x = np.array(vals)
+    d = x - x.mean()
+    den = (d * d).sum()
+    out = {r.lag: r.acf
+           for r in TS.acf(df, "ts", "value", lags=(1, 3, 6)).collect()}
+    for k in (1, 3, 6):
+        expect = (d[k:] * d[:-k]).sum() / den
+        assert out[k] == pytest.approx(expect, abs=1e-6)
+
+
+# ---- transform.global_prefix_sum ----------------------------------------
+
+def test_global_prefix_sum_matches_window(spark, tmp_path):
+    from pyspark.sql.window import Window
+    from apache_flink_essentials_spark.operators.transform import (
+        global_prefix_sum,
+    )
+
+    # multi-file parquet input => the distributed two-phase path
+    src = spark.range(0, 1000).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("v")
+    ).repartition(8)
+    path = str(tmp_path / "ps")
+    src.write.parquet(path)
+    df = spark.read.parquet(path)
+    got = {
+        r.id: r.running_total
+        for r in global_prefix_sum(df, ["id"], "v").collect()
+    }
+    want = {
+        r.id: r.w
+        for r in df.withColumn(
+            "w",
+            F.sum("v").over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+# ---- curation.token_budget_select ---------------------------------------
+
+def test_token_budget_select_greedy_prefix(spark):
+    from apache_flink_essentials_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 4 tokens, density 1.0
+            (2, "a a a a a a"),      # 6 tokens, density 1/6
+            (3, "x y z"),            # 3 tokens, density 1.0
+            (4, "p q p q"),          # 4 tokens, density 0.5
+        ],
+        "doc_id long, text string",
+    )
+    rows = CU.token_budget_select(docs, 11, "doc_id", "text").collect()
+    # selection order: doc 1 (d=1.0), doc 3 (d=1.0, id tiebreak),
+    # doc 4 (0.5) -> cum 4, 7, 11; doc 2 would blow the budget
+    assert [(r.doc_id, r.cum_tokens) for r in rows] == [
+        (1, 4), (3, 7), (4, 11)
+    ]
+
+
+# ---- profiling.referential_audit ----------------------------------------
+
+def test_referential_audit_counts(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = P.referential_audit([("fact.fk->dim", fact, "fk", dim, "pk")]) \
+        .collect()[0]
+    assert (r.relation, r.n_rows, r.n_null_fk, r.n_orphans) == (
+        "fact.fk->dim", 4, 1, 1
+    )
+
+
+# ---- text.zipf_fit -------------------------------------------------------
+
+def test_zipf_fit_matches_numpy(spark):
+    import numpy as np
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the cat sat on the mat"),
+            (2, "the cat ran and the dog sat"),
+            (3, "a dog and a cat and a bird"),
+        ],
+        "doc_id long, text string",
+    )
+    r = X.zipf_fit(docs).collect()[0]
+    # replicate: counts, rank by (cnt desc, term), ln-ln OLS
+    from collections import Counter
+
+    c = Counter(
+        t for _, txt in [(1, docs)] for _ in ()
+    )
+    texts = ["the the the the cat sat on the mat",
+             "the cat ran and the dog sat",
+             "a dog and a cat and a bird"]
+    c = Counter(t for s in texts for t in s.lower().split())
+    items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    lx = np.log(np.arange(1, len(items) + 1, dtype=float))
+    ly = np.log(np.array([v for _, v in items], dtype=float))
+    n = len(items)
+    slope = (n * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        n * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert r.n_terms == n
+    assert r.total_tokens == sum(c.values())
+    assert r.slope == pytest.approx(slope, abs=1e-6)
+    assert r.slope < 0  # frequency falls with rank
+
+
+def test_zipf_fit_max_rank_restricts_head(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w1 w1 w2 w2 w3 w4 w5")], "doc_id long, text string"
+    )
+    r = X.zipf_fit(docs, max_rank=2).collect()[0]
+    assert r.n_terms == 2
+    assert r.total_tokens == 5  # 3 + 2
