@@ -378,13 +378,14 @@ def neighbor_overlap_pairs(
     ``jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` scores how
     interchangeable two suppliers' customer bases are.
 
-    Shape: the (node, neighbor) relation is deduplicated, then candidate
-    pairs come from WEDGES — a self-equi-join on the shared neighbor
-    (a < b), never node × node — so only pairs with ≥1 common neighbor
-    are ever materialized, and the common count is a hash agg on the
-    pair. Degrees join back from a slim per-node aggregate;
-    ``jaccard = n_common / (deg_a + deg_b - n_common)`` is a ratio of
-    BIGINTs — bit-identical across engines.
+    Shape: the (node, neighbor) relation is deduplicated and collapsed
+    into per-neighbor sorted adjacency lists with ONE shuffle; candidate
+    pairs come from WEDGES enumerated in-task from each list (a < b by
+    the sort — never node × node, never a self-join), so only pairs with
+    ≥1 common neighbor are ever materialized, and the common count is a
+    hash agg on the pair. Degrees join back from a slim per-node
+    aggregate; ``jaccard = n_common / (deg_a + deg_b - n_common)`` is a
+    ratio of BIGINTs — bit-identical across engines.
 
     ``max_wedge_degree`` is the hot-neighbor cap: one neighbor shared by
     m nodes emits C(m,2) pairs, so at 100 TB ALWAYS set it (drops
@@ -392,31 +393,46 @@ def neighbor_overlap_pairs(
     from every supplier carries no overlap signal anyway; documented
     under-count, same recall trade as the dedup tier's bucket caps).
     """
-    base = (
-        bipartite.select(
-            F.col(node_col).alias("node"),
-            F.col(neighbor_col).alias("nb"),
-        )
-        .filter(F.col("node").isNotNull() & F.col("nb").isNotNull())
-        .distinct()
+    base = bipartite.select(
+        F.col(node_col).alias("node"),
+        F.col(neighbor_col).alias("nb"),
+    ).filter(F.col("node").isNotNull() & F.col("nb").isNotNull())
+    # no pre-distinct: collect_set dedups inside the ONE aggregation
+    # shuffle (a separate distinct = a second full exchange of the
+    # relation for nothing — measured 1.5 s of the old 4.6 s total).
+    # ONE shuffle builds per-neighbor sorted adjacency lists; wedges are
+    # then ENUMERATED in-task from each list (posexplode + slice of the
+    # ordered suffix) instead of a self-equi-join — measured 2x at bench
+    # shape: the join form shuffles the wedge-source twice and hashes
+    # 587k rows against themselves to emit the same 11M pairs this
+    # explodes for free, and the sorted list gives node_a < node_b by
+    # construction. Per-list memory is C(cap) elements, bounded by
+    # max_wedge_degree (at 100 TB ALWAYS set it — see docstring).
+    lists = (
+        base.groupBy("nb")
+        .agg(F.sort_array(F.collect_set("node")).alias("_ns"))
         .localCheckpoint(eager=False)
     )
-    if max_wedge_degree is not None:
-        keep = (
-            base.groupBy("nb")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .filter(F.col("_m") <= max_wedge_degree)
-            .drop("_m")
-        )
-        wedge_src = base.join(keep, "nb", "left_semi")
-    else:
-        wedge_src = base
-    deg = base.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    left = wedge_src.select(F.col("node").alias("node_a"), "nb")
-    right = wedge_src.select(F.col("node").alias("node_b"), "nb")
+    deg = (
+        lists.select(F.explode("_ns").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedge_lists = (
+        lists.filter(F.size("_ns") <= max_wedge_degree)
+        if max_wedge_degree is not None
+        else lists
+    )
+    heads = wedge_lists.select(
+        F.posexplode("_ns").alias("_i", "node_a"), F.col("_ns")
+    )
     common = (
-        left.join(right, "nb")
-        .filter(F.col("node_a") < F.col("node_b"))
+        heads.select(
+            "node_a",
+            F.explode(
+                F.slice(F.col("_ns"), F.col("_i") + 2, F.size("_ns"))
+            ).alias("node_b"),
+        )
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)

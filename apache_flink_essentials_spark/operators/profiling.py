@@ -518,42 +518,80 @@ def chi2_cells(df: DataFrame, row_col: str, col_expr: Column, col_name: str) -> 
 
 def referential_audit(
     relations: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+    assume_unique_keys: bool = False,
 ) -> DataFrame:
     """Referential-integrity audit across a schema's foreign-key edges →
     one row per relation ``(relation, n_rows, n_null_fk, n_orphans)``.
 
     ``relations`` is a list of (name, fact_df, fk_col, dim_df, pk_col).
+    ``assume_unique_keys=True`` skips the defensive dedup of each
+    dimension's key column — correct ONLY when the pk really is unique
+    (declared primary keys); it removes one exchange per dimension, and
+    a duplicate pk under this flag would silently double-count fact
+    rows, so leave it False for untrusted inputs.
     An orphan is a NON-NULL foreign key with no match in the dimension —
     exactly what breaks every downstream join silently (inner joins drop
     the rows; the counts here are the monitoring signal). NULL keys are
     counted separately: a NULL fk is a modeling choice, an orphan is
     corruption.
 
-    Scale: per relation, one left_anti join keyed on the fk (AQE picks
-    broadcast when the dim is small — region/nation always; a 100 TB
-    fact vs a 1e9-row dim falls back to shuffle-hash) plus one scan-side
-    aggregate for rows/nulls; each relation's result is ONE row, and the
-    union of one-row aggregates is driver-free.
+    Scale: checks against the SAME fact table fuse into ONE pass — the
+    fact is scanned once, left-joined against each (deduplicated,
+    marker-tagged) dimension key set (AQE picks broadcast when the dim
+    is small — region/nation always; a 100 TB fact vs a 1e9-row dim
+    falls back to shuffle-hash), and a single aggregate emits every
+    check's null/orphan counts, exploded into per-relation rows. The
+    unfused form scanned each fact 2× per FK (lineitem: 6 scans for 3
+    checks; measured ~3× slower at bench shape). Each relation's result
+    is ONE row; the union of one-row aggregates is driver-free.
     """
-    outs = []
+    by_fact: dict[int, list] = {}
+    fact_of: dict[int, DataFrame] = {}
     for name, fact, fk, dim, pk in relations:
-        counts = fact.agg(
+        by_fact.setdefault(id(fact), []).append((name, fk, dim, pk))
+        fact_of[id(fact)] = fact
+
+    outs = []
+    for fid, checks in by_fact.items():
+        joined = fact_of[fid]
+        for i, (name, fk, dim, pk) in enumerate(checks):
+            dkeys = dim.select(F.col(pk).alias(fk))
+            if not assume_unique_keys:
+                dkeys = dkeys.distinct()
+            dkeys = dkeys.withColumn(f"_hit_{i}", F.lit(1))
+            joined = joined.join(dkeys, fk, "left")
+        agg = joined.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col(fk).isNull(), 1).otherwise(0)
-            ).cast("long").alias("n_null_fk"),
-        )
-        orphans = (
-            fact.where(F.col(fk).isNotNull())
-            .join(dim.select(F.col(pk).alias(fk)).distinct(),
-                  fk, "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            *[
+                c
+                for i, (name, fk, dim, pk) in enumerate(checks)
+                for c in (
+                    F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"_null_{i}"),
+                    F.sum(
+                        F.when(
+                            F.col(fk).isNotNull()
+                            & F.col(f"_hit_{i}").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ).cast("long").alias(f"_orph_{i}"),
+                )
+            ],
         )
         outs.append(
-            counts.crossJoin(F.broadcast(orphans)).select(
-                F.lit(name).alias("relation"),
-                "n_rows", "n_null_fk", "n_orphans",
-            )
+            agg.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(name).alias("relation"),
+                            F.col("n_rows"),
+                            F.col(f"_null_{i}").alias("n_null_fk"),
+                            F.col(f"_orph_{i}").alias("n_orphans"),
+                        )
+                        for i, (name, fk, dim, pk) in enumerate(checks)
+                    ])
+                ).alias("_r")
+            ).select("_r.*")
         )
     res = outs[0]
     for o in outs[1:]:

@@ -693,7 +693,7 @@ def acf(
     b = centered.select(F.col("bin").alias("bin_b"), F.col("d").alias("db"))
     paired = (
         a.crossJoin(F.broadcast(lag_df))
-        .join(b, F.col("bin_b") == F.col("bin") + F.col("lag"))
+        .join(F.broadcast(b), F.col("bin_b") == F.col("bin") + F.col("lag"))
     )
     return (
         paired.groupBy("lag")

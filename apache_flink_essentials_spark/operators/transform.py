@@ -469,6 +469,7 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    small_input_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Distributed running total of ``value_col`` over a TOTAL order —
     the prefix-sum sibling of :func:`global_row_number` (same two-phase
@@ -484,8 +485,20 @@ def global_prefix_sum(
     value type has order-independent addition (integers / DECIMAL —
     NOT raw doubles, whose partial-sum grouping would differ between
     the one-task and two-phase plans).
+
+    Size-adaptive (the `perplexity_buckets` precedent): when the plan's
+    leaf-scan bytes prove the input small (< 64 MB of source — the
+    cumulated relation is never larger than its input), the plain
+    single-partition window wins — the two-phase machinery's range
+    sampling job + two exchanges + offsets broadcast are pure stage
+    overhead at that size (measured 0.40 s vs 0.25 s at bench SF).
+    Unknown or large inputs take the distributed path; both produce
+    identical totals (total order + order-independent addition).
     """
-    if input_is_single_split(df):
+    size = _estimated_input_bytes(df)
+    if (
+        size is not None and size < small_input_bytes
+    ) or input_is_single_split(df):
         return df.withColumn(
             out_col,
             F.sum(value_col).over(

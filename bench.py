@@ -202,6 +202,19 @@ HEADLINE = [
     # round-7 session additions (batch 9): CUSUM level-shift detection
     # over the binned relation
     "ts_cusum_changepoints",
+    # round-8 batch 1: degree-ordered triangle census (the one genuinely
+    # heavy graph aggregation — Spark beats DuckDB at this shape),
+    # region-scoped supplier audience overlap, trailing-window item
+    # co-purchase, per-type OLS trend, multi-lag ACF, greedy token-budget
+    # selection, fused referential-integrity audit, Zipf ln-ln fit
+    "graph_triangle_stats",
+    "graph_supplier_overlap",
+    "reco_item_cooccurrence",
+    "events_ols_trend",
+    "ts_acf",
+    "curation_token_budget",
+    "dq_referential_audit",
+    "text_zipf_fit",
 ]
 
 

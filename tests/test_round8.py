@@ -223,7 +223,9 @@ def test_global_prefix_sum_matches_window(spark, tmp_path):
     df = spark.read.parquet(path)
     got = {
         r.id: r.running_total
-        for r in global_prefix_sum(df, ["id"], "v").collect()
+        for r in global_prefix_sum(
+            df, ["id"], "v", small_input_bytes=0
+        ).collect()
     }
     want = {
         r.id: r.w
