@@ -1722,3 +1722,90 @@ def zipf_fit(
             6,
         ).alias("r2"),
     )
+
+
+def term_burstiness(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Church-Gale burstiness of the head terms →
+    ``(term, cf, df, burstiness)`` for the ``top_k`` terms by collection
+    frequency: ``cf`` = total occurrences, ``df`` = documents containing
+    the term, ``burstiness = cf/df`` = mean occurrences per containing
+    document (Church & Gale '95, "Poisson mixtures" — public paper). A
+    term with high burstiness clumps (content word / boilerplate
+    artifact); ≈1 spreads thin (function word) — the screen that
+    separates topical vocabulary from template noise before TF-IDF-style
+    weighting.
+
+    Shape: one tokenize + explode pass → (doc, term) hash agg (the
+    dedup-and-count in one shuffle) → per-term agg where ``cf`` is a
+    SUM of the per-doc counts and ``df`` a COUNT of them, so the raw
+    occurrences shuffle once and the second exchange carries only the
+    (doc, term) aggregate. Top-k via TakeOrderedAndProject on
+    (cf DESC, term). ``burstiness`` is a BIGINT/BIGINT rational —
+    engine-portable unrounded.
+    """
+    occ = (
+        df.select(
+            F.col("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        occ.groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("cf"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .select(
+            "term", "cf", "df",
+            (F.col("cf") / F.col("df")).alias("burstiness"),
+        )
+        .orderBy(F.col("cf").desc(), "term")
+        .limit(top_k)
+    )
+
+
+def hapax_ratio(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary richness →
+    ``(group, vocab_size, hapax_count, hapax_ratio)`` where hapax = terms
+    occurring EXACTLY ONCE in the group's corpus slice. The classic
+    lexical-diversity screen: scraped boilerplate shows a collapsed
+    hapax share (the same tokens over and over), genuine prose ~40-60% —
+    a cheap per-source quality signal next to `text_quality`'s per-doc
+    ones.
+
+    Shape: tokenize + explode once → (group, term) hash agg → per-group
+    agg counting terms and the cnt=1 subset; both exchanges carry
+    aggregates, never raw occurrences twice. ``hapax_ratio`` is a
+    BIGINT/BIGINT rational — engine-portable unrounded.
+    """
+    tt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tt.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long").alias("hapax_count"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "vocab_size",
+            "hapax_count",
+            (F.col("hapax_count") / F.col("vocab_size"))
+            .alias("hapax_ratio"),
+        )
+        .orderBy(group_col)
+    )

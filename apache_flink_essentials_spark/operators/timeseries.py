@@ -759,6 +759,16 @@ def trend_ols(
         F.sum((F.col("y") * F.col("x")).cast("decimal(38,2)")).alias("_sxy"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("_syy"),
     )
+    return ols_from_power_sums(sums, group_col)
+
+
+def ols_from_power_sums(sums: DataFrame, group_col: str) -> DataFrame:
+    """Closed-form OLS finish over a power-sum relation
+    ``(grp, n, _sx, _sy, _sxx, _sxy, _syy)`` with x relative to the
+    group min — shared by the batch `trend_ols` and the streaming twin
+    (`streaming.rollup.finish_trend_ols`): given identical exact sums,
+    the fixed-order double arithmetic here is bit-identical, which is
+    what makes stream ≡ batch testable at equality, not tolerance."""
     n = F.col("n").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")
@@ -781,3 +791,73 @@ def trend_ols(
         F.when((den_x != 0) & (den_y != 0), (num / den_x) * num / den_y)
         .alias("r2"),
     ).orderBy(group_col)
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season_lag: int = 24,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Forecastability screen via the seasonal-naive baseline → ONE row
+    ``(n_pairs, mae, scale_mae, mase)``: predict each hourly bin mean by
+    the value one season earlier (x̂_t = x_{t-lag}), report the mean
+    absolute error, the lag-1 naive error as scale, and their ratio
+    MASE (Hyndman & Koehler '06 — public paper). MASE < 1 ⇒ the daily
+    cycle alone beats a random-walk forecast — run THIS before fitting
+    any model; if seasonal-naive already fails, the series is noise at
+    this grain.
+
+    Portability: bin means are exact (DECIMAL sum / count); the error
+    sums fold the |bins|-row relation, so mae/mase are rounded to 6 dp
+    per the transcendental-aggregate rule (abs crosses no rounding, but
+    the fold order does).
+
+    Scale: one bin hash-agg over the scan; both error joins run on the
+    binned relation with the shifted side broadcast (hours-sized at any
+    stream length); the output is one row.
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    bins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+        .select(
+            "bin", (F.col("_s").cast("double") / F.col("_n")).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev = bins.select(F.col("bin").alias("bin_p"), F.col("x").alias("xp"))
+    season = (
+        bins.join(
+            F.broadcast(prev),
+            F.col("bin_p") == F.col("bin") - F.lit(season_lag),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.abs(F.col("x") - F.col("xp"))).alias("_ae"),
+        )
+    )
+    naive1 = (
+        bins.join(
+            F.broadcast(prev), F.col("bin_p") == F.col("bin") - F.lit(1)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n1"),
+            F.sum(F.abs(F.col("x") - F.col("xp"))).alias("_ae1"),
+        )
+    )
+    return season.crossJoin(F.broadcast(naive1)).select(
+        "n_pairs",
+        F.round(F.col("_ae") / F.col("n_pairs"), 6).alias("mae"),
+        F.round(F.col("_ae1") / F.col("_n1"), 6).alias("scale_mae"),
+        F.round(
+            (F.col("_ae") / F.col("n_pairs"))
+            / (F.col("_ae1") / F.col("_n1")),
+            6,
+        ).alias("mase"),
+    )

@@ -7354,3 +7354,140 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: X.zipf_fit(load_table(spark, "documents", sf)))
+
+
+# =========================================================================
+# round 8 batch 2: corpus statistics, forecastability, entity clustering
+# =========================================================================
+
+_register(
+    "text_burstiness",
+    r"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, term, count(*)::BIGINT AS c
+      FROM occ WHERE term != '' GROUP BY 1, 2
+    ), t AS (
+      SELECT term, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df
+      FROM dt GROUP BY 1
+    )
+    SELECT term, cf, df, cf / df::DOUBLE AS burstiness
+    FROM t ORDER BY cf DESC, term LIMIT 20
+    """,
+    late=True,
+)(lambda spark, sf: X.term_burstiness(load_table(spark, "documents", sf)))
+
+
+_register(
+    "text_hapax_ratio",
+    r"""
+    WITH tt AS (
+      SELECT grp, term, count(*)::BIGINT AS c
+      FROM (SELECT source AS grp,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      WHERE term != '' GROUP BY 1, 2
+    ), g AS (
+      SELECT grp, count(*)::BIGINT AS vocab_size,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+      FROM tt GROUP BY 1
+    )
+    SELECT grp AS source, vocab_size, hapax_count,
+           hapax_count / vocab_size::DOUBLE AS hapax_ratio
+    FROM g ORDER BY source
+    """,
+    late=True,
+)(lambda spark, sf: X.hapax_ratio(load_table(spark, "documents", sf)))
+
+
+_register(
+    "ts_seasonal_naive",
+    """
+    WITH bins AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), season AS (
+      SELECT count(*)::BIGINT AS n_pairs, sum(abs(a.x - b.x)) AS ae
+      FROM bins a JOIN bins b ON b.bin = a.bin - 24
+    ), naive1 AS (
+      SELECT count(*)::BIGINT AS n1, sum(abs(a.x - b.x)) AS ae1
+      FROM bins a JOIN bins b ON b.bin = a.bin - 1
+    )
+    SELECT n_pairs, round(ae / n_pairs, 6) AS mae,
+           round(ae1 / n1, 6) AS scale_mae,
+           round((ae / n_pairs) / (ae1 / n1), 6) AS mase
+    FROM season, naive1
+    """,
+    late=True,
+)(lambda spark, sf: TS.seasonal_naive_eval(_events(spark, sf), "ts", "value"))
+
+
+def _er_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """FS-matched pairs → connected components → cluster-size histogram:
+    the end of the entity-resolution story (er_fs_match_weights scores
+    pairs; this collapses them into entities). Reuses the large-star /
+    small-star CC operator; output is aggregate-sized (one row per
+    distinct cluster size)."""
+    pairs = (
+        _fs_weights_q(spark, sf)
+        .where(F.col("label") == "match")
+        .select("id_a", "id_b")
+    )
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_register(
+    "er_entity_clusters",
+    f"""
+    WITH RECURSIVE cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+    ), w AS (
+      SELECT id_a, id_b,
+             (CASE WHEN levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+                   THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+              + CASE WHEN a.c_nationkey = b.c_nationkey
+                     THEN {_FS_W["nation"][0]} ELSE {_FS_W["nation"][1]} END
+              + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                     THEN {_FS_W["segment"][0]} ELSE {_FS_W["segment"][1]} END
+             )::BIGINT AS weight_micro
+      FROM cand
+      JOIN customer a ON a.c_custkey = id_a
+      JOIN customer b ON b.c_custkey = id_b
+    ), pairs AS (
+      SELECT id_a, id_b FROM w WHERE weight_micro >= {_FS_T_MATCH}
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), rep AS (
+      SELECT a AS node, least(a, min(b))::BIGINT AS component
+      FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT component, count(*)::BIGINT AS cluster_size
+      FROM rep GROUP BY 1
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(_er_clusters_q)

@@ -220,3 +220,88 @@ def token_counts_stream(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def trend_power_sums_stream(
+    stream: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.trend_ols``'s aggregation half: a
+    complete-mode groupBy maintaining the per-group OLS POWER SUMS —
+    count, min-epoch, and the five Σx/Σy/Σx²/Σxy/Σy² moments in exact
+    DECIMAL over ABSOLUTE epoch seconds. Every maintained quantity is an
+    associative min/sum of exact values, so the finished aggregate is
+    BIT-IDENTICAL to the batch sums over the same rows in any arrival
+    order, and state is |groups| rows — bounded regardless of stream
+    length. A linear regression is a mergeable sketch; this is the
+    streaming consequence.
+
+    The batch op shifts x to the group min BEFORE summing (numeric
+    headroom); a stream cannot — the min keeps moving. Instead raw sums
+    accumulate with x absolute (headroom audited in
+    ``finish_trend_ols``) and the finish applies the EXACT integer
+    shift identities, recovering the batch op's shifted sums digit for
+    digit.
+    """
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("long").alias("_x"),
+            F.col(value_col).cast("decimal(18,2)").alias("_y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("_t0"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_rsx"),
+            F.sum("_y").alias("_sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)"))
+            .alias("_rsxx"),
+            F.sum((F.col("_y") * F.col("_x")).cast("decimal(38,2)"))
+            .alias("_rsxy"),
+            F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,4)"))
+            .alias("_syy"),
+        )
+    )
+
+
+def finish_trend_ols(
+    agg: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Finish a ``trend_power_sums_stream`` aggregate into the batch
+    ``trend_ols`` output. The raw absolute-x sums shift to the group-min
+    origin via exact DECIMAL identities —
+
+      ``Sx' = Sx − n·t0;  Sxx' = Sxx − 2·t0·Sx + n·t0²;
+        Sxy' = Sxy − t0·Sy``
+
+    — integer algebra, no rounding, so the shifted sums equal the batch
+    op's digit for digit and the shared closed form
+    (`timeseries.ols_from_power_sums`) returns bit-identical doubles
+    (pinned by the stream≡batch equality test).
+
+    Overflow headroom: with epoch ≈ 1.7e9 s, Σx² per group stays inside
+    DECIMAL(38,0) up to ~3·10¹⁸ rows — audit before pointing a
+    century-scale stream at it.
+    """
+    from apache_flink_essentials_spark.operators.timeseries import (
+        ols_from_power_sums,
+    )
+
+    t0 = F.col("_t0").cast("decimal(38,0)")
+    n = F.col("n").cast("decimal(38,0)")
+    shifted = agg.select(
+        "grp",
+        "n",
+        (F.col("_rsx") - n * t0).cast("decimal(38,0)").alias("_sx"),
+        "_sy",
+        (F.col("_rsxx") - F.lit(2) * t0 * F.col("_rsx") + n * t0 * t0)
+        .cast("decimal(38,0)").alias("_sxx"),
+        (F.col("_rsxy") - t0 * F.col("_sy"))
+        .cast("decimal(38,2)").alias("_sxy"),
+        "_syy",
+    )
+    return ols_from_power_sums(shifted, group_col)

@@ -215,6 +215,14 @@ HEADLINE = [
     "curation_token_budget",
     "dq_referential_audit",
     "text_zipf_fit",
+    # round-8 batch 2: Church-Gale burstiness + hapax richness (corpus
+    # statistics tier), seasonal-naive forecastability screen, FS-match
+    # entity clustering (Spark's iterative CC beats DuckDB's recursive
+    # CTE ~0.7x at sf0.1 — the dedup_cc_canonical story again)
+    "text_burstiness",
+    "text_hapax_ratio",
+    "ts_seasonal_naive",
+    "er_entity_clusters",
 ]
 
 

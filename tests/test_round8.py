@@ -326,3 +326,108 @@ def test_zipf_fit_max_rank_restricts_head(spark):
     r = X.zipf_fit(docs, max_rank=2).collect()[0]
     assert r.n_terms == 2
     assert r.total_tokens == 5  # 3 + 2
+
+
+# ---- streaming twin: trend_ols ------------------------------------------
+
+def test_trend_power_sums_stream_equals_batch(spark):
+    # complete-mode power-sum aggregate over a replayed event stream,
+    # shifted to the group-min origin at finish == the batch trend_ols,
+    # BIT-IDENTICAL doubles: sums are exact decimals, the shift is
+    # integer algebra, and the closed form is shared code
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.timeseries import trend_ols
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        finish_trend_ols,
+        trend_power_sums_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    agg = run_stream_to_df(
+        trend_power_sums_stream(stream_in), output_mode="complete"
+    )
+    streamed = sorted(map(tuple, finish_trend_ols(agg).collect()))
+    batch = sorted(
+        map(tuple, trend_ols(events, "event_type", "ts", "value").collect())
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+# ---- text.term_burstiness / hapax_ratio ---------------------------------
+
+def test_term_burstiness_counts(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in X.term_burstiness(docs).collect()}
+    # a: cf=4 over 2 docs -> 2.0; b: cf=3 over 2 docs -> 1.5; c: 1/1
+    assert (rows["a"].cf, rows["a"].df, rows["a"].burstiness) == (4, 2, 2.0)
+    assert (rows["b"].cf, rows["b"].df, rows["b"].burstiness) == (3, 2, 1.5)
+    assert (rows["c"].cf, rows["c"].df, rows["c"].burstiness) == (1, 1, 1.0)
+
+
+def test_hapax_ratio_by_source(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "x", "w1 w2 w2"), (2, "x", "w3"), (3, "y", "v v v")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in X.hapax_ratio(docs).collect()}
+    # source x: vocab {w1:1, w2:2, w3:1} -> 3 terms, 2 hapax
+    assert (rows["x"].vocab_size, rows["x"].hapax_count) == (3, 2)
+    assert rows["x"].hapax_ratio == 2 / 3
+    assert (rows["y"].vocab_size, rows["y"].hapax_count) == (1, 0)
+
+
+# ---- timeseries.seasonal_naive_eval -------------------------------------
+
+def test_seasonal_naive_perfect_daily_cycle(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # exact 24h periodic series: seasonal-naive error 0, lag-1 error > 0
+    # -> mase == 0
+    rows = [
+        (f"2024-01-{1 + h // 24:02d} {h % 24:02d}:15:00",
+         float(10 + (h % 24)))
+        for h in range(96)
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    r = TS.seasonal_naive_eval(df, "ts", "value").collect()[0]
+    assert r.n_pairs == 72
+    assert r.mae == 0.0
+    assert r.scale_mae > 0
+    assert r.mase == 0.0
+
+
+# ---- er entity clusters --------------------------------------------------
+
+def test_er_entity_clusters_sizes(spark):
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    # pairs {1-2, 2-3} and {7-8}: one 3-cluster + one 2-cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    sizes = {
+        r.cluster_size: r.n_clusters
+        for r in cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    }
+    assert sizes == {3: 1, 2: 1}
