@@ -450,3 +450,61 @@ def neighbor_overlap_pairs(
             .alias("jaccard"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame, k: int, max_iterations: int = 30
+) -> DataFrame:
+    """k-core decomposition → the maximal subgraph where every node has
+    degree ≥ k, as ``(node, core_degree)``. The standard "dense
+    community / spam-farm" screen on link graphs: a crawl-graph 10-core
+    is almost always a link ring, and the k-core is also the cheap
+    upper-bound pruner before clique-ish mining (any k+1-clique lives
+    inside the k-core).
+
+    Algorithm: iterative peeling — drop every node with degree < k,
+    recompute degrees (removals lower neighbors' degrees), repeat until
+    the edge set is stable. Termination is guaranteed (the edge set
+    strictly shrinks or the loop stops).
+
+    Scale shape per round: one degree hash-agg on the exploded
+    endpoints + two left_semi joins of the edge list against the
+    surviving-node set (AQE broadcasts it when small) + an edge count
+    for the convergence test; ``localCheckpoint`` truncates the
+    iterative lineage (the CC/pagerank discipline). Rounds are
+    O(peeling depth) — bounded by ``max_iterations`` for adversarial
+    chains.
+
+    Iterative convergence depends on data, not engine — registered
+    rows-only (the PageRank contract); semantics pinned by hand graphs
+    in tests.
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        ne = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_new = ne.count()
+        if n_new == n_edges:
+            break
+        e, n_edges = ne, n_new
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -330,3 +330,36 @@ def documents_as_video(documents: DataFrame, ms_per_char: int = 40) -> DataFrame
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def exact_payload_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact duplicate detection over OPAQUE media payloads →
+    ``(digest, n_copies, keep_id)`` for every payload byte-string seen
+    more than once (keep_id = min id, the dedup_exact keeper
+    convention). The first pass every multimodal corpus runs: identical
+    bytes are identical content regardless of modality, and the digest
+    group-by is the only operation that needs no decoder at all.
+
+    Scale: ONE hash-agg shuffle keyed on the 128-bit digest (computed
+    scan-side in codegen — the payload itself never shuffles; the
+    exchange carries 16-byte digests + ids). At 100 TB this is the same
+    fingerprint-aggregation shape as `dedup.exact_dedup`, just over
+    binary instead of text.
+    """
+    return (
+        media.select(
+            F.md5(F.col(payload_col)).alias("digest"),
+            F.col(id_col),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("digest")
+    )

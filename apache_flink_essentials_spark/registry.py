@@ -7491,3 +7491,47 @@ _register(
     """,
     late=True,
 )(_er_clusters_q)
+
+
+_register(
+    "multimodal_exact_dedup",
+    # payload bytes are the documents' UTF-8 text (documents_as_media),
+    # so DuckDB's VARCHAR md5 hashes the identical byte string Spark's
+    # binary md5 sees
+    """
+    SELECT md5(text) AS digest, count(*)::BIGINT AS n_copies,
+           min(doc_id)::BIGINT AS keep_id
+    FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY digest
+    """,
+    late=True,
+)(lambda spark, sf: M.exact_payload_dedup(
+    M.documents_as_media(load_table(spark, "documents", sf))
+))
+
+
+# iterative peeling — convergence is data-dependent, so rows-only (the
+# PageRank contract); semantics pinned by hand graphs in tests/test_round8
+def _kcore_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G3
+
+    part = (
+        load_table(spark, "part", sf)
+        .where(F.col("p_brand").startswith("Brand#1"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), "l_partkey", "left_semi")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("pb")),
+              "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+    )
+    return G3.kcore(G3.undirected_edges(pairs, "pa", "pb"), k=4)
+
+
+_register("graph_kcore", late=True)(_kcore_q)

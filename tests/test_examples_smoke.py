@@ -19,3 +19,12 @@ def test_drift_monitoring_example_runs(spark):
     rows = lag.collect()
     assert len(rows) >= 1
     assert all(-1.0 <= r.r <= 1.0 for r in rows)
+
+
+def test_relationship_mining_example_runs(spark):
+    from examples.relationship_mining import run
+
+    clusters = run(spark, sf_dir="/root/testdata/sf0.001")
+    rows = clusters.collect()
+    # cluster sizes are >= 2 (CC only sees matched pairs) and counts > 0
+    assert all(r.cluster_size >= 2 and r.n_clusters > 0 for r in rows)

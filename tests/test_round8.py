@@ -431,3 +431,48 @@ def test_er_entity_clusters_sizes(spark):
         .collect()
     }
     assert sizes == {3: 1, 2: 1}
+
+
+# ---- graph.kcore ---------------------------------------------------------
+
+def test_kcore_peels_pendants(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # K4 (nodes 1-4) plus pendant 5-1: the 2-core (and 3-core) is K4;
+    # peeling the pendant must NOT remove node 1
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((1, 5))
+    df = spark.createDataFrame(edges, "a long, b long")
+    core3 = {r.node: r.core_degree for r in G.kcore(df, 3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_chain_collapses(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # a path has no 2-core: peeling cascades end to end
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    assert G.kcore(df, 2).count() == 0
+
+
+def test_kcore_1core_is_whole_graph(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    assert G.kcore(df, 1).count() == 4
+
+
+# ---- multimodal.exact_payload_dedup -------------------------------------
+
+def test_multimodal_exact_dedup(spark):
+    from apache_flink_essentials_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    rows = M.exact_payload_dedup(M.documents_as_media(docs)).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_copies, rows[0].keep_id) == (2, 1)
