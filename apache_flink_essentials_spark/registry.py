@@ -7509,8 +7509,6 @@ _register(
 ))
 
 
-# iterative peeling — convergence is data-dependent, so rows-only (the
-# PageRank contract); semantics pinned by hand graphs in tests/test_round8
 def _kcore_q(spark: SparkSession, sf: str) -> DataFrame:
     from apache_flink_essentials_spark.operators import graph as G3
 
@@ -7531,7 +7529,42 @@ def _kcore_q(spark: SparkSession, sf: str) -> DataFrame:
               "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
     )
-    return G3.kcore(G3.undirected_edges(pairs, "pa", "pb"), k=4)
+    return G3.kcore(G3.undirected_edges(pairs, "pa", "pb"), k=30)
 
 
-_register("graph_kcore", late=True)(_kcore_q)
+def _kcore_oracle(k: int = 30, rounds: int = 10) -> str:
+    """Unrolled-peeling twin of the iterative kcore: the k-core is a
+    UNIQUE fixpoint of integer peeling (no floats, no order
+    sensitivity), so — unlike PageRank — a bounded unroll IS an exact
+    oracle once it covers the fixture's peeling depth (verified
+    rounds=10 ≡ rounds=14 at sf0.001/0.01/0.1). CTEs are MATERIALIZED:
+    DuckDB inlines plain CTEs, and e_i referencing e_{i-1} three times
+    makes un-materialized unrolling expand 3^rounds scans (measured:
+    fd exhaustion at rounds=8)."""
+    parts = ["""
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+    li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+           FROM lineitem JOIN pp ON l_partkey = p_partkey),
+    e0 AS MATERIALIZED (SELECT DISTINCT x.v AS a, y.v AS b
+           FROM li x JOIN li y ON x.o = y.o AND x.v < y.v)"""]
+    for i in range(1, rounds + 1):
+        prev = i - 1
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS c
+             FROM (SELECT a AS node FROM e{prev}
+                   UNION ALL SELECT b AS node FROM e{prev})
+             GROUP BY 1),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k}),
+    e{i} AS MATERIALIZED (SELECT a, b FROM e{prev}
+             WHERE a IN (SELECT node FROM k{i})
+               AND b IN (SELECT node FROM k{i}))""")
+    parts.append(f"""
+    SELECT node, count(*)::BIGINT AS core_degree
+    FROM (SELECT a AS node FROM e{rounds}
+          UNION ALL SELECT b AS node FROM e{rounds})
+    GROUP BY 1 ORDER BY 1
+    """)
+    return "".join(parts)
+
+
+_register("graph_kcore", _kcore_oracle(), late=True)(_kcore_q)

@@ -305,3 +305,56 @@ def finish_trend_ols(
         "_syy",
     )
     return ols_from_power_sums(shifted, group_col)
+
+
+def grouped_term_counts_stream(
+    stream: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming half of the per-group vocabulary-richness report: a
+    complete-mode (group, term) count aggregate over arriving documents
+    — the grouped sibling of ``token_counts_stream``. State is the
+    per-group TYPE TABLE (vocabulary-sized, bounded), never the corpus;
+    counts are associative integers, so the finished aggregate equals
+    the batch (group, term) aggregate bit-for-bit in any arrival order.
+    Feed the completed aggregate to :func:`finish_hapax_ratio`.
+    """
+    from apache_flink_essentials_spark.operators.text import tokens_expr
+
+    return (
+        stream.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def finish_hapax_ratio(
+    agg: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Finish a ``grouped_term_counts_stream`` aggregate into the batch
+    ``text.hapax_ratio`` output — vocabulary size, hapax count, and
+    their exact-integer ratio per group, derived on read over the
+    |vocab|-row aggregate (hapax-ness of a term is only final when the
+    stream is: one more occurrence demotes it, the same
+    derived-on-read argument as the dataset-card shares)."""
+    return (
+        agg.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long").alias("hapax_count"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "vocab_size",
+            "hapax_count",
+            (F.col("hapax_count") / F.col("vocab_size"))
+            .alias("hapax_ratio"),
+        )
+        .orderBy(group_col)
+    )

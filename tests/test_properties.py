@@ -531,3 +531,91 @@ def test_softdedup_weights_sum_to_distinct_texts(spark, texts):
     n_distinct = len({" ".join(t.lower().split()) for t in texts})
     assert abs(sum(r.weight for r in out) - n_distinct) < 1e-9
     assert all(r.weight == 1 / r.cluster_size for r in out)
+
+
+# ---- round-8 graph / reco invariants ------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _brute_triangles(edges):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    tri = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        for c in nodes[nodes.index(b) + 1:]
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    deg = {n: sum(1 for e in es if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(es), wedges, tri
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    # the degree-ordered oriented count == O(n^3) brute force on any
+    # small graph (self-loops and duplicate/reversed edges included)
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    und = G.undirected_edges(df, "a", "b")
+    n_edges, wedges, tri = _brute_triangles(edges)
+    if n_edges == 0:
+        return
+    r = G.triangle_stats(und).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (n_edges, wedges, tri)
+
+
+@given(edges=edges_strategy, k=st.sampled_from([1, 2, 3]))
+@settings(**SETTINGS)
+def test_kcore_invariants(spark, edges, k):
+    # every surviving node has core_degree >= k, and the k-core is a
+    # FIXPOINT: peeling it again changes nothing
+    from apache_flink_essentials_spark.operators import graph as G
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    und = G.undirected_edges(df, "a", "b")
+    core = G.kcore(und, k).collect()
+    assert all(r.core_degree >= k for r in core)
+    survivors = {r.node for r in core}
+    es = {(r.a, r.b) for r in und.collect()
+          if r.a in survivors and r.b in survivors}
+    # recompute degrees within the core: must equal core_degree
+    for r in core:
+        assert sum(1 for e in es if r.node in e) == r.core_degree
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # basket
+            st.integers(min_value=0, max_value=5),   # item
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_item_cooccurrence_bounds(spark, baskets):
+    # n_ab <= min(n_a, n_b); cosine in (0, 1]; lift is the same IEEE
+    # double Python computes from the identical integer operands (the
+    # unrounded-rational contract)
+    from apache_flink_essentials_spark.operators import reco as R
+
+    df = spark.createDataFrame(baskets, "basket long, item long")
+    n_baskets = len({b for b, _ in baskets})
+    rows = R.item_cooccurrence(df, "basket", "item").collect()
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.cosine <= 1.0
+        assert r.lift == (r.n_ab * n_baskets) / (r.n_a * r.n_b)

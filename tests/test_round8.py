@@ -476,3 +476,27 @@ def test_multimodal_exact_dedup(spark):
     rows = M.exact_payload_dedup(M.documents_as_media(docs)).collect()
     assert len(rows) == 1
     assert (rows[0].n_copies, rows[0].keep_id) == (2, 1)
+
+
+def test_grouped_term_counts_stream_equals_batch_hapax(spark):
+    # complete-mode (group, term) counts over a replayed document
+    # stream, finished on read == the batch hapax_ratio exactly
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.text import hapax_ratio
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        finish_hapax_ratio,
+        grouped_term_counts_stream,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(docs, num_files=3, order_by="doc_id")
+    agg = run_stream_to_df(
+        grouped_term_counts_stream(stream_in), output_mode="complete"
+    )
+    streamed = sorted(map(tuple, finish_hapax_ratio(agg).collect()))
+    batch = sorted(map(tuple, hapax_ratio(docs).collect()))
+    assert streamed == batch and len(batch) > 0
