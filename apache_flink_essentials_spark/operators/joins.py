@@ -715,3 +715,64 @@ def fs_match_weights(
         .otherwise(F.lit("possible"))
         .alias("label"),
     ).orderBy("id_a", "id_b")
+
+
+def golden_record(
+    members: DataFrame,
+    component_col: str,
+    id_col: str,
+    first_by_rep: "dict[str, str]",
+    modal: "dict[str, str]",
+    maxed: "dict[str, str]",
+) -> DataFrame:
+    """Survivorship: collapse each matched-entity cluster into ONE golden
+    row — the step after `fs_match_weights` (score pairs) and connected
+    components (form clusters). ``members`` is the cluster assignment
+    joined back to the source attributes; per component the output
+    carries ``n_members``, ``rep_id`` (min id), and three survivorship
+    rules:
+
+      * ``first_by_rep``: out_col → attr taken from the representative
+        (min-id) row — the deterministic "keep the oldest record" rule;
+      * ``modal``: out_col → attr by majority vote, ties to the smallest
+        value — the consensus rule for low-cardinality fields;
+      * ``maxed``: out_col → attr's max — the "best known value" rule
+        for monotone fields (latest balance, newest timestamp).
+
+    Determinism: every rule is a total-order pick (min_by on id /
+    (count DESC, value ASC) vote / max) over exact values — no floats
+    created, engine-portable.
+
+    Scale: one hash agg per modal attribute on (component, value) plus
+    ONE final agg on component (min_by/max_by carry the rep picks —
+    no window sort, no self-join); modal votes join back at |components|
+    cardinality. All shuffles keyed by component.
+    """
+    comp = F.col(component_col)
+    base_agg = members.groupBy(comp.alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("rep_id"),
+        *[
+            F.min_by(F.col(attr), F.col(id_col)).alias(out)
+            for out, attr in first_by_rep.items()
+        ],
+        *[F.max(F.col(attr)).alias(out) for out, attr in maxed.items()],
+    )
+    out = base_agg
+    for out_col, attr in modal.items():
+        votes = (
+            members.groupBy(comp.alias("component"), F.col(attr))
+            .agg(F.count(F.lit(1)).alias("_votes"))
+            .groupBy("component")
+            .agg(
+                F.max_by(
+                    F.col(attr),
+                    F.struct(
+                        F.col("_votes").alias("v"),
+                        (-F.col(attr)).alias("tb"),
+                    ),
+                ).alias(out_col)
+            )
+        )
+        out = out.join(votes, "component")
+    return out.orderBy("component")

@@ -597,3 +597,62 @@ def referential_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("relation")
+
+
+def join_size_audit(
+    joins: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Predict a join's output size WITHOUT executing it → one row per
+    join edge ``(relation, n_keys_common, join_rows, max_key_rows,
+    skew_share)``. ``join_rows = Σ_k cnt_a(k)·cnt_b(k)`` over the common
+    keys — the exact inner-equi-join cardinality from two per-key count
+    aggregates; ``max_key_rows`` is the largest single key's
+    contribution and ``skew_share`` its fraction of the total: THE
+    pre-flight read before any 100 TB join (a skew_share near 1 means
+    one task receives the whole output — salt or AQE-skew-split first;
+    a join_rows ≫ both inputs flags an accidental many-to-many).
+
+    ``joins`` is a list of (name, df_a, key_a, df_b, key_b).
+
+    Scale: each side collapses to a per-key count (one map-side-combined
+    hash agg — the full tables never meet), the count tables join on the
+    key, and everything after is a one-row aggregate. Cost is
+    O(distinct keys), independent of the join output it predicts.
+    """
+    outs = []
+    for name, df_a, key_a, df_b, key_b in joins:
+        ca = (
+            df_a.where(F.col(key_a).isNotNull())
+            .groupBy(F.col(key_a).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_ca"))
+        )
+        cb = (
+            df_b.where(F.col(key_b).isNotNull())
+            .groupBy(F.col(key_b).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_cb"))
+        )
+        per_key = ca.join(cb, "_k").select(
+            (F.col("_ca") * F.col("_cb")).alias("_rows")
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys_common"),
+                F.coalesce(F.sum("_rows"), F.lit(0)).cast("long")
+                .alias("join_rows"),
+                F.coalesce(F.max("_rows"), F.lit(0)).cast("long")
+                .alias("max_key_rows"),
+            ).select(
+                F.lit(name).alias("relation"),
+                "n_keys_common",
+                "join_rows",
+                "max_key_rows",
+                F.when(
+                    F.col("join_rows") > 0,
+                    F.col("max_key_rows") / F.col("join_rows"),
+                ).otherwise(F.lit(0.0)).alias("skew_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")

@@ -7568,3 +7568,137 @@ def _kcore_oracle(k: int = 30, rounds: int = 10) -> str:
 
 
 _register("graph_kcore", _kcore_oracle(), late=True)(_kcore_q)
+
+
+def _join_size_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf)
+    ev = _events(spark, sf)
+    return P.join_size_audit([
+        ("events*events@user_id", ev, "user_id", ev, "user_id"),
+        ("lineitem*lineitem@l_partkey", li, "l_partkey", li, "l_partkey"),
+        ("lineitem*orders@orderkey", li, "l_orderkey", o, "o_orderkey"),
+    ])
+
+
+_register(
+    "dq_join_size_audit",
+    """
+    WITH edges(relation, a_tbl, b_tbl) AS (VALUES
+      ('events*events@user_id', 1, 1),
+      ('lineitem*lineitem@l_partkey', 2, 2),
+      ('lineitem*orders@orderkey', 3, 4)
+    ), ca1 AS (SELECT user_id AS k, count(*)::BIGINT c FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    ca2 AS (SELECT l_partkey AS k, count(*)::BIGINT c FROM lineitem
+            WHERE l_partkey IS NOT NULL GROUP BY 1),
+    ca3 AS (SELECT l_orderkey AS k, count(*)::BIGINT c FROM lineitem
+            WHERE l_orderkey IS NOT NULL GROUP BY 1),
+    ca4 AS (SELECT o_orderkey AS k, count(*)::BIGINT c FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    e1 AS (SELECT 'events*events@user_id' AS relation,
+                  count(*)::BIGINT AS n_keys_common,
+                  coalesce(sum(a.c * b.c), 0)::BIGINT AS join_rows,
+                  coalesce(max(a.c * b.c), 0)::BIGINT AS max_key_rows
+           FROM ca1 a JOIN ca1 b ON a.k = b.k),
+    e2 AS (SELECT 'lineitem*lineitem@l_partkey',
+                  count(*)::BIGINT, coalesce(sum(a.c * b.c), 0)::BIGINT,
+                  coalesce(max(a.c * b.c), 0)::BIGINT
+           FROM ca2 a JOIN ca2 b ON a.k = b.k),
+    e3 AS (SELECT 'lineitem*orders@orderkey',
+                  count(*)::BIGINT, coalesce(sum(a.c * b.c), 0)::BIGINT,
+                  coalesce(max(a.c * b.c), 0)::BIGINT
+           FROM ca3 a JOIN ca4 b ON a.k = b.k),
+    u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3)
+    SELECT relation, n_keys_common, join_rows, max_key_rows,
+           CASE WHEN join_rows > 0
+                THEN max_key_rows / join_rows::DOUBLE
+                ELSE 0.0 END AS skew_share
+    FROM u ORDER BY relation
+    """,
+    late=True,
+)(_join_size_audit_q)
+
+
+def _golden_record_q(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = (
+        _fs_weights_q(spark, sf)
+        .where(F.col("label") == "match")
+        .select("id_a", "id_b")
+    )
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    members = cc.join(
+        load_table(spark, "customer", sf),
+        cc["node"] == F.col("c_custkey"),
+    )
+    return J.golden_record(
+        members,
+        "component",
+        "node",
+        first_by_rep={"golden_name": "c_name"},
+        modal={"golden_nation": "c_nationkey"},
+        maxed={"golden_acctbal": "c_acctbal"},
+    )
+
+
+_register(
+    "er_golden_record",
+    f"""
+    WITH RECURSIVE cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+    ), w AS (
+      SELECT id_a, id_b,
+             (CASE WHEN levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+                   THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+              + CASE WHEN a.c_nationkey = b.c_nationkey
+                     THEN {_FS_W["nation"][0]} ELSE {_FS_W["nation"][1]} END
+              + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                     THEN {_FS_W["segment"][0]} ELSE {_FS_W["segment"][1]} END
+             )::BIGINT AS weight_micro
+      FROM cand
+      JOIN customer a ON a.c_custkey = id_a
+      JOIN customer b ON b.c_custkey = id_b
+    ), pairs AS (
+      SELECT id_a, id_b FROM w WHERE weight_micro >= {_FS_T_MATCH}
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), rep AS (
+      SELECT a AS node, least(a, min(b))::BIGINT AS component
+      FROM reach GROUP BY a
+    ), members AS (
+      SELECT rep.node, rep.component, c.c_name, c.c_nationkey, c.c_acctbal
+      FROM rep JOIN customer c ON c.c_custkey = rep.node
+    ), votes AS (
+      SELECT component, c_nationkey, count(*)::BIGINT AS v
+      FROM members GROUP BY 1, 2
+    ), modal AS (
+      SELECT component, c_nationkey AS golden_nation
+      FROM (SELECT component, c_nationkey,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY v DESC, c_nationkey) AS rn
+            FROM votes)
+      WHERE rn = 1
+    ), base AS (
+      SELECT component, count(*)::BIGINT AS n_members,
+             min(node)::BIGINT AS rep_id,
+             arg_min(c_name, node) AS golden_name,
+             max(c_acctbal) AS golden_acctbal
+      FROM members GROUP BY 1
+    )
+    SELECT b.component, n_members, rep_id, golden_name, golden_nation,
+           golden_acctbal
+    FROM base b JOIN modal m ON b.component = m.component
+    ORDER BY b.component
+    """,
+    late=True,
+)(_golden_record_q)

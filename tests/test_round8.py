@@ -500,3 +500,65 @@ def test_grouped_term_counts_stream_equals_batch_hapax(spark):
     streamed = sorted(map(tuple, finish_hapax_ratio(agg).collect()))
     batch = sorted(map(tuple, hapax_ratio(docs).collect()))
     assert streamed == batch and len(batch) > 0
+
+
+# ---- profiling.join_size_audit ------------------------------------------
+
+def test_join_size_audit_predicts_cardinality(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r = P.join_size_audit([("a*b@k", a, "k", b, "k")]).collect()[0]
+    # key 1: 2*1=2; key 2: 1*2=2 -> join_rows 4, verified by executing
+    assert (r.n_keys_common, r.join_rows, r.max_key_rows) == (2, 4, 2)
+    assert r.skew_share == 2 / 4
+    actual = a.where("k is not null").join(b, "k").count()
+    assert actual == r.join_rows
+
+
+def test_join_size_audit_empty_intersection(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    r = P.join_size_audit([("a*b@k", a, "k", b, "k")]).collect()[0]
+    assert (r.join_rows, r.max_key_rows, r.skew_share) == (0, 0, 0.0)
+
+
+# ---- joins.golden_record -------------------------------------------------
+
+def test_golden_record_survivorship_rules(spark):
+    from apache_flink_essentials_spark.operators import joins as J
+
+    members = spark.createDataFrame(
+        [
+            # component 1: rep=1; nation votes 5:2 vs 7:1 -> 5; max bal 9.0
+            (1, 1, "alice", 5, 3.0),
+            (1, 2, "alyce", 5, 9.0),
+            (1, 3, "alice2", 7, 1.0),
+            # component 10: tie 2:1 vs 4:1 -> smaller nation 2 wins
+            (10, 10, "bob", 4, 2.0),
+            (10, 11, "rob", 2, 5.0),
+        ],
+        "component long, node long, c_name string, c_nationkey int,"
+        " c_acctbal double",
+    )
+    rows = {
+        r.component: r
+        for r in J.golden_record(
+            members, "component", "node",
+            first_by_rep={"golden_name": "c_name"},
+            modal={"golden_nation": "c_nationkey"},
+            maxed={"golden_acctbal": "c_acctbal"},
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_members, r1.rep_id, r1.golden_name) == (3, 1, "alice")
+    assert r1.golden_nation == 5
+    assert r1.golden_acctbal == 9.0
+    r10 = rows[10]
+    assert r10.golden_nation == 2  # vote tie -> smallest value
+    assert r10.golden_name == "bob"
