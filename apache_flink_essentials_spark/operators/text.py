@@ -1809,3 +1809,84 @@ def hapax_ratio(
         )
         .orderBy(group_col)
     )
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_terms: int = 1000,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    from the corpus distribution → ``(group, n_terms, jsd)``. THE
+    distribution-drift screen for text (Lin '91 — public paper): a
+    source whose JSD spikes against the corpus is template spam, a
+    language mix-up, or a scraper gone wrong — caught without reading a
+    single document.
+
+    Both distributions restrict to the corpus's ``max_terms`` head
+    (ranked by collection frequency via the two-phase
+    `global_row_number` — the standard head-vocab practice; the tail is
+    noise-dominated and unbounded) and renormalize over it, so
+    ``jsd = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m)`` with ``m = (p+q)/2``
+    is a proper 0..ln(2) divergence. p, q are exact-BIGINT rationals;
+    the ln-sums fold a (|groups| × max_terms)-bounded grid, so jsd is
+    rounded to 6 dp per the transcendental rule.
+
+    Scale: one tokenize+explode pass feeds BOTH the (group, term) and
+    corpus aggregates; the scoring grid is |groups| × head — a
+    PARAMETER-bounded relation, never vocabulary × corpus.
+    """
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
+    occ = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = occ.groupBy("term").agg(F.sum("c").alias("qc"))
+    head = (
+        global_row_number(
+            corpus.withColumn("_neg", -F.col("qc")), ["_neg", "term"], "rank"
+        )
+        .where(F.col("rank") <= max_terms)
+        .select("term", "qc")
+    )
+    tq = head.agg(F.sum("qc").alias("_tq"))
+    st = occ.join(head.select("term"), "term", "left_semi")
+    totals = st.groupBy("grp").agg(F.sum("c").alias("_tg"))
+    grid = (
+        totals.crossJoin(F.broadcast(head))
+        .join(st, ["grp", "term"], "left")
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "grp",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("_tg")).alias("p"),
+            (F.col("qc") / F.col("_tq")).alias("q"),
+        )
+        .withColumn("m", (F.col("p") + F.col("q")) / F.lit(2.0))
+        .select(
+            "grp",
+            F.when(F.col("p") > 0,
+                   F.col("p") * F.log(F.col("p") / F.col("m")))
+            .otherwise(F.lit(0.0)).alias("kp"),
+            (F.col("q") * F.log(F.col("q") / F.col("m"))).alias("kq"),
+        )
+    )
+    return (
+        grid.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.lit(0.5) * F.sum("kp") + F.lit(0.5) * F.sum("kq"), 6
+            ).alias("jsd"),
+        )
+        .orderBy(group_col)
+    )

@@ -861,3 +861,92 @@ def seasonal_naive_eval(
             6,
         ).alias("mase"),
     )
+
+
+def km_gap_survival(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    step_s: int = 3600,
+    censor_buckets: int = 24,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of per-key inter-event gaps →
+    ``(t, n_at_risk, n_events, survival)``: P(the next event takes
+    longer than t) estimated with right-censoring (Kaplan & Meier '58 —
+    public paper). The engagement/latency read behind every retention
+    dashboard: where `events_user_gap_stats` reports moments, this is
+    the full distribution — and the censoring handling is what naive
+    "histogram of gaps" gets wrong (a gap longer than the observation
+    cap still proves survival THROUGH the cap).
+
+    Gaps bucket to ``step_s`` units; gaps ≥ ``censor_buckets`` are
+    censored there: they stay in every risk set but never count as
+    events — which also keeps survival strictly positive (no ln(0)
+    divergence between engines; Spark's log returns NULL at 0 where
+    libm returns -inf). A terminal bucket where every remaining gap
+    dies (d = n) is dropped for the same reason — the curve is
+    reported up to its collapse point.
+
+    ``S(t) = Π_{u≤t} (1 − d_u/n_u)`` computed as exp of an ordered
+    cumulative sum of ``ln(1 − d/n)`` over the BUCKET GRID
+    (aggregate-sized: ``censor_buckets`` rows at any input size), with
+    d, n exact BIGINTs; rounded to 6 dp per the transcendental rule.
+
+    Scale: one lead() window keyed by ``key_col`` (one shuffle of the
+    scan), one bucket hash-agg, then all KM arithmetic on the
+    |buckets|-row relation.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_t").asc(), F.col(seq_col).asc()
+    )
+    gaps = (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col).cast("long").alias("_t"),
+            F.col(seq_col),
+        )
+        .withColumn("_gap", F.lead("_t").over(w) - F.col("_t"))
+        .where(F.col("_gap").isNotNull())
+        .select(
+            F.least(
+                (F.col("_gap") / F.lit(step_s)).cast("long"),
+                F.lit(censor_buckets),
+            ).alias("b")
+        )
+    )
+    counts = gaps.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    total = counts.agg(F.sum("n_b").alias("_total"))
+    wb = Window.orderBy("b")
+    grid = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "b", "n_b",
+            (F.col("_total")
+             - F.coalesce(
+                 F.sum("n_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                 F.lit(0),
+             )).alias("n_at_risk"),
+        )
+        .where(
+            (F.col("b") < censor_buckets)
+            & (F.col("n_at_risk") > F.col("n_b"))
+        )
+        .select(
+            F.col("b").alias("t"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_b").cast("long").alias("n_events"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("n_b") / F.col("n_at_risk")
+                        )
+                    ).over(wb.rowsBetween(Window.unboundedPreceding, 0))
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
+    return grid.orderBy("t")

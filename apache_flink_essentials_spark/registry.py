@@ -7702,3 +7702,80 @@ _register(
     """,
     late=True,
 )(_golden_record_q)
+
+
+_register(
+    "events_km_gap_survival",
+    """
+    WITH ev AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id FROM events
+    ), g AS (
+      SELECT lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+               AS gap
+      FROM ev
+    ), bk AS (
+      SELECT least(gap // 3600, 24) AS b FROM g WHERE gap IS NOT NULL
+    ), counts AS (
+      SELECT b, count(*)::BIGINT AS n_b FROM bk GROUP BY 1
+    ), tot AS (SELECT sum(n_b)::BIGINT AS total FROM counts),
+    grid AS (
+      SELECT b, n_b,
+             total - coalesce(sum(n_b) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM counts, tot
+    )
+    SELECT b AS t, n_at_risk::BIGINT AS n_at_risk, n_b AS n_events,
+           round(exp(sum(ln(1.0 - n_b / n_at_risk::DOUBLE))
+             OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             AS survival
+    FROM grid WHERE b < 24 AND n_at_risk > n_b ORDER BY t
+    """,
+    late=True,
+)(lambda spark, sf: TS.km_gap_survival(
+    _events(spark, sf), "user_id", "ts", "event_id"))
+
+
+_register(
+    "text_js_divergence",
+    r"""
+    WITH occ AS (
+      SELECT grp, term, count(*)::BIGINT AS c
+      FROM (SELECT source AS grp,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      WHERE term != '' GROUP BY 1, 2
+    ), corpus AS (
+      SELECT term, sum(c)::BIGINT AS qc FROM occ GROUP BY 1
+    ), head AS (
+      SELECT term, qc FROM (
+        SELECT term, qc,
+               row_number() OVER (ORDER BY qc DESC, term) AS rn
+        FROM corpus) WHERE rn <= 1000
+    ), tq AS (SELECT sum(qc)::BIGINT AS tq FROM head),
+    st AS (
+      SELECT occ.grp, occ.term, occ.c
+      FROM occ JOIN head ON occ.term = head.term
+    ), totals AS (
+      SELECT grp, sum(c)::BIGINT AS tg FROM st GROUP BY 1
+    ), grid AS (
+      SELECT t.grp,
+             coalesce(s.c, 0) / t.tg::DOUBLE AS p,
+             h.qc / q.tq::DOUBLE AS q
+      FROM totals t CROSS JOIN head h
+      LEFT JOIN st s ON s.grp = t.grp AND s.term = h.term, tq q
+    ), k AS (
+      SELECT grp,
+             CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                  ELSE 0.0 END AS kp,
+             q * ln(q / ((p + q) / 2.0)) AS kq
+      FROM grid
+    )
+    SELECT grp AS source, count(*)::BIGINT AS n_terms,
+           round(0.5 * sum(kp) + 0.5 * sum(kq), 6) AS jsd
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(lambda spark, sf: X.js_divergence_by_group(
+    load_table(spark, "documents", sf)))

@@ -223,6 +223,13 @@ HEADLINE = [
     "text_hapax_ratio",
     "ts_seasonal_naive",
     "er_entity_clusters",
+    # round-8 batch 3-4: join-size pre-audit (predicts the join it never
+    # runs), Kaplan-Meier gap survival, per-source Jensen-Shannon drift.
+    # graph_kcore and er_golden_record stay sweep-only: their bench cost
+    # duplicates already-benched shapes (triangle census / FS+CC pair).
+    "dq_join_size_audit",
+    "events_km_gap_survival",
+    "text_js_divergence",
 ]
 
 

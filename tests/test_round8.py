@@ -562,3 +562,60 @@ def test_golden_record_survivorship_rules(spark):
     r10 = rows[10]
     assert r10.golden_nation == 2  # vote tie -> smallest value
     assert r10.golden_name == "bob"
+
+
+# ---- timeseries.km_gap_survival -----------------------------------------
+
+def test_km_gap_survival_hand_computed(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # one user, events at 0h,1h,2h,4h,30h: gaps 1h,1h,2h,26h(censored)
+    rows = [(1, 1700000000 + h * 3600, i)
+            for i, h in enumerate([0, 1, 2, 4, 30])]
+    df = spark.createDataFrame(rows, "u long, sec long, eid long").select(
+        "u", F.timestamp_seconds("sec").alias("ts"), "eid"
+    )
+    out = {r.t: r for r in
+           TS.km_gap_survival(df, "u", "ts", "eid").collect()}
+    # bucket 1: d=2, at risk 4 -> S = 1 - 2/4 = 0.5
+    assert (out[1].n_at_risk, out[1].n_events) == (4, 2)
+    assert out[1].survival == 0.5
+    # bucket 2: d=1, at risk 2 -> S = 0.5 * (1 - 1/2) = 0.25
+    assert (out[2].n_at_risk, out[2].n_events) == (2, 1)
+    assert out[2].survival == 0.25
+    # the 26h gap is censored at 24, never an event
+    assert 24 not in out
+
+
+def test_km_gap_survival_monotone_nonincreasing(spark, events):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    rows = TS.km_gap_survival(
+        events, "user_id", "ts", "event_id"
+    ).collect()
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0 < s <= 1 for s in surv)
+
+
+# ---- text.js_divergence_by_group ----------------------------------------
+
+def test_js_divergence_identical_and_disjoint(spark):
+    import math
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same", "a b c"),      # 'same' mirrors the corpus head…
+            (2, "disj", "x x x"),      # …'disj' is fully disjoint from it
+            (3, "same", "a b c"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r.jsd
+            for r in X.js_divergence_by_group(docs).collect()}
+    # a fully disjoint source approaches ln(2); the mirrored one stays
+    # well below it
+    assert rows["disj"] > rows["same"]
+    assert rows["disj"] <= round(math.log(2), 6) + 1e-9
+    assert rows["same"] >= 0
