@@ -358,3 +358,67 @@ def finish_hapax_ratio(
         )
         .orderBy(group_col)
     )
+
+
+def countmin_grid_stream(
+    stream: DataFrame, col: str, depth: int = 3, width: int = 512
+) -> DataFrame:
+    """Streaming half of the count-min sketch: a complete-mode
+    (seed, bucket) counter-grid aggregate over the arriving rows — the
+    production CMS deployment shape: state is the depth×width COUNTER
+    GRID (a parameter, not a function of the data), counts are
+    associative integer sums, so the streamed grid is BIT-IDENTICAL to
+    `sketches.countmin_topk`'s internal grid over the same rows in any
+    arrival order. Estimates for any candidate item derive on read via
+    :func:`countmin_estimate_from_grid` — per-item state is never kept.
+    Bucketing arithmetic mirrors `sketches.countmin_topk` exactly
+    (md5-seeded hash rows), so grids interchange between the batch and
+    streaming paths.
+    """
+    seeds = ", ".join(str(s) for s in range(depth))
+    buckets = stream.selectExpr(
+        f"`{col}` AS item",
+        f"explode(array({seeds})) AS _seed",
+    ).selectExpr(
+        "_seed",
+        "cast(conv(substring(md5(concat(cast(_seed as string), ':',"
+        f" cast(item as string))), 1, 8), 16, 10) as bigint) % {width}"
+        " AS _bucket",
+    )
+    return buckets.groupBy("_seed", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+
+
+def countmin_estimate_from_grid(
+    grid: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Estimate counts for a candidate item relation from a finished
+    count-min grid (streamed or batch — they're interchangeable):
+    re-derive each item's (seed, bucket) keys with the same md5
+    arithmetic, broadcast-join the KB-sized grid, and take the
+    min-over-seeds — ``(item, est_count)``, the one-sided overestimate
+    contract (est ≥ true, pinned in tests)."""
+    seeds = ", ".join(str(s) for s in range(depth))
+    item_buckets = (
+        items.selectExpr(f"`{col}` AS item")
+        .distinct()
+        .selectExpr("item", f"explode(array({seeds})) AS _seed")
+        .selectExpr(
+            "item",
+            "_seed",
+            "cast(conv(substring(md5(concat(cast(_seed as string), ':',"
+            f" cast(item as string))), 1, 8), 16, 10) as bigint) % {width}"
+            " AS _bucket",
+        )
+    )
+    return (
+        item_buckets.join(F.broadcast(grid), ["_seed", "_bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("est_count"))
+        .orderBy("item")
+    )

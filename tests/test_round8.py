@@ -619,3 +619,37 @@ def test_js_divergence_identical_and_disjoint(spark):
     assert rows["disj"] > rows["same"]
     assert rows["disj"] <= round(math.log(2), 6) + 1e-9
     assert rows["same"] >= 0
+
+
+def test_countmin_grid_stream_matches_batch_estimates(spark):
+    # complete-mode counter grid over a replayed stream: estimates for
+    # the exact top-k items == the batch countmin_topk estimates, and
+    # every estimate >= the true count (the CMS one-sided contract)
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.sketches import (
+        countmin_topk,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        countmin_estimate_from_grid,
+        countmin_grid_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    grid = run_stream_to_df(
+        countmin_grid_stream(stream_in, "user_id"), output_mode="complete"
+    )
+    batch = countmin_topk(events, "user_id", k=10).collect()
+    ests = {
+        r.item: r.est_count
+        for r in countmin_estimate_from_grid(
+            grid, events.select("user_id"), "user_id"
+        ).collect()
+    }
+    for r in batch:
+        assert ests[r.item] == r.est_count
+        assert ests[r.item] >= r.true_count
