@@ -7779,3 +7779,69 @@ _register(
     late=True,
 )(lambda spark, sf: X.js_divergence_by_group(
     load_table(spark, "documents", sf)))
+
+
+def _quality_calibration_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-signal calibration: does the cheap density score AGREE
+    with the Gopher rule battery? Equal-count density deciles × gopher
+    pass rate — the audit run before trusting any single quality filter
+    to gate a corpus (a well-calibrated cheap score lets the expensive
+    battery run on a sample only)."""
+    from apache_flink_essentials_spark.operators.transform import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    toks = X.tokens_expr("text")
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("density"),
+        X.gopher_pass_expr("text").cast("int").alias("pass"),
+    ).where(F.size(toks) > 0)
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_row_number(scored, ["density", "doc_id"], "rn") \
+        .crossJoin(F.broadcast(total))
+    decile = (
+        F.floor(((F.col("rn") - 1) * 10) / F.col("_n")) + 1
+    ).cast("long").alias("decile")
+    return (
+        ranked.groupBy(decile)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pass").cast("long").alias("n_pass"),
+            (F.sum("pass") / F.count(F.lit(1))).alias("pass_rate"),
+            F.min("density").alias("min_density"),
+            F.max("density").alias("max_density"),
+        )
+        .orderBy("decile")
+    )
+
+
+_register(
+    "curation_quality_calibration",
+    rf"""
+    WITH g AS (
+      SELECT doc_id, gopher_pass FROM ({ORACLES["text_gopher_quality"]})
+    ), scored AS (
+      SELECT doc_id,
+             len(list_distinct(string_split_regex(lower(text), '\s+')))
+               / len(string_split_regex(lower(text), '\s+'))::DOUBLE
+               AS density
+      FROM documents
+      WHERE len(string_split_regex(lower(text), '\s+')) > 0
+    ), r AS (
+      SELECT s.doc_id, density, g.gopher_pass::INT AS pass,
+             row_number() OVER (ORDER BY density, s.doc_id)::BIGINT AS rn,
+             count(*) OVER ()::BIGINT AS n
+      FROM scored s JOIN g ON s.doc_id = g.doc_id
+    )
+    SELECT ((rn - 1) * 10 // n + 1)::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(pass)::BIGINT AS n_pass,
+           sum(pass) / count(*)::DOUBLE AS pass_rate,
+           min(density) AS min_density,
+           max(density) AS max_density
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(_quality_calibration_q)
