@@ -254,3 +254,77 @@ def association_rules(
         .orderBy("antecedent", "consequent")
     )
     return out
+
+
+def diff_in_diff(
+    df,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    treated_units,
+    cutover_ts: str,
+    outcome_filter=None,
+):
+    """Difference-in-differences estimate → ONE row with the four cell
+    means (treated/control × pre/post) and
+    ``did = (post_T − pre_T) − (post_C − pre_C)`` — the
+    launch-evaluation workhorse when you have a before/after boundary
+    and a treated cohort but no randomized holdout (Card & Krueger '94
+    popularized the design — public literature).
+
+    ``treated_units`` is a one-column DataFrame of treated unit ids
+    (broadcast-joined as a membership flag); ``cutover_ts`` splits
+    pre/post; ``outcome_filter`` optionally restricts the outcome rows
+    (e.g. purchase events only).
+
+    Determinism: each cell mean is an exact DECIMAL sum / BIGINT count
+    (one IEEE division); the DiD arithmetic is fixed-order doubles over
+    those four deterministic means — engine-portable UNROUNDED.
+
+    Scale: ONE scan, one 4-cell hash aggregate (map-side combined); the
+    treated set joins as a broadcast-or-shuffle left_semi-style flag at
+    |units| cardinality. Nothing bigger than four rows leaves the agg.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.where(F.col(value_col).isNotNull())
+    if outcome_filter is not None:
+        base = base.where(outcome_filter)
+    tr = treated_units.toDF("_tu").withColumn("_treated", F.lit(1))
+    cells = (
+        base.join(tr, base[unit_col] == F.col("_tu"), "left")
+        .select(
+            F.coalesce(F.col("_treated"), F.lit(0)).alias("treated"),
+            (F.col(ts_col) >= F.lit(cutover_ts).cast("timestamp"))
+            .cast("int").alias("post"),
+            F.col(value_col).cast("decimal(18,2)").alias("y"),
+        )
+        .groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .select(
+            "treated", "post", "n",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        )
+    )
+    # the 4-row cell relation widens with conditional sums (each cell
+    # contributes exactly one non-null mean) — cheaper and more explicit
+    # than a pivot for a fixed 2x2 grid
+    wide = (
+        cells.select(
+            F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                         F.col("mean"))).alias("pre_treated"),
+            F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                         F.col("mean"))).alias("post_treated"),
+            F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                         F.col("mean"))).alias("pre_control"),
+            F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                         F.col("mean"))).alias("post_control"),
+            F.sum(F.col("n")).alias("n_outcomes"),
+        )
+    )
+    return wide.select(
+        "n_outcomes", "pre_control", "post_control", "pre_treated",
+        "post_treated",
+        ((F.col("post_treated") - F.col("pre_treated"))
+         - (F.col("post_control") - F.col("pre_control"))).alias("did"),
+    )

@@ -7845,3 +7845,53 @@ _register(
     """,
     late=True,
 )(_quality_calibration_q)
+
+
+def _did_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    ev = _events(spark, sf)
+    treated = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id").distinct()
+    )
+    return PT.diff_in_diff(
+        ev, "user_id", "ts", "value", treated, "2024-01-16 00:00:00",
+        outcome_filter=F.col("event_type") == "purchase",
+    )
+
+
+_register(
+    "events_diff_in_diff",
+    """
+    WITH treated AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    ), cells AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+             CASE WHEN e.ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             count(*)::BIGINT AS n,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS mean
+      FROM events e LEFT JOIN treated t ON e.user_id = t.user_id
+      WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT sum(n)::BIGINT AS n_outcomes,
+           sum(CASE WHEN treated = 0 AND post = 0 THEN mean END)
+             AS pre_control,
+           sum(CASE WHEN treated = 0 AND post = 1 THEN mean END)
+             AS post_control,
+           sum(CASE WHEN treated = 1 AND post = 0 THEN mean END)
+             AS pre_treated,
+           sum(CASE WHEN treated = 1 AND post = 1 THEN mean END)
+             AS post_treated,
+           (sum(CASE WHEN treated = 1 AND post = 1 THEN mean END)
+            - sum(CASE WHEN treated = 1 AND post = 0 THEN mean END))
+           - (sum(CASE WHEN treated = 0 AND post = 1 THEN mean END)
+              - sum(CASE WHEN treated = 0 AND post = 0 THEN mean END))
+             AS did
+    FROM cells
+    """,
+    late=True,
+)(_did_q)

@@ -230,6 +230,11 @@ HEADLINE = [
     "dq_join_size_audit",
     "events_km_gap_survival",
     "text_js_divergence",
+    # round-8 batch 5: difference-in-differences launch evaluation (one
+    # scan, 4-cell decimal-exact aggregate) and the quality-signal
+    # calibration audit (density deciles x gopher pass rate)
+    "events_diff_in_diff",
+    "curation_quality_calibration",
 ]
 
 

@@ -653,3 +653,27 @@ def test_countmin_grid_stream_matches_batch_estimates(spark):
     for r in batch:
         assert ests[r.item] == r.est_count
         assert ests[r.item] >= r.true_count
+
+
+# ---- patterns.diff_in_diff ----------------------------------------------
+
+def test_diff_in_diff_hand_computed(spark):
+    from apache_flink_essentials_spark.operators import patterns as PT
+
+    # control (u1): 10 -> 12 (+2); treated (u2): 20 -> 27 (+7); did = +5
+    rows = [
+        (1, "2024-01-10 00:00:00", 10.0),
+        (1, "2024-01-20 00:00:00", 12.0),
+        (2, "2024-01-10 00:00:00", 20.0),
+        (2, "2024-01-20 00:00:00", 27.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double") \
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    treated = spark.createDataFrame([(2,)], "user_id long")
+    r = PT.diff_in_diff(
+        df, "user_id", "ts", "value", treated, "2024-01-16 00:00:00"
+    ).collect()[0]
+    assert (r.pre_control, r.post_control) == (10.0, 12.0)
+    assert (r.pre_treated, r.post_treated) == (20.0, 27.0)
+    assert r.did == 5.0
+    assert r.n_outcomes == 4
