@@ -25,8 +25,10 @@ from apache_flink_essentials_spark.operators.sketches import (
     portable_quantile_bands,
 )
 from apache_flink_essentials_spark.operators.timeseries import (
+    acf,
     cusum_changepoints,
     lag_correlation,
+    seasonal_naive_eval,
 )
 
 
@@ -53,6 +55,12 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     n_flagged = cp.filter("is_changepoint").count()
     cp.orderBy(F.desc(F.abs(F.col("cusum")))).show(5)
     print(f"bins flagged as level shifts: {n_flagged}")
+
+    print("autocorrelation of hourly means (seasonality screen):")
+    acf(events, "ts", "value", lags=(1, 6, 12, 24)).show()
+
+    print("seasonal-naive forecastability (MASE < 1 = daily cycle is real):")
+    seasonal_naive_eval(events, "ts", "value").show()
 
     print("view->click lead/lag correlation:")
     lag = lag_correlation(events, "ts", "event_type", "view", "click")
