@@ -950,3 +950,54 @@ def km_gap_survival(
         )
     )
     return grid.orderBy("t")
+
+
+def seasonality_strength(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step_s: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """Variance-explained seasonality strength → ONE row
+    ``(n_bins, var_total, var_resid, strength)`` where
+    ``strength = 1 − var(x − seasonal_mean)/var(x)`` over the binned
+    mean series and its phase-of-period profile (the STL-style strength
+    statistic, Hyndman's feasts formulation — public literature). The
+    scalar companion to `acf`/`seasonal_naive_eval`: one number that
+    says how much of the series the daily cycle explains.
+
+    Portability: bin means are exact (DECIMAL sum / count); the phase
+    profile is a |period|-row aggregate broadcast back; both variances
+    fold the |bins|-row relation, so the outputs are rounded to 6 dp
+    per the transcendental-aggregate rule.
+
+    Scale: one bin hash-agg over the scan, a period-sized profile agg,
+    one broadcast join, one final one-row aggregate.
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    bins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") % F.lit(period)).alias("phase"),
+            (F.col("_s").cast("double") / F.col("_n")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    profile = bins.groupBy("phase").agg(F.avg("x").alias("m"))
+    joined = bins.join(F.broadcast(profile), "phase")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.var_pop("x"), 6).alias("var_total"),
+        F.round(F.var_pop(F.col("x") - F.col("m")), 6).alias("var_resid"),
+        F.round(
+            F.lit(1.0) - F.var_pop(F.col("x") - F.col("m")) / F.var_pop("x"),
+            6,
+        ).alias("strength"),
+    )

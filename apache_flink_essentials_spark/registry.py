@@ -7892,3 +7892,25 @@ _register(
     """,
     late=True,
 )(_did_q)
+
+
+_register(
+    "ts_seasonality_strength",
+    """
+    WITH bins AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             (floor(epoch(ts))::BIGINT // 3600) % 24 AS phase,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), profile AS (
+      SELECT phase, avg(x) AS m FROM bins GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_bins,
+           round(var_pop(x), 6) AS var_total,
+           round(var_pop(x - m), 6) AS var_resid,
+           round(1.0 - var_pop(x - m) / var_pop(x), 6) AS strength
+    FROM bins JOIN profile USING (phase)
+    """,
+    late=True,
+)(lambda spark, sf: TS.seasonality_strength(_events(spark, sf), "ts", "value"))

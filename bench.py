@@ -235,6 +235,7 @@ HEADLINE = [
     # calibration audit (density deciles x gopher pass rate)
     "events_diff_in_diff",
     "curation_quality_calibration",
+    "ts_seasonality_strength",
 ]
 
 

@@ -677,3 +677,32 @@ def test_diff_in_diff_hand_computed(spark):
     assert (r.pre_treated, r.post_treated) == (20.0, 27.0)
     assert r.did == 5.0
     assert r.n_outcomes == 4
+
+
+def test_seasonality_strength_pure_cycle(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # a pure 24h cycle: residual variance ~0 -> strength ~1
+    rows = [(f"2024-01-{1 + h // 24:02d} {h % 24:02d}:10:00",
+             float(50 + (h % 24))) for h in range(96)]
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    r = TS.seasonality_strength(df, "ts", "value").collect()[0]
+    assert r.n_bins == 96
+    assert r.var_resid == 0.0
+    assert r.strength == 1.0
+
+
+def test_seasonality_strength_flatish_series(spark):
+    from apache_flink_essentials_spark.operators import timeseries as TS
+
+    # alternating values with period 2 carry NO 24h structure beyond
+    # phase parity; strength stays within [0, 1]
+    rows = [(f"2024-01-{1 + h // 24:02d} {h % 24:02d}:10:00",
+             10.0 if h % 2 else 20.0) for h in range(72)]
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    r = TS.seasonality_strength(df, "ts", "value").collect()[0]
+    assert 0.0 <= r.strength <= 1.0
