@@ -581,28 +581,44 @@ def cusum_changepoints(
     ts_col: str,
     value_col: str,
     step_s: int = 3600,
-    threshold_sigma: float = 4.0,
+    threshold_sigma: int = 4,
 ) -> DataFrame:
-    """CUSUM drift detection over a binned count-weighted series (Page
-    1954): bin the stream, take per-bin mean values, accumulate
-    one-sided deviations from the GLOBAL mean
-    (``s_hi = running Σ max-style drift upward, s_lo downward`` — here
-    the classic two-sided tabular CUSUM without reset, the audit form),
-    and flag bins where |cusum| exceeds ``threshold_sigma·σ·√i`` (the
-    random-walk envelope — a real level shift grows LINEARLY in i and
-    escapes the √i envelope; noise stays inside).
+    """CUSUM drift detection over a binned series (Page 1954): bin the
+    stream, take per-bin mean values, accumulate deviations from the
+    GLOBAL mean (classic two-sided tabular CUSUM without reset, the
+    audit form), and flag bins where |cusum| exceeds
+    ``threshold_sigma·σ·√i`` (the random-walk envelope — a real level
+    shift grows LINEARLY in i and escapes the √i envelope; noise stays
+    inside).
 
-    Portability: per-bin sums/counts are exact integers-and-decimals;
-    the global mean and σ are one fixed-order computation each; the
-    cumulative sum is a WINDOW ORDERED BY bin — a sequential fold in a
-    deterministic order, identical in both engines (the EWMA
-    recursive-CTE twin argument). Output rounded to 6 dp.
+    Portability — EXACT INTEGER CONTRACT (no float ever reaches the
+    output or the boolean): per-bin means are quantized to micro-units
+    as ``m = round_half_up(100·S · 10^4 / n)`` from the exact
+    DECIMAL(18,2) sum (S_cents = 100·S is an exact BIGINT; half-up via
+    ``(a·2 + n) div (2·n)``, valid because ``value >= 0``; DuckDB ``//``
+    and Spark ``div`` both truncate, and the numerator is non-negative,
+    so the two engines agree bit-for-bit). The cusum is carried as the
+    exact BIGINT fold ``C_i = nb·Σ_{j<=i} m_j − i·T`` (deviations
+    scaled by nb so no division occurs inside the fold), and the flag
+    is the exact integer predicate ``C_i² > σ_thr²·V·i`` where
+    ``V = nb·Σm² − T²`` (so that ``(C_i/nb)² > σ_thr²·(V/nb²)·i`` ⟺
+    ``|cusum| > σ_thr·σ_pop·√i`` with zero rounding). Squares run in
+    DECIMAL(38,0) (HUGEINT on the DuckDB side) — exact at these
+    magnitudes. The emitted ``cusum_micro = C_i div nb`` uses a
+    positive-shift before the truncating division so floor semantics
+    match on negative folds.
+
+    Domain bounds (documented, generous at 100 TB hourly bins):
+    per-bin Σ value·2·10^6 must fit BIGINT → per-bin value sum
+    < 4.6·10^12; micro-means < 10^10 and |bins| < 10^5 keep C_i under
+    10^16 and C_i² / V·i inside DECIMAL(38,0).
 
     Scale: one bin hash-agg over the scan; everything after runs on the
     BINNED relation (|bins| rows) — a 1-row stats broadcast and one
     ordered window. At 100 TB the bin table is hours/days-sized.
 
-    Output: (bin, bin_mean, cusum, is_changepoint) ordered by bin.
+    Output: (bin, bin_mean_micro, cusum_micro, is_changepoint) ordered
+    by bin; means/cusum in 1e-6 value units as BIGINTs.
     """
     from pyspark.sql.window import Window
 
@@ -614,30 +630,50 @@ def cusum_changepoints(
             F.count(F.lit(1)).alias("_n"),
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
         )
+        # S_cents = 100·S exact; micro mean half-up: (S_cents·1e4·2+n) div (2n)
         .select(
-            "bin", (F.col("_s").cast("double") / F.col("_n")).alias("bin_mean")
+            "bin",
+            F.expr(
+                "(CAST(_s * 100 AS BIGINT) * 20000 + _n) div (2 * _n)"
+            ).alias("m"),
         )
     )
     stats = bins.agg(
-        F.avg("bin_mean").alias("_mu"),
-        F.stddev_pop("bin_mean").alias("_sigma"),
+        F.sum("m").alias("_T"),
         F.count(F.lit(1)).alias("_nb"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m")
+        ).alias("_sm2"),
+    ).select(
+        "_T",
+        "_nb",
+        (
+            F.col("_nb").cast("decimal(38,0)") * F.col("_sm2")
+            - F.col("_T").cast("decimal(38,0)") * F.col("_T")
+        ).alias("_V"),
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     idx = Window.orderBy("bin")
     joined = bins.crossJoin(F.broadcast(stats))
+    shift = 1_000_000_000_000_000  # positivity shift for floor-division
+    c = F.sum(F.col("m") * F.col("_nb") - F.col("_T")).over(w)
+    i = F.row_number().over(idx).cast("long")
     out = joined.select(
         "bin",
-        F.round("bin_mean", 6).alias("bin_mean"),
-        F.round(
-            F.sum(F.col("bin_mean") - F.col("_mu")).over(w), 6
-        ).alias("cusum"),
+        F.col("m").alias("bin_mean_micro"),
+        (c + F.lit(shift) * F.col("_nb")).cast("long").alias("_pre"),
         (
-            F.abs(F.sum(F.col("bin_mean") - F.col("_mu")).over(w))
-            > F.lit(threshold_sigma)
-            * F.col("_sigma")
-            * F.sqrt(F.row_number().over(idx).cast("double"))
+            c.cast("decimal(38,0)") * c
+            > F.lit(threshold_sigma * threshold_sigma)
+            * F.col("_V")
+            * i.cast("decimal(38,0)")
         ).alias("is_changepoint"),
+        F.col("_nb"),
+    ).select(
+        "bin",
+        "bin_mean_micro",
+        (F.expr("_pre div _nb") - F.lit(shift)).alias("cusum_micro"),
+        "is_changepoint",
     )
     return out.orderBy("bin")
 

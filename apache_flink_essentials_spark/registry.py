@@ -6993,26 +6993,38 @@ def _cusum_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "ts_cusum_changepoints",
+    # exact-integer micro-unit contract (see cusum_changepoints docstring):
+    # m = half-up micro mean from the exact cents sum; C_i = nb·Σm − i·T
+    # (BIGINT fold, no division inside); flag ⟺ C_i² > 16·V·i with
+    # V = nb·Σm² − T² in HUGEINT; emitted cusum_micro = floor(C_i/nb)
+    # via a positivity shift so truncating division == floor everywhere.
     """
-    WITH bins AS (
+    WITH b0 AS (
       SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-               AS bin_mean
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
       FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bins AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
     ), stats AS (
-      SELECT avg(bin_mean) AS mu, stddev_pop(bin_mean) AS sigma
+      SELECT sum(m)::BIGINT AS t, count(*)::BIGINT AS nb,
+             sum(m::HUGEINT * m::HUGEINT) AS sm2
       FROM bins
+    ), folded AS (
+      SELECT bin, m, nb,
+             sum(m * nb - t) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS c,
+             (nb::HUGEINT * sm2 - t::HUGEINT * t::HUGEINT) AS v,
+             row_number() OVER (ORDER BY bin)::BIGINT AS i
+      FROM bins, stats
     )
-    SELECT bin, round(bin_mean, 6) AS bin_mean,
-           round(sum(bin_mean - mu) OVER (ORDER BY bin
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-             AS cusum,
-           abs(sum(bin_mean - mu) OVER (ORDER BY bin
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             > 4.0 * sigma
-               * sqrt((row_number() OVER (ORDER BY bin))::DOUBLE)
+    SELECT bin, m AS bin_mean_micro,
+           ((c + 1000000000000000 * nb) // nb) - 1000000000000000
+             AS cusum_micro,
+           (c::HUGEINT * c::HUGEINT) > 16::HUGEINT * v * i::HUGEINT
              AS is_changepoint
-    FROM bins, stats ORDER BY bin
+    FROM folded ORDER BY bin
     """,
     late=True,
 )(_cusum_q)

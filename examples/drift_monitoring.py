@@ -53,7 +53,7 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     print("CUSUM level-shift scan over hourly means:")
     cp = cusum_changepoints(events, "ts", "value")
     n_flagged = cp.filter("is_changepoint").count()
-    cp.orderBy(F.desc(F.abs(F.col("cusum")))).show(5)
+    cp.orderBy(F.desc(F.abs(F.col("cusum_micro")))).show(5)
     print(f"bins flagged as level shifts: {n_flagged}")
 
     print("autocorrelation of hourly means (seasonality screen):")

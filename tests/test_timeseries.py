@@ -279,9 +279,12 @@ def test_cusum_flags_planted_level_shift(spark):
     # mean-centered CUSUM localizes the shift at the |cusum| ARGMAX: the
     # last pre-shift bin (deviations accumulate up to the break, then
     # unwind) — bins[47] is the 48th bin, the final one at the old level
-    peak = max(out, key=lambda r: abs(r.cusum))
+    peak = max(out, key=lambda r: abs(r.cusum_micro))
     assert peak.bin == out[47].bin
     assert peak.is_changepoint
+    # exact-integer contract: micro means are the planted levels exactly
+    assert out[0].bin_mean_micro == 10_000_000
+    assert out[-1].bin_mean_micro == 20_000_000
 
 
 def test_cusum_constant_series_flags_nothing(spark):
@@ -296,4 +299,4 @@ def test_cusum_constant_series_flags_nothing(spark):
     df = spark.createDataFrame(rows, "ts timestamp, value double")
     out = cusum_changepoints(df, "ts", "value").collect()
     assert all(not r.is_changepoint for r in out)
-    assert all(r.cusum == 0.0 for r in out)
+    assert all(r.cusum_micro == 0 for r in out)
