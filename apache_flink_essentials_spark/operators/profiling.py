@@ -618,6 +618,11 @@ def join_size_audit(
     hash agg — the full tables never meet), the count tables join on the
     key, and everything after is a one-row aggregate. Cost is
     O(distinct keys), independent of the join output it predicts.
+    Self-edges (``df_a is df_b and key_a == key_b`` — the canonical
+    fan-out audit) skip the count-table join entirely: the grouped
+    relation is 1:1 with itself, so ``join_rows = Σ c²`` and
+    ``max_key_rows = max(c²)`` read off the SINGLE aggregate — one scan
+    and one hash agg per self-edge instead of two of each plus a join.
     """
     outs = []
     for name, df_a, key_a, df_b, key_b in joins:
@@ -626,14 +631,19 @@ def join_size_audit(
             .groupBy(F.col(key_a).alias("_k"))
             .agg(F.count(F.lit(1)).alias("_ca"))
         )
-        cb = (
-            df_b.where(F.col(key_b).isNotNull())
-            .groupBy(F.col(key_b).alias("_k"))
-            .agg(F.count(F.lit(1)).alias("_cb"))
-        )
-        per_key = ca.join(cb, "_k").select(
-            (F.col("_ca") * F.col("_cb")).alias("_rows")
-        )
+        if df_a is df_b and key_a == key_b:
+            per_key = ca.select(
+                (F.col("_ca") * F.col("_ca")).alias("_rows")
+            )
+        else:
+            cb = (
+                df_b.where(F.col(key_b).isNotNull())
+                .groupBy(F.col(key_b).alias("_k"))
+                .agg(F.count(F.lit(1)).alias("_cb"))
+            )
+            per_key = ca.join(cb, "_k").select(
+                (F.col("_ca") * F.col("_cb")).alias("_rows")
+            )
         outs.append(
             per_key.agg(
                 F.count(F.lit(1)).alias("n_keys_common"),

@@ -477,11 +477,15 @@ def hll_set_ops(
     exact and the estimate arithmetic is fixed-order — oracle-checkable
     like ``portable_hll_distinct``.
 
-    One scan: membership in A/B is exploded per row (a row can be in
-    BOTH — overlapping filters are the whole point of set ops), then one
-    (side, bucket) register aggregate; the union re-merges the same
-    partials with the side key dropped. Shuffles carry at most 2·2^p
-    integer rows.
+    One scan, ONE merge: membership in A/B is exploded per row (a row
+    can be in BOTH — overlapping filters are the whole point of set
+    ops) into a (side, bucket) register aggregate; each partial row
+    then fans out to its own side AND the ``union`` label, so a single
+    keyed ``portable_hll_merge`` resolves left/right/union together
+    (previously three independent merges re-derived the same partials —
+    a 12-exchange plan). Intersection is a fixed-order scalar
+    ``l + r − u`` off a one-row conditional pivot of the 3-row estimate
+    relation. Shuffles carry at most ``3·2^p`` integer rows.
 
     Output: 4 rows — (set_op ∈ left|right|union|intersection, estimate).
     """
@@ -497,27 +501,21 @@ def hll_set_ops(
         ).alias("side"),
     )
     partials = portable_hll_partials(sides, col, keys=("side",), p=p)
-    partials = partials.localCheckpoint(eager=False)
-
-    def est(pdf: DataFrame, label: str) -> DataFrame:
-        m = portable_hll_merge(pdf, p=p)
-        return m.select(
-            F.lit(label).alias("set_op"),
-            F.col("hll_distinct").alias("estimate"),
-        )
-
-    left = est(partials.where(F.col("side") == "left").drop("side"), "left")
-    right = est(partials.where(F.col("side") == "right").drop("side"), "right")
-    union = est(partials.drop("side"), "union")
-    inter = (
-        left.select(F.col("estimate").alias("_l"))
-        .crossJoin(right.select(F.col("estimate").alias("_r")))
-        .crossJoin(union.select(F.col("estimate").alias("_u")))
-        .select(
-            F.lit("intersection").alias("set_op"),
-            (F.col("_l") + F.col("_r") - F.col("_u")).alias("estimate"),
-        )
+    fanned = partials.select(
+        F.explode(F.array(F.col("side"), F.lit("union"))).alias("set_op"),
+        "_bucket",
+        "_mx",
     )
-    return left.unionByName(right).unionByName(union).unionByName(inter).orderBy(
-        "set_op"
+    base = portable_hll_merge(fanned, keys=("set_op",), p=p).select(
+        "set_op", F.col("hll_distinct").alias("estimate")
     )
+    base = base.localCheckpoint(eager=False)
+    inter = base.agg(
+        F.max(F.when(F.col("set_op") == "left", F.col("estimate"))).alias("_l"),
+        F.max(F.when(F.col("set_op") == "right", F.col("estimate"))).alias("_r"),
+        F.max(F.when(F.col("set_op") == "union", F.col("estimate"))).alias("_u"),
+    ).select(
+        F.lit("intersection").alias("set_op"),
+        (F.col("_l") + F.col("_r") - F.col("_u")).alias("estimate"),
+    )
+    return base.unionByName(inter).orderBy("set_op")

@@ -1835,14 +1835,20 @@ def js_divergence_by_group(
 
     Scale: one tokenize+explode pass feeds BOTH the (group, term) and
     corpus aggregates; the scoring grid is |groups| × head — a
-    PARAMETER-bounded relation, never vocabulary × corpus.
+    PARAMETER-bounded relation, never vocabulary × corpus. The
+    tokenize leg rides the 16 KB/task ``floor_parallelism`` gate (the
+    winnow convention): per-token work over an under-split source is
+    the measured cost center, and one cheap row exchange fans it out;
+    at real scale the scan has plenty of splits and the gate is a no-op.
     """
     from apache_flink_essentials_spark.operators.transform import (
+        floor_parallelism,
         global_row_number,
     )
 
     occ = (
-        df.select(
+        floor_parallelism(df, min_task_bytes=1 << 14)
+        .select(
             F.col(group_col).alias("grp"),
             F.explode(tokens_expr(text_col)).alias("term"),
         )
