@@ -273,8 +273,11 @@ def triangle_stats(
     The (degree, node) order is packed into one BIGINT
     ``degree * 10^12 + node`` so the orientation comparison, the wedge
     self-join and the closing-edge join all run on a single primitive
-    key (documented domain assumption: node ids < 10^12, degrees
-    < 9·10^5 — both asserted cheaply upstream at real scale).
+    key. Domain bounds (node ids < 10^12, degrees < 9·10^6 so the
+    packed key can't collide or overflow a BIGINT) are ENFORCED inline:
+    the packed expression carries an ``assert_true`` term that fails
+    the job with an explicit message on out-of-domain ids, instead of
+    silently corrupting the order key.
 
     ``max_degree`` drops nodes above a degree cap BEFORE orientation —
     the hot-block cap idiom (see SCALING.md): a 10^6-degree hub alone
@@ -312,10 +315,28 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+    # the guard is folded INTO the packed key (coalesce of an always-
+    # NULL assert term) so column pruning can't drop it: assert_true
+    # yields NULL when the bound holds and raises otherwise
+    _guard = F.coalesce(
+        F.assert_true(
+            (F.col("node").cast("long") < F.lit(10**12))
+            & (F.col("node").cast("long") >= 0)
+            & (F.col("degree").cast("long") < F.lit(9 * 10**6)),
+            F.lit(
+                "triangle_stats packed-order domain exceeded: "
+                "requires 0 <= node id < 10^12 and degree < 9*10^6"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     ord_ = deg.select(
         "node",
-        (F.col("degree").cast("long") * F.lit(10**12) + F.col("node"))
-        .alias("ord"),
+        (
+            F.col("degree").cast("long") * F.lit(10**12)
+            + F.col("node")
+            + _guard
+        ).alias("ord"),
     )
     # totals that don't need orientation: nodes, edges, wedges
     totals = deg.agg(

@@ -758,21 +758,27 @@ def golden_record(
         ],
         *[F.max(F.col(attr)).alias(out) for out, attr in maxed.items()],
     )
+    from pyspark.sql.window import Window
+
     out = base_agg
     for out_col, attr in modal.items():
+        # (votes DESC, value ASC) rank over the per-component vote table
+        # — NOT max_by over (votes, -value): arithmetic negation only
+        # orders numerics, and the typical modal survivorship target is
+        # a low-cardinality STRING, where -col is NULL (or an ANSI
+        # error) and ties would go nondeterministic. row_number over the
+        # vote table orders any comparable type, at |component × value|
+        # cardinality.
+        w = (
+            Window.partitionBy("component")
+            .orderBy(F.desc("_votes"), F.asc(attr))
+        )
         votes = (
             members.groupBy(comp.alias("component"), F.col(attr))
             .agg(F.count(F.lit(1)).alias("_votes"))
-            .groupBy("component")
-            .agg(
-                F.max_by(
-                    F.col(attr),
-                    F.struct(
-                        F.col("_votes").alias("v"),
-                        (-F.col(attr)).alias("tb"),
-                    ),
-                ).alias(out_col)
-            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("component", F.col(attr).alias(out_col))
         )
         out = out.join(votes, "component")
     return out.orderBy("component")

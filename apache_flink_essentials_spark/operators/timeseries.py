@@ -576,6 +576,92 @@ def lag_correlation(
     )
 
 
+def binned_sums(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step_s: int = 3600,
+) -> DataFrame:
+    """The drift workbench's shared relation: exact per-bin
+    ``(bin, _n, _s)`` — BIGINT row count and DECIMAL(18,2) value sum per
+    time bin. Both :func:`cusum_changepoints` and :func:`acf` (and any
+    future binned-series statistic) derive from this one aggregate, and
+    ``streaming.rollup.binned_sums_stream`` maintains the SAME relation
+    as complete-mode stream state: count and decimal sum are
+    associative and exact, so the streamed aggregate is bit-identical
+    to this batch one over the same rows in any arrival order.
+
+    Scale: one map-side-combined hash agg over the scan; the output is
+    |bins| rows (hours/days-sized at 100 TB).
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+    )
+
+
+def cusum_from_binned(
+    bins: DataFrame, threshold_sigma: int = 4
+) -> DataFrame:
+    """CUSUM tail over a finished ``binned_sums`` relation (batch or
+    drained stream state) — the derive-on-read half of
+    :func:`cusum_changepoints`, which documents the exact integer
+    contract. The cumulative fold depends on the FULL bin series, so it
+    re-runs on read over |bins| rows — non-incremental by semantics,
+    cheap by size (the `coverage_from_counts` argument)."""
+    from pyspark.sql.window import Window
+
+    mbins = bins.select(
+        "bin",
+        F.expr(
+            "(CAST(_s * 100 AS BIGINT) * 20000 + _n) div (2 * _n)"
+        ).alias("m"),
+    )
+    stats = mbins.agg(
+        F.sum("m").alias("_T"),
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m")
+        ).alias("_sm2"),
+    ).select(
+        "_T",
+        "_nb",
+        (
+            F.col("_nb").cast("decimal(38,0)") * F.col("_sm2")
+            - F.col("_T").cast("decimal(38,0)") * F.col("_T")
+        ).alias("_V"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    idx = Window.orderBy("bin")
+    joined = mbins.crossJoin(F.broadcast(stats))
+    shift = 1_000_000_000_000_000  # positivity shift for floor-division
+    c = F.sum(F.col("m") * F.col("_nb") - F.col("_T")).over(w)
+    i = F.row_number().over(idx).cast("long")
+    out = joined.select(
+        "bin",
+        F.col("m").alias("bin_mean_micro"),
+        (c + F.lit(shift) * F.col("_nb")).cast("long").alias("_pre"),
+        (
+            c.cast("decimal(38,0)") * c
+            > F.lit(threshold_sigma * threshold_sigma)
+            * F.col("_V")
+            * i.cast("decimal(38,0)")
+        ).alias("is_changepoint"),
+        F.col("_nb"),
+    ).select(
+        "bin",
+        "bin_mean_micro",
+        (F.expr("_pre div _nb") - F.lit(shift)).alias("cusum_micro"),
+        "is_changepoint",
+    )
+    return out.orderBy("bin")
+
+
 def cusum_changepoints(
     df: DataFrame,
     ts_col: str,
@@ -620,62 +706,10 @@ def cusum_changepoints(
     Output: (bin, bin_mean_micro, cusum_micro, is_changepoint) ordered
     by bin; means/cusum in 1e-6 value units as BIGINTs.
     """
-    from pyspark.sql.window import Window
-
-    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
-    bins = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(bin_col.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
-        )
-        # S_cents = 100·S exact; micro mean half-up: (S_cents·1e4·2+n) div (2n)
-        .select(
-            "bin",
-            F.expr(
-                "(CAST(_s * 100 AS BIGINT) * 20000 + _n) div (2 * _n)"
-            ).alias("m"),
-        )
+    return cusum_from_binned(
+        binned_sums(df, ts_col, value_col, step_s=step_s),
+        threshold_sigma=threshold_sigma,
     )
-    stats = bins.agg(
-        F.sum("m").alias("_T"),
-        F.count(F.lit(1)).alias("_nb"),
-        F.sum(
-            F.col("m").cast("decimal(38,0)") * F.col("m")
-        ).alias("_sm2"),
-    ).select(
-        "_T",
-        "_nb",
-        (
-            F.col("_nb").cast("decimal(38,0)") * F.col("_sm2")
-            - F.col("_T").cast("decimal(38,0)") * F.col("_T")
-        ).alias("_V"),
-    )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    idx = Window.orderBy("bin")
-    joined = bins.crossJoin(F.broadcast(stats))
-    shift = 1_000_000_000_000_000  # positivity shift for floor-division
-    c = F.sum(F.col("m") * F.col("_nb") - F.col("_T")).over(w)
-    i = F.row_number().over(idx).cast("long")
-    out = joined.select(
-        "bin",
-        F.col("m").alias("bin_mean_micro"),
-        (c + F.lit(shift) * F.col("_nb")).cast("long").alias("_pre"),
-        (
-            c.cast("decimal(38,0)") * c
-            > F.lit(threshold_sigma * threshold_sigma)
-            * F.col("_V")
-            * i.cast("decimal(38,0)")
-        ).alias("is_changepoint"),
-        F.col("_nb"),
-    ).select(
-        "bin",
-        "bin_mean_micro",
-        (F.expr("_pre div _nb") - F.lit(shift)).alias("cusum_micro"),
-        "is_changepoint",
-    )
-    return out.orderBy("bin")
 
 
 def acf(
@@ -704,15 +738,22 @@ def acf(
     its shifted self, and a |lags|-row aggregate. Missing bins simply
     drop their pairs (no gapfill assumption).
     """
-    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    return acf_from_binned(
+        binned_sums(df, ts_col, value_col, step_s=step_s), lags=lags
+    )
+
+
+def acf_from_binned(
+    binned: DataFrame, lags: Sequence[int] = (1, 2, 3, 6, 12, 24)
+) -> DataFrame:
+    """ACF tail over a finished ``binned_sums`` relation (batch or
+    drained stream state) — the derive-on-read half of :func:`acf`,
+    sharing the drift workbench's one binned aggregate with
+    :func:`cusum_from_binned`. Centered moments depend on the global
+    bin mean, so the tail re-runs on read — over |bins| rows, never the
+    data."""
     bins = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(bin_col.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
-        )
-        .select(
+        binned.select(
             "bin",
             (F.col("_s").cast("double") / F.col("_n")).alias("x"),
         )
@@ -723,7 +764,7 @@ def acf(
         "bin", (F.col("x") - F.col("_mu")).alias("d")
     )
     den = centered.agg(F.sum(F.col("d") * F.col("d")).alias("_den"))
-    spark = df.sparkSession
+    spark = binned.sparkSession
     lag_df = spark.createDataFrame([(int(l),) for l in lags], "lag long")
     a = centered.select("bin", F.col("d").alias("da"))
     b = centered.select(F.col("bin").alias("bin_b"), F.col("d").alias("db"))

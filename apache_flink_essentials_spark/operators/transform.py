@@ -519,9 +519,13 @@ def global_prefix_sum(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).localCheckpoint(eager=False)
+    # per-partition totals come from sum(value_col), NOT max(_lcum):
+    # the two agree only when every value is non-negative — a negative
+    # value mid-partition makes the local cumsum peak before the end,
+    # and max() would silently shift every later partition's offset.
     offsets = (
         local.groupBy("_pid")
-        .agg(F.max("_lcum").alias("_ptot"))
+        .agg(F.sum(value_col).alias("_ptot"))
         .select(
             "_pid",
             F.coalesce(

@@ -222,6 +222,40 @@ def token_counts_stream(
     )
 
 
+def binned_sums_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.binned_sums`` — the drift
+    workbench's shared relation as complete-mode stream state: per time
+    bin, the exact BIGINT row count and DECIMAL(18,2) value sum. Both
+    maintained quantities are associative exact sums, so the finished
+    aggregate is BIT-IDENTICAL to the batch binning over the same rows
+    in any arrival order, and state is |bins| rows — bounded by the
+    stream's time SPAN, not its volume (a year of hourly bins is 8,760
+    rows of state at any event rate).
+
+    Derive-on-read tails: feed the completed aggregate to
+    ``timeseries.cusum_from_binned`` (level-shift scan) and/or
+    ``timeseries.acf_from_binned`` (seasonality screen) — both
+    statistics depend on the GLOBAL bin mean, so they are
+    non-incremental by semantics and re-run on read over the |bins|-row
+    state (the ``token_counts_stream`` / ``coverage_from_counts``
+    split). Stream≡batch equality is pinned by tests for both tails.
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+        )
+    )
+
+
 def trend_power_sums_stream(
     stream: DataFrame,
     group_col: str = "event_type",
@@ -258,8 +292,14 @@ def trend_power_sums_stream(
             F.min("_x").alias("_t0"),
             F.sum(F.col("_x").cast("decimal(38,0)")).alias("_rsx"),
             F.sum("_y").alias("_sy"),
-            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)"))
-            .alias("_rsxx"),
+            # cast BEFORE multiplying: a raw long*long x² overflows for
+            # epochs past ~3.04e9 s (~2066) even though the summed
+            # decimal has headroom — the per-row product must already
+            # be on the DECIMAL pathway the finish's audit reasons about
+            F.sum(
+                F.col("_x").cast("decimal(38,0)")
+                * F.col("_x").cast("decimal(38,0)")
+            ).alias("_rsxx"),
             F.sum((F.col("_y") * F.col("_x")).cast("decimal(38,2)"))
             .alias("_rsxy"),
             F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,4)"))
