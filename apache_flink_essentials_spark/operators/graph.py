@@ -232,6 +232,82 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph
+    (Newman '02 "Assortative mixing in networks", public paper) → ONE
+    row ``(n_nodes, n_edges, assortativity)``: the Pearson correlation
+    of endpoint degrees across edges. Positive = hubs link to hubs
+    (social-graph shape), negative = hubs link to leaves
+    (infrastructure/star shape) — THE one-number read on whether
+    degree-targeted mitigations (hub caps, salting) will bite, taken
+    BEFORE any iterative algorithm runs.
+
+    Input: canonical edge list from :func:`undirected_edges` (``a < b``,
+    distinct, no self-loops).
+
+    Portability: each undirected edge contributes BOTH orientations
+    (the standard symmetrized form — Sx = Sy by construction), every
+    moment (Σx, Σxy, Σx²) is an exact integer sum of BIGINT degree
+    products carried in DECIMAL(38,0), and the coefficient is ONE
+    fixed-order double expression of those exact operands — registered
+    unrounded (the `trend_ols` convention). Degenerate regular graphs
+    (zero degree variance) return NULL, surfaced rather than 0-coerced.
+
+    Scale: one degree hash-agg on the exploded endpoints, two slim
+    joins to attach (deg_a, deg_b) per edge — broadcast when the degree
+    table is small, shuffle-keyed otherwise — then a one-row aggregate.
+    No step sees more than |E| rows. The edge relation is
+    lazy-checkpointed (the `triangle_stats` convention): three branches
+    read it — the degree union twice, the pairing once — and an
+    upstream edge DERIVATION (a co-occurrence join, a dedup) must run
+    once, not three times.
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    # the degree table is read three times (two join sides + the node
+    # total) — checkpoint it too, so the union-agg runs once
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    paired = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("db")), "b")
+        .select(
+            F.col("da").cast("decimal(38,0)").alias("da"),
+            F.col("db").cast("decimal(38,0)").alias("db"),
+        )
+    )
+    # symmetrized moments: both orientations of every edge, as exact sums
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col("da") + F.col("db")).alias("_sx"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * F.col("da") * F.col("db"))
+        .alias("_sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .alias("_sxx"),
+    )
+    totals = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    m2 = (F.lit(2).cast("decimal(38,0)") * F.col("_m")).cast("double")
+    sx = F.col("_sx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    return (
+        sums.crossJoin(F.broadcast(totals))
+        .select(
+            "n_nodes",
+            F.col("_m").cast("long").alias("n_edges"),
+            F.when(den != F.lit(0.0), num / den).alias("assortativity"),
+        )
+    )
+
+
 def undirected_edges(
     df: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:

@@ -599,6 +599,90 @@ def referential_audit(
     return res.orderBy("relation")
 
 
+def schema_drift(
+    df: DataFrame,
+    ts_col: str,
+    cols: "list[str]",
+) -> DataFrame:
+    """Column-profile drift between the EARLY and LATE time halves of a
+    table → one row per column ``(column, n_early, n_late,
+    null_rate_early, null_rate_late, n_distinct_early,
+    n_distinct_late)`` — the scheduled data-quality read that catches a
+    silently changed upstream (a column going null-heavy, an enum
+    collapsing to one value, an id column suddenly low-cardinality)
+    BEFORE it poisons training data. The split point is the midpoint of
+    the observed epoch range — ``(min + max) div 2``, exact BIGINT
+    truncating division on both engines.
+
+    Portability: row/null/distinct counts are exact BIGINTs; the null
+    rates are per-row int/int rationals (unrounded per convention).
+
+    Scale: ONE scan — the per-side profile is a single groupBy(side)
+    with k exact count-distincts (Catalyst's Expand: k× the scan rows
+    carrying (side, one column) pairs — the standard multi-distinct
+    plan; at 100 TB switch hot columns to the HLL sketch tier if exact
+    cardinality isn't required). The reshape to one-row-per-column runs
+    on the 2-row profile relation.
+    """
+    epoch = F.col(ts_col).cast("long")
+    bounds = df.agg(
+        ((F.min(epoch) + F.max(epoch)) / 2).cast("long").alias("_cut")
+    )
+    sided = df.crossJoin(F.broadcast(bounds)).select(
+        F.when(epoch <= F.col("_cut"), F.lit("early"))
+        .otherwise(F.lit("late")).alias("_side"),
+        *[F.col(c) for c in cols],
+    )
+    per_side = sided.groupBy("_side").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_nn_{i}") for i, c in enumerate(cols)],
+        *[
+            F.countDistinct(F.col(c)).alias(f"_nd_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    long = per_side.select(
+        "_side",
+        "_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"_nn_{i}").alias("_nn"),
+                    F.col(f"_nd_{i}").alias("_nd"),
+                )
+                for i, c in enumerate(cols)
+            ])
+        ).alias("_m"),
+    ).select("_side", "_n", "_m.*")
+    pick = lambda side, col: F.max(  # noqa: E731
+        F.when(F.col("_side") == side, F.col(col))
+    )
+    return (
+        long.groupBy("column")
+        .agg(
+            pick("early", "_n").alias("n_early"),
+            pick("late", "_n").alias("n_late"),
+            pick("early", "_nn").alias("_nn_e"),
+            pick("late", "_nn").alias("_nn_l"),
+            pick("early", "_nd").alias("n_distinct_early"),
+            pick("late", "_nd").alias("n_distinct_late"),
+        )
+        .select(
+            "column",
+            "n_early",
+            "n_late",
+            ((F.col("n_early") - F.col("_nn_e")) / F.col("n_early"))
+            .alias("null_rate_early"),
+            ((F.col("n_late") - F.col("_nn_l")) / F.col("n_late"))
+            .alias("null_rate_late"),
+            "n_distinct_early",
+            "n_distinct_late",
+        )
+        .orderBy("column")
+    )
+
+
 def join_size_audit(
     joins: "list[tuple[str, DataFrame, str, DataFrame, str]]",
 ) -> DataFrame:

@@ -1650,6 +1650,135 @@ def coverage_from_counts(
     )
 
 
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities over the
+    corpus's own bigram table (Kneser & Ney '95; the modified form of
+    Chen & Goodman '98 is this with per-count discounts) →
+    ``(rank, w1, w2, c12, n1p, n1f, p_kn)`` for the ``top_n`` bigrams by
+    count — THE standard n-gram LM smoothing, and the quality rung above
+    raw conditional frequency (`bigram_logprob`): continuation
+    probability keeps "Francisco" from looking likely after anything
+    just because "San Francisco" is frequent.
+
+    With the standard discount d = 0.75 ( = 3/4, an exact rational):
+
+      ``p_kn(w2|w1) = max(c12 − d, 0)/c1
+                      + (d · n1p(w1)/c1) · (n1f(w2)/B)``
+
+    where ``c1`` is w1's bigram-first count, ``n1p(w1)`` the distinct
+    continuations of w1, ``n1f(w2)`` the distinct predecessors of w2
+    (the continuation count), and ``B`` the distinct-bigram total.
+    Rendered portably as the fixed-order all-integer-operand form
+    ``greatest(4·c12 − 3, 0)/(4·c1) + (3·n1p·n1f)/(4·c1·B)`` — every
+    leaf an exact BIGINT, two divisions and one addition in fixed
+    order → bit-identical doubles, registered UNROUNDED (per-row
+    rational convention).
+
+    Scale — two formulations, chosen by estimated input size (the
+    `bigram_logprob` size-adaptive precedent; identical results — every
+    aggregate is an exact integer in both forms):
+
+    * **Small inputs** (local file bytes provably < 256 MB): ONE linear
+      pipeline with zero branches — the (w1, w2) hash-agg, then a
+      ``coalesce(1)`` of the TYPE table (vocab-bounded and proven
+      small) under which every window — (c1, n1p) over w1, n1f over
+      w2, B, and the head rank — chains in a single stage
+      (SinglePartition satisfies every clustered distribution, so no
+      window re-exchanges; only in-memory sorts of the type table).
+      No checkpoint, no join builds, no multi-job fan-out. The floor
+      gate stays at the DEFAULT 1 MB/task here (measured: the 16 KB
+      winnow gate's exchange costs more than this codegen-cheap bigram
+      explode gains — 0.44 s vs 0.60 s at sf0.1).
+    * **Large/unknown inputs** (the 100 TB path): the c1/n1p and n1f
+      rollups re-aggregate the lazily-checkpointed TYPE table keyed by
+      each side and join back (AQE broadcasts them when runtime sizes
+      allow — no forced broadcast: a web corpus's bigram-type table is
+      not driver-sized); the 1-row B total broadcasts; the head ranking
+      is the two-phase ``global_row_number`` (never a single-task
+      global window over an unbounded relation).
+    """
+    from .transform import (
+        _estimated_input_bytes,
+        floor_parallelism,
+        global_row_number,
+    )
+
+    fl = F.array_remove(tokens_expr(text_col), "")
+    base = floor_parallelism(df)
+    occ = (
+        base.select(fl.alias("_fl"))
+        .select(
+            F.posexplode(
+                F.slice("_fl", 1, F.greatest(F.size("_fl") - 1, F.lit(0)))
+            ).alias("_i", "w1"),
+            F.col("_fl"),
+        )
+        .select("w1", F.element_at("_fl", F.col("_i") + 2).alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pkn = (
+        F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0))
+        .cast("double")
+        / (F.lit(4) * F.col("c1")).cast("double")
+        + (F.col("n1p") * F.col("n1f") * F.lit(3)).cast("double")
+        / (F.col("c1") * F.col("_B") * F.lit(4)).cast("double")
+    ).alias("p_kn")
+    size = _estimated_input_bytes(df)
+    if size is not None and size < (256 << 20):
+        w1w = Window.partitionBy("w1")
+        w2w = Window.partitionBy("w2")
+        scored = (
+            occ.coalesce(1)
+            .select(
+                "w1",
+                "w2",
+                "c12",
+                F.sum("c12").over(w1w).alias("c1"),
+                F.count(F.lit(1)).over(w1w).alias("n1p"),
+            )
+            .withColumn("n1f", F.count(F.lit(1)).over(w2w))
+            .withColumn("_B", F.count(F.lit(1)).over(Window.partitionBy()))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("c12"), "w1", "w2")
+                ),
+            )
+        )
+        return (
+            scored.where(F.col("rank") <= top_n)
+            .select("rank", "w1", "w2", "c12", "n1p", "n1f", pkn)
+            .orderBy("rank")
+        )
+    occ = occ.localCheckpoint(eager=False)
+    left = occ.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    right = occ.groupBy("w2").agg(F.count(F.lit(1)).alias("n1f"))
+    btot = occ.agg(F.count(F.lit(1)).alias("_B"))
+    scored = (
+        occ.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "c12", "n1p", "n1f", pkn)
+    )
+    ranked = global_row_number(
+        scored.withColumn("_negc", -F.col("c12")),
+        ["_negc", "w1", "w2"],
+        out_col="rank",
+    )
+    return (
+        ranked.where(F.col("rank") <= top_n)
+        .select("rank", "w1", "w2", "c12", "n1p", "n1f", "p_kn")
+        .orderBy("rank")
+    )
+
+
 def zipf_fit(
     df: DataFrame, text_col: str = "text", max_rank: int | None = None
 ) -> DataFrame:

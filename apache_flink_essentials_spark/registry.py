@@ -7926,3 +7926,237 @@ _register(
     """,
     late=True,
 )(lambda spark, sf: TS.seasonality_strength(_events(spark, sf), "ts", "value"))
+
+
+# =========================================================================
+# round 9: degree assortativity, Theil-Sen robust trend, signed random
+# projection, Kneser-Ney bigram smoothing, schema-drift profile
+# =========================================================================
+
+
+def _assort_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G4
+
+    part = (
+        load_table(spark, "part", sf)
+        .where(F.col("p_brand").startswith("Brand#1"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), "l_partkey", "left_semi")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        left.join(right, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
+    return G4.degree_assortativity(G4.undirected_edges(pairs, "pa", "pb"))
+
+
+_register(
+    "graph_assortativity",
+    """
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+           FROM lineitem JOIN pp ON l_partkey = p_partkey),
+    e AS (SELECT DISTINCT x.v AS a, y.v AS b
+          FROM li x JOIN li y ON x.o = y.o AND x.v < y.v),
+    deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+            GROUP BY 1),
+    paired AS (SELECT da.degree::HUGEINT AS da, db.degree::HUGEINT AS db
+               FROM e JOIN deg da ON e.a = da.node
+                      JOIN deg db ON e.b = db.node),
+    sums AS (SELECT count(*)::HUGEINT AS m,
+                    sum(da + db) AS sx,
+                    sum(2::HUGEINT * da * db) AS sxy,
+                    sum(da * da + db * db) AS sxx
+             FROM paired)
+    SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+           m::BIGINT AS n_edges,
+           CASE WHEN ((2::HUGEINT * m)::DOUBLE * sxx::DOUBLE
+                      - sx::DOUBLE * sx::DOUBLE) != 0.0
+                THEN ((2::HUGEINT * m)::DOUBLE * sxy::DOUBLE
+                      - sx::DOUBLE * sx::DOUBLE)
+                     / ((2::HUGEINT * m)::DOUBLE * sxx::DOUBLE
+                        - sx::DOUBLE * sx::DOUBLE)
+           END AS assortativity
+    FROM sums
+    """,
+    late=True,
+)(_assort_q)
+
+
+def _theilsen_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.theilsen_trend(_events(spark, sf), "ts", "value")
+
+
+_register(
+    "ts_theilsen_trend",
+    # mirrors theilsen_from_binned: exact micro-unit bin means (the
+    # cusum contract), per-pair int/int slope rationals, median as the
+    # middle element(s) of the (slope, bi, bj) total order
+    """
+    WITH b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
+    ), slopes AS (
+      SELECT a.bin AS bi, b.bin AS bj,
+             (b.m - a.m)::DOUBLE / (b.bin - a.bin)::DOUBLE AS slope
+      FROM m a JOIN m b ON a.bin < b.bin
+    ), ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, bi, bj)::BIGINT AS rk
+      FROM slopes
+    ), counts AS (
+      SELECT count(*)::BIGINT AS n_bins,
+             (count(*)::BIGINT * (count(*)::BIGINT - 1) // 2) AS n_pairs
+      FROM m
+    )
+    SELECT n_bins, n_pairs,
+           round((min(slope) + max(slope)) / 2.0, 6)
+             AS slope_micro_per_bin
+    FROM ranked, counts
+    WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+    GROUP BY n_bins, n_pairs
+    """,
+    late=True,
+)(_theilsen_q)
+
+
+def _signed_proj_q(spark: SparkSession, sf: str) -> DataFrame:
+    return V.signed_projection(
+        load_table(spark, "embeddings", sf), dim=64, n_proj=16, seed=0
+    )
+
+
+def _signed_proj_oracle() -> str:
+    rows = ",\n      ".join(
+        f"({j}, [{','.join(str(s) for s in row)}])"
+        for j, row in enumerate(V.signed_sign_table(16, 64, seed=0))
+    )
+    return f"""
+    WITH vm AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS v
+      FROM embeddings
+    ), sg(j, s) AS (VALUES
+      {rows}
+    )
+    SELECT vec_id, j::BIGINT AS proj_idx,
+           list_sum(list_transform(range(1, 65),
+             i -> v[i] * s[i]))::BIGINT AS proj_micro,
+           list_sum(list_transform(range(1, 65),
+             i -> v[i] * s[i]))::BIGINT >= 0 AS bit
+    FROM vm, sg
+    """
+
+
+_register("vec_signed_projection", _signed_proj_oracle(), late=True)(
+    _signed_proj_q
+)
+
+
+def _kn_q(spark: SparkSession, sf: str) -> DataFrame:
+    return X.kneser_ney_bigrams(load_table(spark, "documents", sf), top_n=20)
+
+
+_register(
+    "text_kneser_ney_top20",
+    # fixed-order all-integer-operand KN form with d = 3/4:
+    # max(c12-d,0)/c1 + (d*n1p/c1)*(n1f/B) == greatest(4c12-3,0)/(4c1)
+    # + 3*n1p*n1f/(4*c1*B) -- two divisions + one addition, unrounded
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t != '') AS tl
+      FROM documents
+    ), occ AS (
+      SELECT tl[i] AS w1, tl[i + 1] AS w2, count(*)::BIGINT AS c12
+      FROM toks, UNNEST(range(1, len(tl))) AS r(i)
+      GROUP BY 1, 2
+    ), lf AS (
+      SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+      FROM occ GROUP BY 1
+    ), rt AS (
+      SELECT w2, count(*)::BIGINT AS n1f FROM occ GROUP BY 1
+    ), btot AS (SELECT count(*)::BIGINT AS b FROM occ),
+    scored AS (
+      SELECT w1, w2, c12, n1p, n1f,
+             greatest(4 * c12 - 3, 0)::DOUBLE / (4 * c1)::DOUBLE
+             + (n1p * n1f * 3)::DOUBLE / (c1 * b * 4)::DOUBLE AS p_kn,
+             row_number() OVER (ORDER BY c12 DESC, w1, w2)::BIGINT
+               AS rank
+      FROM occ JOIN lf USING (w1) JOIN rt USING (w2), btot
+    )
+    SELECT rank, w1, w2, c12, n1p, n1f, p_kn
+    FROM scored WHERE rank <= 20 ORDER BY rank
+    """,
+    late=True,
+)(_kn_q)
+
+
+def _schema_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    return P.schema_drift(
+        _events(spark, sf), "ts", ["event_type", "props", "user_id", "value"]
+    )
+
+
+_register(
+    "dq_schema_drift",
+    """
+    WITH b AS (
+      SELECT ((min(floor(epoch(ts))::BIGINT)
+               + max(floor(epoch(ts))::BIGINT)) // 2) AS cut
+      FROM events
+    ), sided AS (
+      SELECT CASE WHEN floor(epoch(ts))::BIGINT <= cut THEN 'early'
+                  ELSE 'late' END AS side,
+             user_id, event_type, value, props
+      FROM events, b
+    ), p AS (
+      SELECT side, count(*)::BIGINT AS n,
+             count(event_type)::BIGINT AS nn0,
+             count(DISTINCT event_type)::BIGINT AS nd0,
+             count(props)::BIGINT AS nn1,
+             count(DISTINCT props)::BIGINT AS nd1,
+             count(user_id)::BIGINT AS nn2,
+             count(DISTINCT user_id)::BIGINT AS nd2,
+             count(value)::BIGINT AS nn3,
+             count(DISTINCT value)::BIGINT AS nd3
+      FROM sided GROUP BY 1
+    ), long AS (
+      SELECT side, n, 'event_type' AS col, nn0 AS nn, nd0 AS nd FROM p
+      UNION ALL SELECT side, n, 'props', nn1, nd1 FROM p
+      UNION ALL SELECT side, n, 'user_id', nn2, nd2 FROM p
+      UNION ALL SELECT side, n, 'value', nn3, nd3 FROM p
+    )
+    SELECT col AS "column",
+           max(CASE WHEN side = 'early' THEN n END) AS n_early,
+           max(CASE WHEN side = 'late' THEN n END) AS n_late,
+           (max(CASE WHEN side = 'early' THEN n END)
+            - max(CASE WHEN side = 'early' THEN nn END))
+           / max(CASE WHEN side = 'early' THEN n END)::DOUBLE
+             AS null_rate_early,
+           (max(CASE WHEN side = 'late' THEN n END)
+            - max(CASE WHEN side = 'late' THEN nn END))
+           / max(CASE WHEN side = 'late' THEN n END)::DOUBLE
+             AS null_rate_late,
+           max(CASE WHEN side = 'early' THEN nd END) AS n_distinct_early,
+           max(CASE WHEN side = 'late' THEN nd END) AS n_distinct_late
+    FROM long GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(_schema_drift_q)

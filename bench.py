@@ -236,6 +236,18 @@ HEADLINE = [
     "events_diff_in_diff",
     "curation_quality_calibration",
     "ts_seasonality_strength",
+    # round-9 additions: Kneser-Ney bigram smoothing (size-adaptive
+    # window/join forms), Theil-Sen robust trend (bounded-quadratic
+    # pairwise median over the binned relation), signed ±1 random
+    # projection (zero-shuffle exact-integer JL/SimHash), schema-drift
+    # column profiler (single-scan multi-distinct Expand).
+    # graph_assortativity stays sweep-only: its bench cost is the
+    # co-purchase edge-build shape already benched by
+    # graph_triangle_stats (the graph_kcore precedent).
+    "text_kneser_ney_top20",
+    "ts_theilsen_trend",
+    "vec_signed_projection",
+    "dq_schema_drift",
 ]
 
 

@@ -70,3 +70,161 @@ def test_binned_sums_stream_acf_equals_batch(spark):
         map(tuple, acf(events, "ts", "value", lags=lags).collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+# ---- graph.degree_assortativity ------------------------------------------
+
+def test_assortativity_star_is_negative(spark):
+    # a star graph is maximally disassortative: the hub (degree 4) only
+    # touches leaves (degree 1) -> r = -1
+    from apache_flink_essentials_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "a long, b long"
+    )
+    r = G.degree_assortativity(e).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (5, 4)
+    assert abs(r.assortativity + 1.0) < 1e-12
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # a cycle is 2-regular: zero degree variance -> undefined, NULL
+    from apache_flink_essentials_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "a long, b long"
+    )
+    r = G.degree_assortativity(e).collect()[0]
+    assert r.assortativity is None
+
+
+# ---- timeseries.theilsen_trend -------------------------------------------
+
+def test_theilsen_exact_line(spark):
+    # a perfect line: every pairwise slope equals the true slope
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=i), 10.0 + 2.5 * i)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = theilsen_trend(df, "ts", "value").collect()[0]
+    assert (r.n_bins, r.n_pairs) == (24, 276)
+    # slope in micro-units per bin: 2.5 -> 2_500_000
+    assert r.slope_micro_per_bin == 2_500_000.0
+
+
+def test_theilsen_resists_outlier(spark):
+    # one wild outlier bin cannot move the median slope (OLS would move)
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=i),
+         1000.0 if i == 12 else 10.0 + 1.0 * i)
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = theilsen_trend(df, "ts", "value").collect()[0]
+    assert abs(r.slope_micro_per_bin - 1_000_000.0) < 1e-6
+
+
+# ---- vector.signed_projection --------------------------------------------
+
+def test_signed_projection_exact_integers(spark):
+    from apache_flink_essentials_spark.operators import vector as V
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 0.25]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = V.signed_projection(df, dim=4, n_proj=3).collect()
+    assert len(out) == 6
+    table = V.signed_sign_table(3, 4)
+    vm = [1_000_000, -2_000_000, 500_000, 250_000]
+    expect = {
+        (1, j): sum(s * v for s, v in zip(table[j], vm))
+        for j in range(3)
+    }
+    for r in out:
+        if r.vec_id == 1:
+            assert r.proj_micro == expect[(1, r.proj_idx)]
+            assert r.bit == (r.proj_micro >= 0)
+        else:
+            assert r.proj_micro == 0 and r.bit
+
+
+def test_signed_sign_table_deterministic():
+    from apache_flink_essentials_spark.operators import vector as V
+
+    t1 = V.signed_sign_table(4, 16, seed=7)
+    t2 = V.signed_sign_table(4, 16, seed=7)
+    assert t1 == t2
+    assert all(s in (1, -1) for row in t1 for s in row)
+    # different seeds give different tables
+    assert t1 != V.signed_sign_table(4, 16, seed=8)
+
+
+# ---- text.kneser_ney_bigrams ---------------------------------------------
+
+def test_kneser_ney_bigrams_hand_computed(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    # corpus: "a b" x3, "a c" x1, "d b" x1  (tokens via whitespace)
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a c d b")],
+        "doc_id long, text string",
+    )
+    rows = {(r.w1, r.w2): r for r in
+            X.kneser_ney_bigrams(docs, top_n=20).collect()}
+    # bigrams of the token stream: ab,ba,ab,ba,ab,ba,ac,cd,db ->
+    # counts: (a,b)=3 (b,a)=3 (a,c)=1 (c,d)=1 (d,b)=1 ; B=5 distinct
+    r = rows[("a", "b")]
+    assert r.c12 == 3
+    # c1(a)=4, n1p(a)=2 (b,c), n1f(b)=2 (a,d), B=5
+    expect = (3 - 0.75) / 4 + (0.75 * 2 / 4) * (2 / 5)
+    assert abs(r.p_kn - expect) < 1e-12
+    assert rows[("b", "a")].c12 == 3
+    # probability mass: sum of p_kn over continuations of 'a' for the
+    # two SEEN continuations stays below 1 (discount mass reserved)
+    mass = rows[("a", "b")].p_kn + rows[("a", "c")].p_kn
+    assert mass < 1.0
+
+
+# ---- profiling.schema_drift ----------------------------------------------
+
+def test_schema_drift_detects_null_and_cardinality_shift(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # early half: no nulls, distinct users
+        rows.append((base + datetime.timedelta(hours=i), i, "click"))
+    for i in range(10):  # late half: nulls + collapsed cardinality
+        rows.append(
+            (base + datetime.timedelta(hours=100 + i),
+             None if i % 2 else 7, "click")
+        )
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string"
+    )
+    out = {r.column: r for r in
+           P.schema_drift(df, "ts", ["user_id", "event_type"]).collect()}
+    u = out["user_id"]
+    assert (u.n_early, u.n_late) == (10, 10)
+    assert u.null_rate_early == 0.0 and u.null_rate_late == 0.5
+    assert u.n_distinct_early == 10 and u.n_distinct_late == 1
+    e = out["event_type"]
+    assert e.n_distinct_early == 1 and e.null_rate_late == 0.0
