@@ -683,6 +683,69 @@ def schema_drift(
     )
 
 
+def p_chart(
+    df: DataFrame,
+    ts_col: str,
+    defect: Column,
+    step_s: int = 86400,
+    sigma: int = 3,
+) -> DataFrame:
+    """Shewhart p-chart over a boolean defect indicator → one row per
+    time bin ``(bin, n, n_defect, defect_rate, center_rate,
+    is_out_of_control)`` — the SPC control chart (Shewhart '31; the
+    Western-Electric practice) run over data quality: daily error
+    share, null burst, schema-violation rate. A bin is out of control
+    when its rate leaves the ``sigma``-sigma binomial band around the
+    full-period center line ``p̄ ± σ·√(p̄(1−p̄)/n_bin)``.
+
+    Portability — the flag never compares against an unrounded float
+    (the `cusum_changepoints` lesson): with k/n the bin rate and K/N
+    the center, squaring and clearing denominators gives the EXACT
+    integer predicate
+
+      ``(k·N − K·n)² > σ²·K·(N−K)·n``
+
+    — every operand a BIGINT product carried in DECIMAL(38,0)
+    (HUGEINT on the oracle side). The emitted rates are per-row
+    int/int rationals (unrounded). Domain bound: N⁴ must fit 38
+    digits → N < ~1.8·10⁹ rows per charted period; shard the chart by
+    month/source beyond that (documented, not asserted — the chart is
+    a report, not a join key).
+
+    Scale: ONE scan → one (bin) hash-agg carrying two exact counts;
+    the 1-row center broadcasts back onto the |bins|-row relation.
+    """
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    bins = df.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(defect.cast("long")).alias("n_defect"),
+    )
+    center = bins.agg(
+        F.sum("n").alias("_N"), F.sum("n_defect").alias("_K")
+    )
+    k = F.col("n_defect").cast("decimal(38,0)")
+    n = F.col("n").cast("decimal(38,0)")
+    kk = F.col("_K").cast("decimal(38,0)")
+    nn = F.col("_N").cast("decimal(38,0)")
+    dev = k * nn - kk * n
+    return (
+        bins.crossJoin(F.broadcast(center))
+        .select(
+            "bin",
+            "n",
+            "n_defect",
+            (F.col("n_defect") / F.col("n")).alias("defect_rate"),
+            (F.col("_K") / F.col("_N")).alias("center_rate"),
+            (
+                dev * dev
+                > F.lit(sigma * sigma).cast("decimal(38,0)")
+                * kk * (nn - kk) * n
+            ).alias("is_out_of_control"),
+        )
+        .orderBy("bin")
+    )
+
+
 def join_size_audit(
     joins: "list[tuple[str, DataFrame, str, DataFrame, str]]",
 ) -> DataFrame:

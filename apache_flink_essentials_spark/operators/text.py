@@ -1779,6 +1779,74 @@ def kneser_ney_bigrams(
     )
 
 
+def flesch_reading_ease(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch '48; the
+    readability screen in every classic text-quality battery) →
+    ``(id, n_words, n_sentences, n_syllables, flesch)`` with
+
+      ``flesch = 206.835 − 1.015·(words/sentences)
+                 − 84.6·(syllables/words)``
+
+    using the standard cheap proxies: words = whitespace tokens,
+    sentences = non-empty ``[.!?]+`` splits (floored at 1), syllables =
+    vowel-group count per word (``[aeiouy]+`` runs — the textbook
+    heuristic, biased but monotone, which is all a FILTER threshold
+    needs). Out-of-band scores (very negative = run-on token soup,
+    ≈ 121.22 = single-syllable spam) are curation signals in BOTH
+    directions.
+
+    Portability: all three counts are exact BIGINTs from identical
+    regexes (character classes only — no engine-divergent syntax); the
+    score is ONE fixed-order double expression of exact operands,
+    registered unrounded (per-row rational convention). Docs with zero
+    words drop out (no denominator).
+
+    Scale: zero-shuffle scan-stage op — counts and score are computed
+    per row inside whole-stage codegen; nothing joins, nothing
+    aggregates. Runs at scan speed at any size.
+    """
+    toks = F.array_remove(tokens_expr(text_col), "")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double")
+               / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double")
+               / F.col("n_words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
 def zipf_fit(
     df: DataFrame, text_col: str = "text", max_rank: int | None = None
 ) -> DataFrame:

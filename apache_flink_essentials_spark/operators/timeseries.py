@@ -688,6 +688,79 @@ def theilsen_trend(
     )
 
 
+def holt_linear_from_binned(binned: DataFrame) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over a finished
+    ``binned_sums`` relation → ``(bin, x, level, trend)`` per bin with
+    the classic coupled recursion (Holt '57, public paper; α = 0.5,
+    β = 0.3, b₁ = 0):
+
+      ``l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})``
+      ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``
+
+    — the level-plus-trend smoother the drift workbench reads next to
+    EWMA when the series is trending (EWMA alone lags a trend by
+    design).
+
+    Portability — the `ewma_anomaly` recursive-twin argument: x is the
+    one exact division ``DECIMAL sum / count`` per bin; the recursion
+    is a SEQUENTIAL fold in bin order whose IEEE ops are written in
+    the identical order on both engines (Spark: a left-to-right
+    ``aggregate`` over the sorted bin array; DuckDB: a recursive CTE
+    advancing one row per step), with the smoothing constants as
+    identical literals — so the raw doubles hash-match bit-for-bit.
+    No rounding anywhere.
+
+    Scale: the fold runs over the COLLECTED bin array — |bins| is
+    PARAMETER-bounded (time span / step), so the array is hours/days-
+    sized at any data volume; the single heavy step is the upstream
+    ``binned_sums`` scan-agg. An unbounded-key variant would use
+    ``applyInPandasWithState`` per key; for the global binned series
+    the array fold is the honest minimal plan.
+    """
+    x = binned.select(
+        "bin", (F.col("_s").cast("double") / F.col("_n")).alias("x")
+    )
+    arr = x.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "x"))).alias("a")
+    ).where(F.size("a") > 0)
+    folded = arr.selectExpr(
+        """
+        aggregate(
+          slice(a, 2, greatest(size(a) - 1, 0)),
+          named_struct(
+            'l', a[0].x, 'b', cast(0.0 as double),
+            'out', array(named_struct(
+              'bin', a[0].bin, 'x', a[0].x,
+              'level', a[0].x, 'trend', cast(0.0 as double)))),
+          (acc, e) -> named_struct(
+            'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+            'b', 0.3D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
+                 + 0.7D * acc.b,
+            'out', array_append(acc.out, named_struct(
+              'bin', e.bin, 'x', e.x,
+              'level', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+              'trend', 0.3D * ((0.5D * e.x + 0.5D * (acc.l + acc.b))
+                               - acc.l) + 0.7D * acc.b)))
+        ) AS st
+        """
+    ).selectExpr("inline(st.out)")
+    return folded.orderBy("bin")
+
+
+def holt_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Batch front door for :func:`holt_linear_from_binned`: one
+    ``binned_sums`` scan-agg, then the sequential fold over the
+    |bins|-row relation."""
+    return holt_linear_from_binned(
+        binned_sums(df, ts_col, value_col, step_s=step_s)
+    )
+
+
 def cusum_from_binned(
     bins: DataFrame, threshold_sigma: int = 4
 ) -> DataFrame:

@@ -255,6 +255,93 @@ def signed_projection(
     )
 
 
+def signed_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_proj: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Pack :func:`signed_projection`'s sign bits into ONE BIGINT
+    SimHash signature per vector: ``sig = Σ_j bit_j · 2^j`` (exact
+    integer — requires ``n_proj <= 63``). The compact form Hamming
+    search and near-dup banding operate on."""
+    if n_proj > 63:
+        raise ValueError("n_proj must fit a BIGINT signature (<= 63)")
+    proj = signed_projection(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, n_proj=n_proj,
+        seed=seed,
+    )
+    return proj.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("bit"),
+                F.expr("shiftleft(cast(1 as bigint), cast(proj_idx as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+
+
+def hamming_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_proj: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Top-k nearest neighbors in the signed-projection HAMMING space —
+    the Charikar '02 estimate ``cos(θ) ≈ cos(π·hamming/n_proj)`` made
+    into a search: rank corpus vectors by the bit disagreement of their
+    SimHash signatures with the query's. The integer-exact ANN variant:
+    unlike the float LSH/IVF/PQ paths (rows-only by design), every
+    intermediate here — signatures, XOR, popcount, rank — is exact, so
+    the WHOLE search is oracle-checkable bit-for-bit; its recall
+    against exact cosine KNN is the quality dial (`vec_hamming_recall`).
+
+    Output: (query_id, neighbor_id, hamming, rank) — rank by
+    (hamming ASC, neighbor_id ASC), deterministic.
+
+    Scale: signatures are one zero-shuffle scan op each side; the
+    search is a broadcast nested-loop of the QUERY SET (bounded, the
+    `knn_cosine_bruteforce` convention) against corpus signatures —
+    8 bytes per corpus row, ~n_proj/8 bytes of real payload, so the
+    scan side streams at memory speed; per-query top-k via one keyed
+    window over |queries|·|corpus| slim rows. For corpus×corpus scale,
+    band the signature into LSH buckets instead (``dedup_simhash``).
+    """
+    from pyspark.sql.window import Window
+
+    esig = signed_signature(
+        embeddings, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_proj=n_proj, seed=seed,
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("sig").alias("_es"))
+    qsig = signed_signature(
+        queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_proj=n_proj, seed=seed,
+    ).select(F.col(id_col).alias("query_id"), F.col("sig").alias("_qs"))
+    scored = (
+        esig.join(
+            F.broadcast(qsig),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.expr("_qs ^ _es")).cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j is
     derived from md5-free integer mixing (splitmix64-style), identical on

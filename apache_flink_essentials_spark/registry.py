@@ -8160,3 +8160,206 @@ _register(
     """,
     late=True,
 )(_schema_drift_q)
+
+
+# =========================================================================
+# round 9 batch 2: SPC p-chart, Flesch readability, Holt linear smoothing,
+# Hamming-space SimHash KNN + recall
+# =========================================================================
+
+
+def _pchart_q(spark: SparkSession, sf: str) -> DataFrame:
+    return P.p_chart(
+        _events(spark, sf), "ts", F.col("event_type") == "error"
+    )
+
+
+_register(
+    "dq_error_pchart",
+    # exact integer control predicate: (k*N - K*n)^2 > 9*K*(N-K)*n —
+    # the squared/cleared form of |p - pbar| > 3*sqrt(pbar(1-pbar)/n),
+    # so no float threshold ever reaches the hashed boolean
+    """
+    WITH bins AS (
+      SELECT floor(epoch(ts))::BIGINT // 86400 AS bin,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS n_defect
+      FROM events GROUP BY 1
+    ), center AS (
+      SELECT sum(n)::BIGINT AS nn, sum(n_defect)::BIGINT AS kk FROM bins
+    )
+    SELECT bin, n, n_defect,
+           n_defect / n::DOUBLE AS defect_rate,
+           kk / nn::DOUBLE AS center_rate,
+           (n_defect::HUGEINT * nn::HUGEINT - kk::HUGEINT * n::HUGEINT)
+           * (n_defect::HUGEINT * nn::HUGEINT - kk::HUGEINT * n::HUGEINT)
+           > 9::HUGEINT * kk::HUGEINT * (nn::HUGEINT - kk::HUGEINT)
+             * n::HUGEINT
+             AS is_out_of_control
+    FROM bins, center ORDER BY bin
+    """,
+    late=True,
+)(_pchart_q)
+
+
+def _flesch_q(spark: SparkSession, sf: str) -> DataFrame:
+    return X.flesch_reading_ease(load_table(spark, "documents", sf))
+
+
+_register(
+    "text_flesch",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t != '') AS toks,
+             greatest(len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               s -> trim(s) != '')), 1)::BIGINT AS n_sentences
+      FROM documents
+    ), k AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             n_sentences,
+             list_sum(list_transform(toks,
+               t -> len(regexp_extract_all(t, '[aeiouy]+'))))::BIGINT
+               AS n_syllables
+      FROM c
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                   - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)
+             AS flesch
+    FROM k WHERE n_words > 0
+    """,
+    late=True,
+)(_flesch_q)
+
+
+def _holt_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS4
+
+    return TS4.holt_linear(_events(spark, sf), "ts", "value")
+
+
+_register(
+    "ts_holt_linear",
+    # the ewma_anomaly recursive-twin argument: the CTE advances one
+    # bin per step replaying the identical IEEE ops in the identical
+    # order as the Spark-side left fold -> raw doubles hash-match
+    """
+    WITH RECURSIVE b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), x AS (
+      SELECT bin, (s::DOUBLE) / n AS x,
+             row_number() OVER (ORDER BY bin) AS rn
+      FROM b0
+    ), rec AS (
+      SELECT bin, x, rn, x AS level, 0.0::DOUBLE AS trend
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT b.bin, b.x, b.rn,
+             0.5 * b.x + 0.5 * (r.level + r.trend) AS level,
+             0.3 * ((0.5 * b.x + 0.5 * (r.level + r.trend)) - r.level)
+             + 0.7 * r.trend AS trend
+      FROM rec r JOIN x b ON b.rn = r.rn + 1
+    )
+    SELECT bin, x, level, trend FROM rec ORDER BY bin
+    """,
+    late=True,
+)(_holt_q)
+
+
+def _hamming_knn_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    return V.hamming_knn(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, n_proj=16,
+        seed=0,
+    )
+
+
+def _sig_cte() -> str:
+    """Shared signature CTE: micro-quantize, project against the ±1
+    literal table, pack sign bits into one BIGINT."""
+    rows = ",\n      ".join(
+        f"({j}, [{','.join(str(s) for s in row)}])"
+        for j, row in enumerate(V.signed_sign_table(16, 64, seed=0))
+    )
+    return f"""
+    vm AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS v
+      FROM embeddings
+    ), sg(j, s) AS (VALUES
+      {rows}
+    ), sigs AS (
+      SELECT vec_id,
+             sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v[i] * s[i]))::BIGINT >= 0
+                      THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
+      FROM vm, sg GROUP BY vec_id
+    )"""
+
+
+_register(
+    "vec_hamming_knn",
+    f"""
+    WITH {_sig_cte()}
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             bit_count(xor(q.sig::BITSTRING, e.sig::BITSTRING))::BIGINT
+               AS hamming,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.sig::BITSTRING,
+                                      e.sig::BITSTRING)), e.vec_id)::INT
+               AS rank
+      FROM sigs q JOIN sigs e ON q.vec_id < 10 AND q.vec_id != e.vec_id
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    late=True,
+)(_hamming_knn_q)
+
+
+def _hamming_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = V.hamming_knn(emb, q, k=5, dim=64, n_proj=16, seed=0)
+    exact = V.knn_cosine_bruteforce(emb, q)
+    return V.knn_recall(approx, exact)
+
+
+_register(
+    "vec_hamming_recall",
+    f"""
+    WITH {_sig_cte()},
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.sig::BITSTRING,
+                                        e.sig::BITSTRING)), e.vec_id)
+                 AS rank
+        FROM sigs q JOIN sigs e ON q.vec_id < 10 AND q.vec_id != e.vec_id
+      ) WHERE rank <= 5
+    ),
+    exact AS (SELECT query_id, neighbor_id
+              FROM ({ORACLES['vec_knn_bruteforce']}))
+    SELECT x.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS n_hit,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE AS recall
+    FROM exact x LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """,
+    late=True,
+)(_hamming_recall_q)

@@ -248,6 +248,17 @@ HEADLINE = [
     "ts_theilsen_trend",
     "vec_signed_projection",
     "dq_schema_drift",
+    # round-9 batch 2: Holt linear smoothing (Spark's one array fold vs
+    # DuckDB's recursive CTE re-scanning the bin CTE per step — 0.04×,
+    # the pagerank_fixedpoint story), Flesch readability (scan-stage
+    # regex counts, 1.2×), SPC p-chart (exact integer control
+    # predicate), Hamming-space SimHash KNN + its recall harness (the
+    # one ANN variant that is oracle-checkable end-to-end).
+    "ts_holt_linear",
+    "text_flesch",
+    "dq_error_pchart",
+    "vec_hamming_knn",
+    "vec_hamming_recall",
 ]
 
 

@@ -228,3 +228,132 @@ def test_schema_drift_detects_null_and_cardinality_shift(spark):
     assert u.n_distinct_early == 10 and u.n_distinct_late == 1
     e = out["event_type"]
     assert e.n_distinct_early == 1 and e.null_rate_late == 0.0
+
+
+# ---- profiling.p_chart -----------------------------------------------------
+
+def test_p_chart_flags_planted_burst(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        n_def = 60 if day == 7 else 10
+        for i in range(100):
+            rows.append(
+                (base + datetime.timedelta(days=day, minutes=i),
+                 "error" if i < n_def else "ok")
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = P.p_chart(df, "ts", F.col("event_type") == "error").collect()
+    assert len(out) == 10
+    flagged = [r for r in out if r.is_out_of_control]
+    assert len(flagged) == 1 and flagged[0].n_defect == 60
+    # exact predicate replay: (k*N - K*n)^2 > 9*K*(N-K)*n
+    K, N = 9 * 10 + 60, 1000
+    for r in out:
+        lhs = (r.n_defect * N - K * r.n) ** 2
+        rhs = 9 * K * (N - K) * r.n
+        assert r.is_out_of_control == (lhs > rhs)
+
+
+# ---- text.flesch_reading_ease ----------------------------------------------
+
+def test_flesch_hand_computed(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran!")], "doc_id long, text string"
+    )
+    r = X.flesch_reading_ease(docs).collect()[0]
+    # words=5, sentences=2, syllables=5 (one vowel group per word)
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    expect = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(r.flesch - expect) < 1e-12
+
+
+def test_flesch_monosyllabic_vs_polysyllabic(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e."), (2, "organizational bureaucratically.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.flesch_reading_ease(docs).collect()}
+    assert out[1].flesch > out[2].flesch
+
+
+# ---- timeseries.holt_linear ------------------------------------------------
+
+def test_holt_constant_series(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(hours=i), 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = holt_linear(df, "ts", "value").collect()
+    assert len(out) == 12
+    assert all(r.level == 5.0 and r.trend == 0.0 for r in out)
+
+
+def test_holt_matches_python_replay(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    xs = [10.0, 12.0, 11.0, 15.0, 14.0, 20.0, 19.0, 25.0]
+    rows = [(base + datetime.timedelta(hours=i), x)
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(holt_linear(df, "ts", "value").collect(),
+                 key=lambda r: r.bin)
+    l, b = xs[0], 0.0
+    assert out[0].level == l and out[0].trend == b
+    for i, x in enumerate(xs[1:], start=1):
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b_new = 0.3 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.7 * b
+        # bit-identical replay of the fold (same IEEE op order)
+        assert out[i].level == l_new and out[i].trend == b_new
+        l, b = l_new, b_new
+
+
+# ---- vector.hamming_knn ----------------------------------------------------
+
+def test_hamming_knn_identical_vector_ranks_first(spark):
+    from apache_flink_essentials_spark.operators import vector as V
+
+    vecs = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, [1.0, 2.0, -3.0, 0.5]),     # identical to 0 -> hamming 0
+        (2, [-1.0, -2.0, 3.0, -0.5]),   # negated -> all bits flipped
+        (3, [1.0, 2.0, -3.0, 0.4]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = V.hamming_knn(df, q, k=3, dim=4, n_proj=8).collect()
+    assert [r.neighbor_id for r in out][0] == 1
+    assert out[0].hamming == 0
+    by_id = {r.neighbor_id: r.hamming for r in out}
+    assert by_id[2] == 8  # full bit flip under negation
+
+
+def test_signed_signature_packs_bits(spark):
+    from apache_flink_essentials_spark.operators import vector as V
+
+    df = spark.createDataFrame(
+        [(7, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    # zero vector -> every projection is 0 -> every bit set -> 2^n - 1
+    r = V.signed_signature(df, dim=2, n_proj=5).collect()[0]
+    assert r.sig == 31
