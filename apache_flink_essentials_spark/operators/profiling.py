@@ -715,11 +715,35 @@ def p_chart(
     Scale: ONE scan → one (bin) hash-agg carrying two exact counts;
     the 1-row center broadcasts back onto the |bins|-row relation.
     """
+    return p_chart_from_binned(
+        defect_bins(df, ts_col, defect, step_s=step_s), sigma=sigma
+    )
+
+
+def defect_bins(
+    df: DataFrame,
+    ts_col: str,
+    defect: Column,
+    step_s: int = 86400,
+) -> DataFrame:
+    """The p-chart's binned relation: exact per-bin ``(bin, n,
+    n_defect)`` counts. Batch half of the pair — ``streaming.rollup.
+    defect_bins_stream`` maintains the same relation as complete-mode
+    stream state (both aggregates are associative BIGINT sums, so the
+    drained state is bit-identical to this in any arrival order)."""
     bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
-    bins = df.groupBy(bin_col.alias("bin")).agg(
+    return df.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(defect.cast("long")).alias("n_defect"),
     )
+
+
+def p_chart_from_binned(bins: DataFrame, sigma: int = 3) -> DataFrame:
+    """Control-limit tail over a finished ``defect_bins`` relation
+    (batch or drained stream state) — the derive-on-read half of
+    :func:`p_chart` (exact-predicate contract documented there). The
+    center line depends on ALL bins, so the tail re-runs on read over
+    the |bins|-row relation."""
     center = bins.agg(
         F.sum("n").alias("_N"), F.sum("n_defect").alias("_K")
     )

@@ -459,6 +459,106 @@ def grouped_quantile_bands(
     ).orderBy(*keys, "q")
 
 
+def bloom_fpr_audit(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter false-positive audit (Bloom '70) → ONE row
+    ``(n_inserted, n_probed, bits_set, n_false_positive, observed_fpr,
+    theoretical_fpr)``: build the bit set an ``(m, k)`` Bloom filter
+    would hold for the DISTINCT keys of ``df_a``, probe it with the
+    distinct keys of ``df_b`` that are NOT in A (anti-joined, so every
+    hit is by definition a false positive), and compare the observed
+    rate against the textbook ``(1 − e^{−k·n/m})^k``. THE
+    pre-deployment read before trusting a Bloom prefilter (a semi-join
+    pushdown, a dedup pre-screen) at a given sizing.
+
+    Portability: bit positions are the md5-prefix integers of the
+    portable-HLL idiom — ``conv(md5(i || ':' || key)) % m`` — so the
+    bit set, the per-probe hit counts and the false-positive count are
+    all EXACT integers; ``observed_fpr`` is an int/int rational
+    (unrounded) and only the theoretical curve (exp/pow) is
+    transcendental → round(6).
+
+    Scale: A collapses to ≤ m distinct bit rows (the filter, never the
+    data); probes explode to k rows each and semi-join the bit set on
+    the position key — a keyed join of slim integer rows; one final
+    1-row aggregate. The filter itself shuffles as at most m rows.
+    """
+    def positions(el: DataFrame) -> DataFrame:
+        # el: distinct single-column (_e) keys → k (element, bit) rows
+        return el.select(
+            "_e",
+            F.explode(
+                F.array(*[
+                    F.expr(
+                        f"cast(conv(substring(md5(concat('{i}', ':', "
+                        f"cast(_e as string))), 1, 12), 16, 10) as bigint)"
+                        f" % {m_bits}"
+                    ).alias(f"_p{i}")
+                    for i in range(k)
+                ])
+            ).alias("_pos"),
+        )
+    # both key sets have two readers (positions + the count) — lazy-
+    # checkpoint so the scan+distinct (and B's anti-join) run once
+    a_el = df_a.select(F.col(col).alias("_e")).where(
+        F.col("_e").isNotNull()
+    ).distinct().localCheckpoint(eager=False)
+    b_el = (
+        df_b.select(F.col(col).alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .distinct()
+        .join(a_el, "_e", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    bits = positions(a_el).select("_pos").distinct()
+    bits = bits.localCheckpoint(eager=False)
+    probe_hits = (
+        positions(b_el)
+        .join(bits, "_pos", "left_semi")
+        .groupBy("_e")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == k)
+    )
+    n_a = a_el.agg(F.count(F.lit(1)).alias("n_inserted"))
+    n_b = b_el.agg(F.count(F.lit(1)).alias("n_probed"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    n_fp = probe_hits.agg(
+        F.count(F.lit(1)).alias("n_false_positive")
+    )
+    return (
+        n_a.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_fp))
+        .select(
+            "n_inserted",
+            "n_probed",
+            "bits_set",
+            "n_false_positive",
+            F.when(
+                F.col("n_probed") > 0,
+                F.col("n_false_positive") / F.col("n_probed"),
+            ).alias("observed_fpr"),
+            F.round(
+                F.pow(
+                    F.lit(1.0)
+                    - F.exp(
+                        -F.lit(float(k))
+                        * F.col("n_inserted").cast("double")
+                        / F.lit(float(m_bits))
+                    ),
+                    F.lit(float(k)),
+                ),
+                6,
+            ).alias("theoretical_fpr"),
+        )
+    )
+
+
 def hll_set_ops(
     df: DataFrame,
     col: str,

@@ -1779,6 +1779,49 @@ def kneser_ney_bigrams(
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group → ``(group, n_docs, n_words,
+    n_subwords, fertility)``: sub-word tokens emitted per whitespace
+    word (the standard multilingual-tokenizer equity metric — Rust
+    et al. '21 "How Good is Your Tokenizer?", public paper; a language
+    whose fertility is 2× the corpus mean pays 2× the sequence length
+    for the same content, the classic under-served-language signal).
+    Uses the repo's BPE-ish regex pre-tokenizer as the sub-word proxy
+    (`bpe_ish_tokens_expr`) and whitespace tokens as words.
+
+    Portability: both counts are exact BIGINT sums of per-row array
+    sizes from identical regexes; fertility is one int/int rational,
+    unrounded. Scale: zero-join — per-row sizes inside codegen, one
+    (group) hash-agg, |groups| output rows.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.array_remove(tokens_expr(text_col), "")).alias("_w"),
+        F.size(F.array_remove(bpe_ish_tokens_expr(text_col), ""))
+        .alias("_s"),
+    )
+    return (
+        base.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_s").alias("n_subwords"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            (F.col("n_subwords") / F.col("n_words")).alias("fertility"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def flesch_reading_ease(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

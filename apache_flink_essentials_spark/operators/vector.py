@@ -342,6 +342,87 @@ def hamming_knn(
     )
 
 
+def centroid_drift(
+    df: DataFrame,
+    split: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space drift monitor → per label ``(label, n_a, n_b,
+    centroid_cosine)``: the cosine between the label's centroid in
+    split A (``split`` false) and split B (``split`` true) — the
+    scheduled read that catches an embedding-model version change, a
+    pipeline re-order, or upstream content drift shifting a class's
+    region BEFORE any ANN index built on yesterday's geometry goes
+    stale. cosine ≈ 1 = stable; a drop localizes WHICH label moved.
+
+    Portability: components quantize to micro-unit BIGINTs
+    (`signed_projection`'s floor half-up), per-dim sums are exact
+    integer aggregates, and because cosine is scale-invariant the
+    per-side counts CANCEL — the statistic is computed directly on the
+    integer sum vectors: ``cos = Σ sa_d·sb_d / (√Σ sa² · √Σ sb²)``,
+    exact DECIMAL(38,0) moments into one fixed-order double → round(6)
+    (the sqrt is the one transcendental).
+
+    Scale: posexplode fans each row into dim slim rows, but the
+    map-side partial aggregate collapses them to (label, side, dim)
+    BEFORE the shuffle — the exchange carries ``|labels|·2·dim``
+    integer rows, never the data. The moment rollup and cosine run on
+    that aggregate.
+    """
+    base = df.select(
+        F.col(label_col).alias("label"),
+        split.cast("int").alias("_side"),
+        F.posexplode(
+            F.expr(
+                f"transform(`{vec_col}`, x -> cast(floor("
+                "cast(x as double) * 1000000.0 + 0.5) as bigint))"
+            )
+        ).alias("_d", "_vm"),
+    )
+    dims = base.groupBy("label", "_side", "_d").agg(
+        F.sum("_vm").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sides = dims.groupBy("label", "_d").agg(
+        F.max(F.when(F.col("_side") == 0, F.col("_s"))).alias("_sa"),
+        F.max(F.when(F.col("_side") == 1, F.col("_s"))).alias("_sb"),
+        F.max(F.when(F.col("_side") == 0, F.col("_n"))).alias("_na"),
+        F.max(F.when(F.col("_side") == 1, F.col("_n"))).alias("_nb"),
+    )
+    moments = sides.groupBy("label").agg(
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+        F.sum(
+            F.col("_sa").cast("decimal(38,0)") * F.col("_sb")
+        ).alias("_dot"),
+        F.sum(
+            F.col("_sa").cast("decimal(38,0)") * F.col("_sa")
+        ).alias("_naa"),
+        F.sum(
+            F.col("_sb").cast("decimal(38,0)") * F.col("_sb")
+        ).alias("_nbb"),
+    )
+    return moments.select(
+        "label",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(
+            (F.col("_naa") > 0) & (F.col("_nbb") > 0),
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_naa").cast("double"))
+                    * F.sqrt(F.col("_nbb").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("centroid_cosine"),
+    ).orderBy("label")
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j is
     derived from md5-free integer mixing (splitmix64-style), identical on

@@ -8363,3 +8363,132 @@ _register(
     """,
     late=True,
 )(_hamming_recall_q)
+
+
+# =========================================================================
+# round 9 batch 3: tokenizer fertility, Bloom FPR audit, centroid drift
+# =========================================================================
+
+
+def _fertility_q(spark: SparkSession, sf: str) -> DataFrame:
+    return X.tokenizer_fertility(load_table(spark, "documents", sf))
+
+
+_register(
+    "text_tokenizer_fertility",
+    r"""
+    WITH c AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t != ''))::BIGINT AS w,
+             len(list_filter(string_split_regex(
+               regexp_replace(
+                 regexp_replace(lower(text), '([a-z]+)(\d)', '\1 \2', 'g'),
+                 '(\d)([a-z])', '\1 \2', 'g'),
+               '\s+'), t -> t != ''))::BIGINT AS s
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(w)::BIGINT AS n_words, sum(s)::BIGINT AS n_subwords,
+           sum(s)::BIGINT / sum(w)::BIGINT::DOUBLE AS fertility
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    late=True,
+)(_fertility_q)
+
+
+def _bloom_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK2
+
+    ev = _events(spark, sf)
+    return SK2.bloom_fpr_audit(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "error"),
+        "event_id",
+        m_bits=4096,
+        k=4,
+    )
+
+
+_register(
+    "sketch_bloom_fpr",
+    """
+    WITH a_el AS (
+      SELECT DISTINCT event_id AS e FROM events
+      WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    ), b_el AS (
+      SELECT e FROM (
+        SELECT DISTINCT event_id AS e FROM events
+        WHERE event_type = 'error' AND event_id IS NOT NULL)
+      WHERE e NOT IN (SELECT e FROM a_el)
+    ), hashes(i) AS (VALUES (0), (1), (2), (3)),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(i::VARCHAR || ':' || e::VARCHAR), 1, 12))
+          ::BIGINT % 4096 AS pos
+      FROM a_el, hashes
+    ), probe AS (
+      SELECT e,
+        ('0x' || substr(md5(i::VARCHAR || ':' || e::VARCHAR), 1, 12))
+          ::BIGINT % 4096 AS pos
+      FROM b_el, hashes
+    ), fp AS (
+      SELECT count(*)::BIGINT AS n_false_positive FROM (
+        SELECT p.e FROM probe p JOIN bits USING (pos)
+        GROUP BY p.e HAVING count(*) = 4)
+    )
+    SELECT (SELECT count(*)::BIGINT FROM a_el) AS n_inserted,
+           (SELECT count(*)::BIGINT FROM b_el) AS n_probed,
+           (SELECT count(*)::BIGINT FROM bits) AS bits_set,
+           n_false_positive,
+           n_false_positive
+             / (SELECT count(*) FROM b_el)::DOUBLE AS observed_fpr,
+           round(pow(1.0 - exp(-4.0
+                   * (SELECT count(*) FROM a_el)::DOUBLE / 4096.0),
+                 4.0), 6) AS theoretical_fpr
+    FROM fp
+    """,
+    late=True,
+)(_bloom_q)
+
+
+def _centroid_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    return V.centroid_drift(emb, F.col("vec_id") % 2 == 1, dim=64)
+
+
+_register(
+    "vec_centroid_drift",
+    """
+    WITH base AS (
+      SELECT label, (vec_id % 2)::INT AS side, r.i AS d,
+             floor(embedding[r.i]::DOUBLE * 1000000.0 + 0.5)::BIGINT
+               AS vm
+      FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+    ), dims AS (
+      SELECT label, side, d, sum(vm)::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM base GROUP BY 1, 2, 3
+    ), sides AS (
+      SELECT label, d,
+             max(CASE WHEN side = 0 THEN s END) AS sa,
+             max(CASE WHEN side = 1 THEN s END) AS sb,
+             max(CASE WHEN side = 0 THEN n END) AS na,
+             max(CASE WHEN side = 1 THEN n END) AS nb
+      FROM dims GROUP BY 1, 2
+    ), moments AS (
+      SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+             sum(sa::HUGEINT * sb::HUGEINT) AS dot,
+             sum(sa::HUGEINT * sa::HUGEINT) AS naa,
+             sum(sb::HUGEINT * sb::HUGEINT) AS nbb
+      FROM sides GROUP BY 1
+    )
+    SELECT label, n_a, n_b,
+           CASE WHEN naa > 0 AND nbb > 0
+                THEN round(dot::DOUBLE
+                           / (sqrt(naa::DOUBLE) * sqrt(nbb::DOUBLE)), 6)
+           END AS centroid_cosine
+    FROM moments ORDER BY label
+    """,
+    late=True,
+)(_centroid_drift_q)

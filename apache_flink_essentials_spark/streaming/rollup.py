@@ -256,6 +256,27 @@ def binned_sums_stream(
     )
 
 
+def defect_bins_stream(
+    stream: DataFrame,
+    ts_col: str,
+    defect: "Column",
+    step_s: int = 86400,
+) -> DataFrame:
+    """Streaming twin of ``profiling.defect_bins`` — the p-chart's
+    per-bin (row count, defect count) relation as complete-mode stream
+    state. Both counts are associative BIGINT sums → drained state ≡
+    batch binning bit-for-bit in any arrival order; state is |bins|
+    rows (time-span-bounded). Feed the completed aggregate to
+    ``profiling.p_chart_from_binned`` — the center line moves with
+    every arrival, so the control flags are derive-on-read BY
+    SEMANTICS (the ``binned_sums_stream`` split)."""
+    bin_col = (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+    return stream.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(defect.cast("long")).alias("n_defect"),
+    )
+
+
 def trend_power_sums_stream(
     stream: DataFrame,
     group_col: str = "event_type",

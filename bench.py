@@ -259,6 +259,14 @@ HEADLINE = [
     "dq_error_pchart",
     "vec_hamming_knn",
     "vec_hamming_recall",
+    # round-9 batch 3: tokenizer fertility (per-lang subword/word
+    # equity), embedding centroid drift (exact integer moments, counts
+    # cancel in the cosine). sketch_bloom_fpr stays sweep-only: its
+    # cost is ~8 small jobs over a 0.03 s anchor, and the md5-position
+    # bucket machinery is already benched via sketch_hll_distinct /
+    # sketch_countmin_topk.
+    "text_tokenizer_fertility",
+    "vec_centroid_drift",
 ]
 
 

@@ -357,3 +357,127 @@ def test_signed_signature_packs_bits(spark):
     # zero vector -> every projection is 0 -> every bit set -> 2^n - 1
     r = V.signed_signature(df, dim=2, n_proj=5).collect()[0]
     assert r.sig == 31
+
+
+# ---- streaming p-chart twin -------------------------------------------------
+
+def test_defect_bins_stream_pchart_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.profiling import (
+        p_chart,
+        p_chart_from_binned,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        defect_bins_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    state = run_stream_to_df(
+        defect_bins_stream(
+            stream_in, "ts", F.col("event_type") == "error"
+        ),
+        output_mode="complete",
+    )
+    streamed = sorted(map(tuple, p_chart_from_binned(state).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            p_chart(events, "ts", F.col("event_type") == "error").collect(),
+        )
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+# ---- text.tokenizer_fertility ------------------------------------------------
+
+def test_tokenizer_fertility_counts(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "en", "model2x beats model1"), (2, "en", "plain words here")],
+        "doc_id long, lang string, text string",
+    )
+    r = X.tokenizer_fertility(docs).collect()[0]
+    # words: [model2x, beats, model1] + [plain, words, here] = 6
+    # subwords: model2x -> model 2 x? regex splits letter/digit both ways:
+    # 'model2x' -> 'model 2 x' (3), beats(1), model1 -> 'model 1' (2),
+    # plain(1), words(1), here(1) = 9
+    assert (r.n_docs, r.n_words, r.n_subwords) == (2, 6, 9)
+    assert abs(r.fertility - 1.5) < 1e-12
+
+
+# ---- sketches.bloom_fpr_audit --------------------------------------------------
+
+def test_bloom_fpr_planted(spark):
+    from apache_flink_essentials_spark.operators import sketches as S
+
+    a = spark.createDataFrame(
+        [(i,) for i in range(50)], "user_id long"
+    )
+    b = spark.createDataFrame(
+        [(i,) for i in range(40, 140)], "user_id long"  # 10 overlap
+    )
+    r = S.bloom_fpr_audit(a, b, "user_id", m_bits=256, k=3).collect()[0]
+    assert r.n_inserted == 50
+    assert r.n_probed == 90  # overlap anti-joined away
+    assert 0 < r.bits_set <= min(256, 150)
+    assert 0 <= r.n_false_positive <= r.n_probed
+    assert abs(r.observed_fpr - r.n_false_positive / 90) < 1e-15
+    # tight sizing -> theoretical fpr materially above zero
+    assert 0.0 < r.theoretical_fpr < 1.0
+
+
+def test_bloom_fpr_huge_filter_no_fp(spark):
+    from apache_flink_essentials_spark.operators import sketches as S
+
+    a = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(100, 120)], "k long")
+    r = S.bloom_fpr_audit(a, b, "k", m_bits=1 << 20, k=4).collect()[0]
+    # 5 keys in a million-bit filter: collisions essentially impossible
+    assert r.n_false_positive == 0 and r.observed_fpr == 0.0
+
+
+# ---- vector.centroid_drift -------------------------------------------------
+
+def test_centroid_drift_identical_halves(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators import vector as V
+
+    rows = []
+    for i in range(8):
+        v = [1.0, 2.0, 3.0, 4.0]
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = V.centroid_drift(
+        df, F.col("vec_id") % 2 == 1, dim=4
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.centroid_cosine == 1.0
+
+
+def test_centroid_drift_orthogonal_split(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators import vector as V
+
+    rows = [
+        (0, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # side A -> x-axis
+        (1, [0.0, 1.0], 0), (3, [0.0, 1.0], 0),   # side B -> y-axis
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = V.centroid_drift(
+        df, F.col("vec_id") % 2 == 1, dim=2
+    ).collect()[0]
+    assert r.centroid_cosine == 0.0
