@@ -549,6 +549,56 @@ def neighbor_overlap_pairs(
     )
 
 
+def khop_reach(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Bounded-depth BFS over an undirected graph → ``(node, hop)``:
+    every node within ``max_hops`` of the seed set, labeled with its
+    MINIMUM hop distance. The blast-radius primitive — "what does this
+    recalled part / compromised account / poisoned document touch
+    within 3 links?" — and the bounded, oracle-checkable slice of BFS
+    (full shortest paths are unbounded-iterative; a fixed hop budget is
+    what incident response actually asks for).
+
+    Input: canonical edges from :func:`undirected_edges`; ``seeds`` is
+    a single-column (``node``) relation.
+
+    Determinism: hop labels are small integers produced by a fixed
+    number of expansion rounds with a min-hop reduction — exact on any
+    engine (the `kcore` unrolled-oracle contract).
+
+    Scale shape per round: the FRONTIER (nodes first reached last
+    round, never the full reach set) joins the bidirected edge list —
+    a keyed equi-join AQE broadcasts while the frontier is small — then
+    one anti-join against the seen set and a distinct. Lineage is
+    checkpoint-truncated per round (the CC/pagerank discipline).
+    Rounds = ``max_hops``, a parameter.
+    """
+    e2 = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(
+            edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    seen = seeds.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).alias("hop")
+    ).distinct().localCheckpoint(eager=False)
+    frontier = seen.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e2, frontier["node"] == e2["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return seen.orderBy("hop", "node")
+
+
 def kcore(
     edges: DataFrame, k: int, max_iterations: int = 30
 ) -> DataFrame:

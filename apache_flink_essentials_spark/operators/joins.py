@@ -717,6 +717,69 @@ def fs_match_weights(
     ).orderBy("id_a", "id_b")
 
 
+def blocking_audit(
+    df: DataFrame, schemes: "list[tuple[str, Column]]"
+) -> DataFrame:
+    """Blocking-scheme quality audit for entity resolution → one row
+    per scheme ``(scheme, n_records, n_blocks, candidate_pairs,
+    reduction_ratio, max_block, max_block_pair_share)``: how many
+    comparisons does each candidate blocking key buy, and does one hot
+    block dominate them — the sizing read run BEFORE any
+    :func:`fuzzy_join` / Fellegi-Sunter pass, since the pair budget
+    (``Σ C(b,2)``), not the record count, is what an ER job actually
+    pays (the Christen '12 survey's reduction-ratio metric, public
+    textbook).
+
+    Portability: block sizes and pair counts are exact BIGINTs
+    (``b·(b−1) div 2`` per block); the ratios are fixed-order rationals
+    of exact integers, unrounded. Domain bound: per-block C(b,2) must
+    fit BIGINT → b < ~4.3·10⁹ rows in one block (you have a different
+    problem first).
+
+    Scale: ONE hash-agg per scheme over the scan (map-side combined to
+    |blocks| rows) + a one-row rollup each; schemes union at one row
+    apiece. No pairs are ever materialized — that is the point.
+    """
+    outs = []
+    for name, key in schemes:
+        blocks = (
+            df.where(key.isNotNull())
+            .groupBy(key.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_b"))
+        )
+        pair = F.expr("_b * (_b - 1) div 2")
+        outs.append(
+            blocks.agg(
+                F.sum("_b").alias("n_records"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(pair).alias("candidate_pairs"),
+                F.max("_b").alias("max_block"),
+                F.max(pair).alias("_max_pairs"),
+            ).select(
+                F.lit(name).alias("scheme"),
+                "n_records",
+                "n_blocks",
+                "candidate_pairs",
+                (
+                    F.lit(1.0)
+                    - F.col("candidate_pairs").cast("double")
+                    / F.expr(
+                        "(n_records * (n_records - 1) div 2)"
+                    ).cast("double")
+                ).alias("reduction_ratio"),
+                "max_block",
+                F.when(
+                    F.col("candidate_pairs") > 0,
+                    F.col("_max_pairs") / F.col("candidate_pairs"),
+                ).otherwise(F.lit(0.0)).alias("max_block_pair_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("scheme")
+
+
 def golden_record(
     members: DataFrame,
     component_col: str,

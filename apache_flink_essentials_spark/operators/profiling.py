@@ -599,6 +599,68 @@ def referential_audit(
     return res.orderBy("relation")
 
 
+def freshness_audit(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    window_s: int = 86400,
+) -> DataFrame:
+    """Pipeline-freshness read per group → ``(group, last_ts_s, lag_s,
+    n_total, n_last_window, avg_per_window, last_window_ratio)``: when
+    did each source last emit, how far behind the corpus watermark is
+    it, and is its trailing-window volume in line with its historical
+    average — the three questions every scheduled ingest monitor asks
+    (a stuck source shows lag; a half-broken one shows ratio « 1 while
+    lag stays 0 because a trickle still arrives).
+
+    Portability: timestamps are truncating epoch-second BIGINTs, all
+    counts exact; ``avg_per_window = n_total / n_windows`` and the
+    ratio are fixed-order rationals of exact integers (unrounded).
+    The window count is ``(max − min) div window_s + 1`` over the
+    GLOBAL span, so every group is normalized against the same period.
+
+    Scale: ONE scan → one (group) hash-agg carrying four exact
+    aggregates (the per-group trailing count rides the same pass as a
+    conditional sum against the broadcast global watermark); the 1-row
+    global bounds broadcast. |groups| output rows.
+    """
+    epoch = F.col(ts_col).cast("long")
+    bounds = df.agg(
+        F.max(epoch).alias("_gmax"), F.min(epoch).alias("_gmin")
+    )
+    sided = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(group_col).alias("grp"),
+        epoch.alias("_e"),
+        "_gmax",
+        "_gmin",
+    )
+    per = sided.groupBy("grp").agg(
+        F.max("_e").alias("last_ts_s"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("_e") > F.col("_gmax") - window_s, 1).otherwise(0)
+        ).cast("long").alias("n_last_window"),
+        F.max("_gmax").alias("_gmax"),
+        F.max("_gmin").alias("_gmin"),
+    )
+    n_windows = (
+        F.expr(f"(_gmax - _gmin) div {window_s}") + F.lit(1)
+    ).cast("long")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "last_ts_s",
+        (F.col("_gmax") - F.col("last_ts_s")).alias("lag_s"),
+        "n_total",
+        "n_last_window",
+        (F.col("n_total") / n_windows).alias("avg_per_window"),
+        (
+            F.col("n_last_window").cast("double")
+            * n_windows.cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("last_window_ratio"),
+    ).orderBy(group_col)
+
+
 def schema_drift(
     df: DataFrame,
     ts_col: str,

@@ -8492,3 +8492,155 @@ _register(
     """,
     late=True,
 )(_centroid_drift_q)
+
+
+# =========================================================================
+# round 9 batch 4: k-hop blast radius, freshness audit, ER blocking audit
+# =========================================================================
+
+
+def _khop_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G5
+
+    part = (
+        load_table(spark, "part", sf)
+        .where(F.col("p_brand").startswith("Brand#1"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(part), "l_partkey", "left_semi")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        left.join(right, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
+    e = G5.undirected_edges(pairs, "pa", "pb")
+    seeds = e.agg(F.min("a").alias("node"))
+    return G5.khop_reach(e, seeds, max_hops=3)
+
+
+_register(
+    "graph_khop_reach",
+    """
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+           FROM lineitem JOIN pp ON l_partkey = p_partkey),
+    e AS MATERIALIZED (SELECT DISTINCT x.v AS a, y.v AS b
+          FROM li x JOIN li y ON x.o = y.o AND x.v < y.v),
+    e2 AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    h0 AS MATERIALIZED (SELECT min(a)::BIGINT AS node FROM e),
+    h1 AS MATERIALIZED (
+      SELECT DISTINCT d AS node FROM e2 JOIN h0 ON e2.s = h0.node
+      WHERE d NOT IN (SELECT node FROM h0)),
+    h2 AS MATERIALIZED (
+      SELECT DISTINCT d AS node FROM e2 JOIN h1 ON e2.s = h1.node
+      WHERE d NOT IN (SELECT node FROM h0)
+        AND d NOT IN (SELECT node FROM h1)),
+    h3 AS MATERIALIZED (
+      SELECT DISTINCT d AS node FROM e2 JOIN h2 ON e2.s = h2.node
+      WHERE d NOT IN (SELECT node FROM h0)
+        AND d NOT IN (SELECT node FROM h1)
+        AND d NOT IN (SELECT node FROM h2))
+    SELECT node, 0 AS hop FROM h0
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3
+    ORDER BY hop, node
+    """,
+    late=True,
+)(_khop_q)
+
+
+def _freshness_q(spark: SparkSession, sf: str) -> DataFrame:
+    return P.freshness_audit(_events(spark, sf), "ts", "event_type")
+
+
+_register(
+    "dq_freshness",
+    """
+    WITH b AS (
+      SELECT max(floor(epoch(ts))::BIGINT) AS gmax,
+             min(floor(epoch(ts))::BIGINT) AS gmin
+      FROM events
+    ), per AS (
+      SELECT event_type,
+             max(floor(epoch(ts))::BIGINT) AS last_ts_s,
+             count(*)::BIGINT AS n_total,
+             sum(CASE WHEN floor(epoch(ts))::BIGINT > gmax - 86400
+                      THEN 1 ELSE 0 END)::BIGINT AS n_last_window,
+             max(gmax) AS gmax, max(gmin) AS gmin
+      FROM events, b GROUP BY 1
+    )
+    SELECT event_type, last_ts_s,
+           (gmax - last_ts_s)::BIGINT AS lag_s,
+           n_total, n_last_window,
+           n_total / ((gmax - gmin) // 86400 + 1)::DOUBLE
+             AS avg_per_window,
+           n_last_window::DOUBLE * ((gmax - gmin) // 86400 + 1)::DOUBLE
+             / n_total::DOUBLE AS last_window_ratio
+    FROM per ORDER BY event_type
+    """,
+    late=True,
+)(_freshness_q)
+
+
+def _blocking_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import joins as J2
+
+    p = load_table(spark, "part", sf)
+    return J2.blocking_audit(p, [
+        ("brand", F.col("p_brand")),
+        ("name_prefix2", F.lower(F.substring("p_name", 1, 2))),
+        ("name_prefix4", F.lower(F.substring("p_name", 1, 4))),
+    ])
+
+
+_register(
+    "er_blocking_audit",
+    """
+    WITH s1 AS (
+      SELECT p_brand AS k, count(*)::BIGINT AS b FROM part
+      WHERE p_brand IS NOT NULL GROUP BY 1
+    ), s2 AS (
+      SELECT lower(substr(p_name, 1, 2)) AS k, count(*)::BIGINT AS b
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1
+    ), s3 AS (
+      SELECT lower(substr(p_name, 1, 4)) AS k, count(*)::BIGINT AS b
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1
+    ), rolled AS (
+      SELECT 'brand' AS scheme, sum(b)::BIGINT AS n_records,
+             count(*)::BIGINT AS n_blocks,
+             sum(b * (b - 1) // 2)::BIGINT AS candidate_pairs,
+             max(b)::BIGINT AS max_block,
+             max(b * (b - 1) // 2)::BIGINT AS max_pairs
+      FROM s1
+      UNION ALL
+      SELECT 'name_prefix2', sum(b)::BIGINT, count(*)::BIGINT,
+             sum(b * (b - 1) // 2)::BIGINT, max(b)::BIGINT,
+             max(b * (b - 1) // 2)::BIGINT
+      FROM s2
+      UNION ALL
+      SELECT 'name_prefix4', sum(b)::BIGINT, count(*)::BIGINT,
+             sum(b * (b - 1) // 2)::BIGINT, max(b)::BIGINT,
+             max(b * (b - 1) // 2)::BIGINT
+      FROM s3
+    )
+    SELECT scheme, n_records, n_blocks, candidate_pairs,
+           1.0 - candidate_pairs::DOUBLE
+                 / (n_records * (n_records - 1) // 2)::DOUBLE
+             AS reduction_ratio,
+           max_block,
+           CASE WHEN candidate_pairs > 0
+                THEN max_pairs / candidate_pairs::DOUBLE
+                ELSE 0.0 END AS max_block_pair_share
+    FROM rolled ORDER BY scheme
+    """,
+    late=True,
+)(_blocking_audit_q)

@@ -481,3 +481,80 @@ def test_centroid_drift_orthogonal_split(spark):
         df, F.col("vec_id") % 2 == 1, dim=2
     ).collect()[0]
     assert r.centroid_cosine == 0.0
+
+
+# ---- graph.khop_reach --------------------------------------------------------
+
+def test_khop_reach_path_graph(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # path 0-1-2-3-4-5, seed {0}: hops 0..3 reachable, 4,5 beyond
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.hop for r in G.khop_reach(e, seeds, 3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_khop_reach_min_hop_wins(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # triangle 0-1, 1-2, 0-2: node 2 is reachable at hop 1 AND hop 2 ->
+    # labeled 1; seeds themselves stay hop 0 even with self-reaching
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.hop for r in G.khop_reach(e, seeds, 2).collect()}
+    assert out == {0: 0, 1: 1, 2: 1}
+
+
+# ---- profiling.freshness_audit -------------------------------------------------
+
+def test_freshness_audit_stuck_source(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for _ in range(5):
+            rows.append((base + datetime.timedelta(days=d), "healthy"))
+    # stuck source: stops emitting after day 4
+    for d in range(5):
+        rows.append((base + datetime.timedelta(days=d), "stuck"))
+    df = spark.createDataFrame(rows, "ts timestamp, source string")
+    out = {r.source: r for r in
+           P.freshness_audit(df, "ts", "source").collect()}
+    h, s = out["healthy"], out["stuck"]
+    assert h.lag_s == 0 and h.n_last_window == 5
+    assert s.lag_s == 5 * 86400
+    assert s.n_last_window == 0 and s.last_window_ratio == 0.0
+    assert abs(h.avg_per_window - 5.0) < 1e-12
+
+
+# ---- joins.blocking_audit ------------------------------------------------------
+
+def test_blocking_audit_pair_math(spark):
+    from pyspark.sql import functions as F
+
+    from apache_flink_essentials_spark.operators import joins as J
+
+    df = spark.createDataFrame(
+        [("anna",), ("anne",), ("andy",), ("bob",), ("bill",)],
+        "name string",
+    )
+    out = {r.scheme: r for r in J.blocking_audit(df, [
+        ("prefix1", F.substring("name", 1, 1)),
+        ("prefix2", F.substring("name", 1, 2)),
+    ]).collect()}
+    p1 = out["prefix1"]
+    # blocks a:3, b:2 -> pairs C(3,2)+C(2,2) = 3+1 = 4; total C(5,2)=10
+    assert (p1.n_records, p1.n_blocks, p1.candidate_pairs) == (5, 2, 4)
+    assert abs(p1.reduction_ratio - (1 - 4 / 10)) < 1e-12
+    assert p1.max_block == 3 and abs(p1.max_block_pair_share - 0.75) < 1e-12
+    p2 = out["prefix2"]
+    # an:3, bo:1, bi:1 -> 3 pairs
+    assert (p2.n_blocks, p2.candidate_pairs) == (3, 3)
