@@ -549,6 +549,74 @@ def neighbor_overlap_pairs(
     )
 
 
+def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Newman modularity Q of a GIVEN node partition (Newman & Girvan
+    '04, public paper) → ONE row ``(n_edges, n_communities,
+    within_edges, modularity)`` — the one-number answer to "is this
+    grouping (brand, domain, tenant, detected community) actually
+    denser inside than chance?" run BEFORE trusting any
+    community-based mitigation (per-community caps, sharding).
+
+    ``assign`` is (node, community). Q folds to
+
+      ``Q = A/m − B/(4m²)``,  A = Σ_c within-edges, B = Σ_c (Σdeg)²
+
+    — both numerators EXACT integer aggregates (B in DECIMAL(38,0)),
+    so Q is one fixed-order double expression of exact operands,
+    registered unrounded. The naive per-community float sum would be
+    order-nondeterministic; the algebraic fold removes it.
+
+    Scale: one degree hash-agg, one (community) rollup, two slim
+    joins to tag edge endpoints with communities (broadcast when the
+    assignment is small), one 1-row aggregate. Nothing exceeds |E|.
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dc = (
+        deg.join(assign, "node")
+        .groupBy("community")
+        .agg(F.sum("degree").alias("_dc"))
+    )
+    bsum = dc.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(
+            F.col("_dc").cast("decimal(38,0)") * F.col("_dc")
+        ).alias("_B"),
+    )
+    tagged = (
+        e.join(
+            assign.select(F.col("node").alias("a"),
+                          F.col("community").alias("_ca")), "a"
+        )
+        .join(
+            assign.select(F.col("node").alias("b"),
+                          F.col("community").alias("_cb")), "b"
+        )
+    )
+    asum = tagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            (F.col("_ca") == F.col("_cb")).cast("long")
+        ).alias("within_edges"),
+    )
+    md = F.col("n_edges").cast("double")
+    return asum.crossJoin(F.broadcast(bsum)).select(
+        "n_edges",
+        "n_communities",
+        "within_edges",
+        (
+            F.col("within_edges").cast("double") / md
+            - F.col("_B").cast("double")
+            / (F.lit(4.0) * md * md)
+        ).alias("modularity"),
+    )
+
+
 def khop_reach(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 3
 ) -> DataFrame:

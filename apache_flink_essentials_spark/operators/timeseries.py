@@ -747,6 +747,66 @@ def holt_linear_from_binned(binned: DataFrame) -> DataFrame:
     return folded.orderBy("bin")
 
 
+def holt_winters_from_binned(
+    binned: DataFrame, period: int = 24
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing over a finished
+    ``binned_sums`` relation → ``(bin, x, level, trend, seasonal)``
+    (Winters '60, public paper; α=0.5, β=0.3, γ=0.2, zero-init
+    l₁=x₁, b₁=0, s=0⃗ — the first cycle learns the profile):
+
+      ``l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})``
+      ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``
+      ``s_t = γ(x_t − l_t) + (1−γ)s_{t−m}``
+
+    — the full level+trend+season smoother over the drift workbench's
+    shared relation; `holt_linear` is this with the season frozen at 0.
+
+    Portability — the recursive-twin argument at its strongest: the
+    state now includes the ROTATING m-slot seasonal vector, carried as
+    an array in Spark's left fold and a LIST column in DuckDB's
+    recursive CTE; every step applies the identical IEEE expressions
+    (each l_t reference is INLINED identically on both sides) in the
+    identical order, so all four output doubles hash-match raw.
+
+    Scale: same as `holt_linear_from_binned` — one fold over the
+    PARAMETER-bounded bin array, state O(m); the heavy step is the
+    upstream binned_sums scan-agg.
+    """
+    x = binned.select(
+        "bin", (F.col("_s").cast("double") / F.col("_n")).alias("x")
+    )
+    arr = x.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "x"))).alias("a")
+    ).where(F.size("a") > 0)
+    m = int(period)
+    lnew = "0.5D * (e.x - acc.seas[0]) + 0.5D * (acc.l + acc.b)"
+    bnew = f"0.3D * (({lnew}) - acc.l) + 0.7D * acc.b"
+    snew = f"0.2D * (e.x - ({lnew})) + 0.8D * acc.seas[0]"
+    folded = arr.selectExpr(
+        f"""
+        aggregate(
+          slice(a, 2, greatest(size(a) - 1, 0)),
+          named_struct(
+            'l', a[0].x, 'b', cast(0.0 as double),
+            'seas', array_repeat(cast(0.0 as double), {m}),
+            'out', array(named_struct(
+              'bin', a[0].bin, 'x', a[0].x, 'level', a[0].x,
+              'trend', cast(0.0 as double),
+              'seasonal', cast(0.0 as double)))),
+          (acc, e) -> named_struct(
+            'l', {lnew},
+            'b', {bnew},
+            'seas', array_append(slice(acc.seas, 2, {m - 1}), {snew}),
+            'out', array_append(acc.out, named_struct(
+              'bin', e.bin, 'x', e.x, 'level', {lnew},
+              'trend', {bnew}, 'seasonal', {snew})))
+        ) AS st
+        """
+    ).selectExpr("inline(st.out)")
+    return folded.orderBy("bin")
+
+
 def holt_linear(
     df: DataFrame,
     ts_col: str,

@@ -8644,3 +8644,195 @@ _register(
     """,
     late=True,
 )(_blocking_audit_q)
+
+
+# =========================================================================
+# round 9 batch 5: Holt-Winters seasonal, modularity, cohort value curves
+# =========================================================================
+
+
+def _hw_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS5
+
+    return TS5.holt_winters_from_binned(
+        TS5.binned_sums(_events(spark, sf), "ts", "value"), period=24
+    )
+
+
+_register(
+    "ts_holt_winters",
+    # recursive twin with LIST state: the seasonal vector rotates one
+    # slot per step; every l_t reference is inlined identically on both
+    # sides so the coupled recursion replays the same IEEE ops
+    """
+    WITH RECURSIVE b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), x AS (
+      SELECT bin, (s::DOUBLE) / n AS x,
+             row_number() OVER (ORDER BY bin) AS rn
+      FROM b0
+    ), rec AS (
+      SELECT bin, x, rn, x AS level, 0.0::DOUBLE AS trend,
+             0.0::DOUBLE AS seasonal,
+             list_transform(range(24), i -> 0.0::DOUBLE) AS seas
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT b.bin, b.x, b.rn,
+             0.5 * (b.x - r.seas[1]) + 0.5 * (r.level + r.trend)
+               AS level,
+             0.3 * ((0.5 * (b.x - r.seas[1]) + 0.5 * (r.level + r.trend))
+                    - r.level) + 0.7 * r.trend AS trend,
+             0.2 * (b.x - (0.5 * (b.x - r.seas[1])
+                           + 0.5 * (r.level + r.trend)))
+             + 0.8 * r.seas[1] AS seasonal,
+             list_append(r.seas[2:24],
+               0.2 * (b.x - (0.5 * (b.x - r.seas[1])
+                             + 0.5 * (r.level + r.trend)))
+               + 0.8 * r.seas[1]) AS seas
+      FROM rec r JOIN x b ON b.rn = r.rn + 1
+    )
+    SELECT bin, x, level, trend, seasonal FROM rec ORDER BY bin
+    """,
+    late=True,
+)(_hw_q)
+
+
+def _modularity_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G6
+
+    part = (
+        load_table(spark, "part", sf)
+        .where(F.col("p_brand").startswith("Brand#1"))
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    li = (
+        load_table(spark, "lineitem", sf)
+        .join(
+            F.broadcast(part.select("l_partkey")), "l_partkey", "left_semi"
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        left.join(right, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
+    e = G6.undirected_edges(pairs, "pa", "pb")
+    assign = part.select(
+        F.col("l_partkey").alias("node"), F.col("p_brand").alias("community")
+    )
+    return G6.modularity(e, assign)
+
+
+_register(
+    "graph_modularity",
+    """
+    WITH pp AS (SELECT p_partkey, p_brand FROM part
+                WHERE p_brand LIKE 'Brand#1%'),
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+           FROM lineitem JOIN pp ON l_partkey = p_partkey),
+    e AS MATERIALIZED (SELECT DISTINCT x.v AS a, y.v AS b
+          FROM li x JOIN li y ON x.o = y.o AND x.v < y.v),
+    deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+            GROUP BY 1),
+    dc AS (SELECT p_brand AS community, sum(degree)::BIGINT AS dcv
+           FROM deg JOIN pp ON deg.node = pp.p_partkey GROUP BY 1),
+    bsum AS (SELECT count(*)::BIGINT AS n_communities,
+                    sum(dcv::HUGEINT * dcv::HUGEINT) AS bb
+             FROM dc),
+    tagged AS (SELECT ca.p_brand AS c1, cb.p_brand AS c2
+               FROM e JOIN pp ca ON e.a = ca.p_partkey
+                      JOIN pp cb ON e.b = cb.p_partkey),
+    asum AS (SELECT count(*)::BIGINT AS n_edges,
+                    sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)::BIGINT
+                      AS within_edges
+             FROM tagged)
+    SELECT n_edges, n_communities, within_edges,
+           within_edges::DOUBLE / n_edges::DOUBLE
+           - bb::DOUBLE / (4.0 * n_edges::DOUBLE * n_edges::DOUBLE)
+             AS modularity
+    FROM asum, bsum
+    """,
+    late=True,
+)(_modularity_q)
+
+
+def _cohort_value_q(spark: SparkSession, sf: str) -> DataFrame:
+    # LTV curves: the retention cohort grid extended with exact decimal
+    # purchase value per cell and the cumulative value curve per cohort
+    # (window over the CELL relation, not the data)
+    from pyspark.sql.window import Window as _W
+
+    ev = _events(spark, sf)
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+        )
+        .join(cohorts, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week_epoch"),
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.sum("_v").alias("_pv"),
+        )
+    )
+    w = (
+        _W.partitionBy("cohort_week_epoch")
+        .orderBy("week_offset")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_week_epoch",
+        "week_offset",
+        "n_active",
+        F.col("_pv").cast("double").alias("period_value"),
+        F.sum("_pv").over(w).cast("double").alias("cum_value"),
+    ).orderBy("cohort_week_epoch", "week_offset")
+
+
+_register(
+    "cohort_value_curves",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), cells AS (
+      SELECT floor(epoch(cohort_week))::BIGINT AS cohort_week_epoch,
+             (date_diff('day', cohort_week,
+                        date_trunc('week', e.ts)) / 7)::INT AS week_offset,
+             count(DISTINCT e.user_id)::BIGINT AS n_active,
+             sum(CAST(e.value AS DECIMAL(18,2))) AS pv
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND date_trunc('week', e.ts) >= cohort_week
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week_epoch, week_offset, n_active,
+           pv::DOUBLE AS period_value,
+           (sum(pv) OVER (PARTITION BY cohort_week_epoch
+              ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             AS cum_value
+    FROM cells ORDER BY cohort_week_epoch, week_offset
+    """,
+    late=True,
+)(_cohort_value_q)

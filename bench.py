@@ -267,6 +267,13 @@ HEADLINE = [
     # sketch_countmin_topk.
     "text_tokenizer_fertility",
     "vec_centroid_drift",
+    # round-9 batch 5: Holt-Winters additive seasonal smoothing — the
+    # recursive twin with rotating LIST state; Spark's one array fold
+    # vs DuckDB's per-step list-carrying recursion is 0.04× (0.6 s vs
+    # 17.3 s). graph_modularity (edge-build duplicate shape) and
+    # cohort_value_curves (0.04 s anchor, retention precedent) stay
+    # sweep-only.
+    "ts_holt_winters",
 ]
 
 

@@ -24,11 +24,15 @@ from apache_flink_essentials_spark.operators.profiling import (
 from apache_flink_essentials_spark.operators.sketches import (
     portable_quantile_bands,
 )
+from apache_flink_essentials_spark.operators.profiling import p_chart
 from apache_flink_essentials_spark.operators.timeseries import (
     acf,
+    binned_sums,
     cusum_changepoints,
+    holt_winters_from_binned,
     lag_correlation,
     seasonal_naive_eval,
+    theilsen_from_binned,
 )
 
 
@@ -61,6 +65,16 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
 
     print("seasonal-naive forecastability (MASE < 1 = daily cycle is real):")
     seasonal_naive_eval(events, "ts", "value").show()
+
+    print("robust trend + Holt-Winters off the ONE shared binned relation:")
+    bins = binned_sums(events, "ts", "value").localCheckpoint(eager=False)
+    theilsen_from_binned(bins).show()
+    holt_winters_from_binned(bins, period=24).orderBy(
+        F.desc("bin")
+    ).show(5)
+
+    print("daily error-share p-chart (SPC control limits):")
+    p_chart(events, "ts", F.col("event_type") == "error").show()
 
     print("view->click lead/lag correlation:")
     lag = lag_correlation(events, "ts", "event_type", "view", "click")

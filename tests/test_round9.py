@@ -558,3 +558,79 @@ def test_blocking_audit_pair_math(spark):
     p2 = out["prefix2"]
     # an:3, bo:1, bi:1 -> 3 pairs
     assert (p2.n_blocks, p2.candidate_pairs) == (3, 3)
+
+
+# ---- timeseries.holt_winters ---------------------------------------------------
+
+def test_holt_winters_matches_python_replay(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        holt_winters_from_binned,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # 3 cycles of a period-4 seasonal pattern + trend
+    xs = [10.0 + 0.5 * t + [0.0, 3.0, -2.0, 1.0][t % 4] for t in range(12)]
+    rows = [(base + datetime.timedelta(hours=t), x)
+            for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(
+        holt_winters_from_binned(
+            binned_sums(df, "ts", "value"), period=4
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    l, b = xs[0], 0.0
+    seas = [0.0, 0.0, 0.0, 0.0]
+    assert (out[0].level, out[0].trend, out[0].seasonal) == (l, b, 0.0)
+    for t, x in enumerate(xs[1:], start=1):
+        s_old = seas[0]
+        l_new = 0.5 * (x - s_old) + 0.5 * (l + b)
+        b_new = 0.3 * ((0.5 * (x - s_old) + 0.5 * (l + b)) - l) + 0.7 * b
+        s_new = 0.2 * (x - (0.5 * (x - s_old) + 0.5 * (l + b))) \
+            + 0.8 * s_old
+        seas = seas[1:] + [s_new]
+        assert out[t].level == l_new
+        assert out[t].trend == b_new
+        assert out[t].seasonal == s_new
+        l, b = l_new, b_new
+    # the learned seasonal at the end tracks the planted pattern's sign
+    assert out[9].seasonal > out[10].seasonal  # +3.0 slot vs -2.0 slot
+
+
+# ---- graph.modularity -----------------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # two triangles joined by one bridge edge; communities = triangles
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "a long, b long",
+    )
+    assign = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "node long, community long"
+    )
+    r = G.modularity(e, assign).collect()[0]
+    assert (r.n_edges, r.n_communities, r.within_edges) == (7, 2, 6)
+    # degrees: 2,2,3,3,2,2 -> d_c = 7 per community, B = 98
+    expect = 6 / 7 - 98 / (4 * 49)
+    assert abs(r.modularity - expect) < 1e-12
+    assert r.modularity > 0.3  # clearly community-structured
+
+
+def test_modularity_random_partition_near_zero(spark):
+    from apache_flink_essentials_spark.operators import graph as G
+
+    # same graph, partition that cuts both triangles -> poor Q
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "a long, b long",
+    )
+    assign = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "node long, community long"
+    )
+    r = G.modularity(e, assign).collect()[0]
+    assert r.modularity < 0.1
