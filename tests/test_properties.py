@@ -619,3 +619,102 @@ def test_item_cooccurrence_bounds(spark, baskets):
         assert r.n_ab <= min(r.n_a, r.n_b)
         assert 0 < r.cosine <= 1.0
         assert r.lift == (r.n_ab * n_baskets) / (r.n_a * r.n_b)
+
+
+# ---- round-9 structural invariants -----------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # day bucket
+            st.booleans(),                              # defect flag
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_p_chart_exact_predicate_equals_float_form(spark, rows):
+    # the cleared-denominator integer predicate must agree with the
+    # textbook float band test EXCEPT within float rounding of the
+    # boundary — and on these small exact integers the float form is
+    # itself exact, so they agree everywhere
+    import math
+
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    data = [
+        (BASE + datetime.timedelta(days=d), bool(f)) for d, f in rows
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, bad boolean")
+    out = P.p_chart(df, "ts", F.col("bad")).collect()
+    N = sum(1 for _ in rows)
+    K = sum(1 for _, f in rows if f)
+    for r in out:
+        band = 3.0 * math.sqrt(K * (N - K) * r.n)
+        dev = abs(r.n_defect * N - K * r.n)
+        assert r.is_out_of_control == (dev > band) or abs(dev - band) < 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=500, allow_nan=False),
+        min_size=3,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_theilsen_slope_between_min_and_max_pairwise(spark, vals):
+    # the median pairwise slope is bracketed by the extreme pairwise
+    # slopes, and a constant series yields exactly 0
+    from apache_flink_essentials_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    data = [
+        (BASE + datetime.timedelta(hours=i), round(float(v), 2))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, value double")
+    r = theilsen_trend(df, "ts", "value").collect()[0]
+    ms = [round(v * 100) * 10000 for v in [round(float(v), 2) for v in vals]]
+    slopes = [
+        (ms[j] - ms[i]) / (j - i)
+        for i in range(len(ms))
+        for j in range(i + 1, len(ms))
+    ]
+    assert min(slopes) - 1e-6 <= r.slope_micro_per_bin <= max(slopes) + 1e-6
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False,
+                      allow_subnormal=False),
+            min_size=4, max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_signed_projection_matches_numpy(spark, vecs):
+    # the BIGINT fold equals an exact integer replay for any input
+    from apache_flink_essentials_spark.operators import vector as V
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = V.signed_projection(df, dim=4, n_proj=4).collect()
+    import math
+    import struct as _struct
+
+    table = V.signed_sign_table(4, 4)
+    got = {(r.vec_id, r.proj_idx): r.proj_micro for r in out}
+    for i, v in enumerate(vecs):
+        # replicate float32 storage then the exact micro quantization
+        v32 = [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        vm = [math.floor(x * 1000000.0 + 0.5) for x in v32]
+        for j in range(4):
+            expect = sum(s * m for s, m in zip(table[j], vm))
+            assert got[(i, j)] == expect
