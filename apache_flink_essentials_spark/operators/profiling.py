@@ -899,3 +899,64 @@ def join_size_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("relation")
+
+
+def concentration_hhi(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Herfindahl-Hirschman concentration of a value column
+    over entities → ``(group, n_entities, total_cents, hhi,
+    top_share)`` where ``hhi = Σ_i share_i²`` (Herfindahl '50 /
+    Hirschman '45, public literature; the antitrust standard, 1/n for
+    perfectly even, 1.0 for a monopoly). The data-balance read a
+    sampling/curation pipeline runs before trusting per-group quotas:
+    a group whose token/revenue mass is one entity deep behaves like
+    that single entity, whatever its row count says.
+
+    Exactness: per-row values quantize to half-up BIGINT cents; each
+    entity's total r_i is an exact BIGINT sum; ``hhi = Σr_i² / (Σr_i)²``
+    computes its numerator on the DECIMAL(38,0)/HUGEINT pathway and
+    performs the division once on exact operands (Σr as double is
+    exact conversion; its square is one IEEE multiply — identical on
+    both engines). ``top_share = max r_i / Σ r_i`` is one int/int
+    rational.
+
+    Shape: two stacked hash aggs — rows → (group, entity) → group —
+    both map-side combined; output is |groups|-sized.
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
+    per_entity = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(entity_col).alias("ent"),
+        )
+        .agg(F.sum(cents).alias("r"))
+    )
+    return (
+        per_entity.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("r").alias("total_cents"),
+            F.sum(F.col("r").cast("decimal(38,0)")
+                  * F.col("r").cast("decimal(38,0)")).alias("_s2"),
+            F.max("r").alias("_mx"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_entities",
+            "total_cents",
+            (
+                F.col("_s2").cast("double")
+                / (F.col("total_cents").cast("double")
+                   * F.col("total_cents").cast("double"))
+            ).alias("hhi"),
+            (F.col("_mx") / F.col("total_cents")).alias("top_share"),
+        )
+        .orderBy(group_col)
+    )

@@ -2136,3 +2136,57 @@ def js_divergence_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def yule_k(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Yule's K lexical-repetitiveness characteristic →
+    ``(group, n_tokens, n_types, yule_k)`` where
+    ``K = 10^4 · (Σ_m m²·V_m − N) / N²`` over the frequency spectrum
+    V_m (Yule '44, public literature). The constant-under-sampling
+    companion to `text_hapax_ratio`: K rises when a few types dominate
+    the token mass — template spam and boilerplate score hundreds,
+    genuine prose tens — and unlike TTR it barely moves with corpus
+    size, so one threshold works across sources of different volume.
+
+    Exactness: Σ m²·V_m = Σ_types freq², an exact BIGINT sum; the
+    output is the single rational ``10000·(S2 − N) / N²`` whose
+    operands convert exactly to double (N < 2^53 per group — petabyte
+    headroom) and whose N² is ONE IEEE multiply — bit-identical across
+    engines, unrounded per convention. N² stays on the double pathway
+    deliberately: the BIGINT square would overflow near N ≈ 3e9.
+
+    Shape: tokenize + explode once → (group, term) hash agg →
+    per-group sum of c and c² — two map-side-combined exchanges, the
+    second carrying only type-level aggregates.
+    """
+    tt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tt.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            (
+                (F.lit(10000) * (F.col("_s2") - F.col("n_tokens")))
+                .cast("double")
+                / (F.col("n_tokens").cast("double")
+                   * F.col("n_tokens").cast("double"))
+            ).alias("yule_k"),
+        )
+        .orderBy(group_col)
+    )

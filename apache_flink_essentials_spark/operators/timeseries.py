@@ -1289,3 +1289,214 @@ def seasonality_strength(
             6,
         ).alias("strength"),
     )
+
+
+def mad_anomalies_from_binned(binned: DataFrame, k: int = 5) -> DataFrame:
+    """Robust MAD anomaly screen over a finished ``binned_sums``
+    relation → every bin tagged ``(bin, m, med_m, mad, is_anomaly)``.
+    The drift workbench's outlier tail: median + median-absolute-
+    deviation are the robust (breakdown 50%) location/scale pair, so a
+    burst bin cannot drag the threshold the way it drags the mean/σ the
+    EWMA and CUSUM tails use (Hampel '74, public literature).
+
+    Exact-integer contract (the cusum idiom): bin means are half-up
+    micro-unit BIGINTs; the median is the LOWER median — the element at
+    rank ``(n+1) div 2`` under the total order (m, bin) — so it is an
+    ELEMENT of the series, never an averaged float; MAD is the lower
+    median of the BIGINT deviations; the flag is the exact integer
+    predicate ``|m − med| > k·MAD``. No float reaches the output or
+    the boolean on either engine.
+
+    Scale: cost lives in the ``binned_sums`` scan-agg; everything here
+    is |bins|-sized (parameter-bounded — a year of hourly bins is 8,760
+    rows), computed as ONE fused chain of full-frame window passes over
+    that relation (single-task by design, like the other workbench
+    tails) — no per-statistic subquery jobs, no joins.
+    """
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    s1 = _micro_means(binned).select(
+        "bin", "m",
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.row_number().over(Window.orderBy("m", "bin")).alias("_rk"),
+    )
+    # the lower median is an ELEMENT: pick the rank-(n+1)div2 value and
+    # spread it across the frame with a windowed max-of-one-non-null
+    s2 = s1.select(
+        "bin", "m", "_n",
+        F.max(
+            F.when(F.col("_rk") == F.expr("(_n + 1) div 2"), F.col("m"))
+        ).over(w_all).alias("med_m"),
+    )
+    s3 = s2.select(
+        "bin", "m", "_n", "med_m",
+        F.abs(F.col("m") - F.col("med_m")).alias("_d"),
+    )
+    s4 = s3.select(
+        "bin", "m", "_n", "med_m", "_d",
+        F.row_number().over(Window.orderBy("_d", "bin")).alias("_rk"),
+    )
+    s5 = s4.select(
+        "bin", "m", "med_m", "_d",
+        F.max(
+            F.when(F.col("_rk") == F.expr("(_n + 1) div 2"), F.col("_d"))
+        ).over(w_all).alias("mad"),
+    )
+    return s5.select(
+        "bin", "m", "med_m", "mad",
+        (F.col("_d") > F.lit(k) * F.col("mad")).alias("is_anomaly"),
+    ).orderBy("bin")
+
+
+def kendall_from_binned(binned: DataFrame) -> DataFrame:
+    """Kendall tau-a monotone-trend test over a finished ``binned_sums``
+    relation → ONE row ``(n_bins, n_pairs, concordant, discordant,
+    ties, kendall_tau)`` (Kendall '38, public literature). The
+    rank-based sibling of ``events_ols_trend`` / ``ts_theilsen_trend``:
+    concordance counting is immune to the value scale entirely, so it
+    confirms a drift direction even when the series is heteroscedastic.
+
+    Portability: micro-unit BIGINT means make every pair comparison an
+    exact integer predicate; the three counts are BIGINTs and
+    ``tau = (C − D) / n_pairs`` is one int/int rational (unrounded per
+    convention).
+
+    Scale: |bins|² pair enumeration — quadratic in the PARAMETER-bounded
+    bin count (8,760 hourly bins/year → 38M pairs, engine-trivial),
+    never data-sized; the bin table broadcasts.
+    """
+    m = _micro_means(binned)
+    counts = m.agg(F.count(F.lit(1)).alias("n_bins")).select(
+        "n_bins",
+        ((F.col("n_bins") * (F.col("n_bins") - 1)) / 2).cast("long")
+        .alias("_np"),
+    )
+    a = m.select(F.col("bin").alias("bi"), F.col("m").alias("mi"))
+    b = m.select(F.col("bin").alias("bj"), F.col("m").alias("mj"))
+    pairs = a.join(F.broadcast(b), F.col("bi") < F.col("bj"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("mj") > F.col("mi"), 1).otherwise(0))
+        .cast("long").alias("concordant"),
+        F.sum(F.when(F.col("mj") < F.col("mi"), 1).otherwise(0))
+        .cast("long").alias("discordant"),
+        F.sum(F.when(F.col("mj") == F.col("mi"), 1).otherwise(0))
+        .cast("long").alias("ties"),
+    ).crossJoin(F.broadcast(counts)).select(
+        "n_bins", "n_pairs", "concordant", "discordant", "ties",
+        (
+            (F.col("concordant") - F.col("discordant"))
+            / F.col("n_pairs")
+        ).alias("kendall_tau"),
+    )
+
+
+def bollinger_from_binned(
+    binned: DataFrame, window: int = 24, k: int = 2
+) -> DataFrame:
+    """Bollinger-band breakout flags over a finished ``binned_sums``
+    relation → the bins with a full trailing window, tagged
+    ``(bin, m, win_n, is_upper_break, is_lower_break)`` (Bollinger '80s
+    trading literature; here a volatility-scaled drift screen: a break
+    means the newest bin sits >k rolling σ from the rolling mean).
+
+    Exact-integer contract: with S1 = Σm and S2 = Σm² over the trailing
+    ``window`` bins (micro-unit BIGINT means, squared on the
+    DECIMAL(38,0)/HUGEINT pathway — m² alone can reach 1e18), the flag
+    ``|m − S1/w| > k·σ`` is algebraically cleared of divisions to the
+    exact integer predicate ``(w·m − S1)² > k²·(w·S2 − S1²)``, and the
+    side comes from the exact sign of ``w·m − S1``. No float reaches
+    the output or the booleans on either engine.
+
+    Scale: one |bins|-sized window pass after the ``binned_sums``
+    scan-agg; single-task by design over the parameter-bounded bin
+    count, exactly like the other workbench tails.
+    """
+    from pyspark.sql.window import Window
+
+    m = _micro_means(binned)
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    rolled = m.select(
+        "bin",
+        "m",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum(md).over(w).alias("_s1"),
+        F.sum(md * md).over(w).alias("_s2"),
+    ).where(F.col("win_n") == window)
+    dev = (F.lit(window).cast("decimal(38,0)") * F.col("m").cast("decimal(38,0)")
+           - F.col("_s1"))
+    nvar = (F.lit(window).cast("decimal(38,0)") * F.col("_s2")
+            - F.col("_s1") * F.col("_s1"))
+    breaks = dev * dev > F.lit(k * k).cast("decimal(38,0)") * nvar
+    return rolled.select(
+        "bin", "m", "win_n",
+        (breaks & (dev > 0)).alias("is_upper_break"),
+        (breaks & (dev < 0)).alias("is_lower_break"),
+    ).orderBy("bin")
+
+
+def max_drawdown(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    step_s: int = 86400,
+) -> DataFrame:
+    """Per-key maximum drawdown of the binned value series →
+    ``(key, n_bins, peak_cents, max_drawdown_cents, max_dd_frac)``:
+    the worst peak-to-trough drop of e.g. daily revenue per event
+    type — the risk metric that says "this stream fell X% off its
+    running high", which a mean/σ screen cannot express.
+
+    Exactness: per-bin series values are exact BIGINT cents from the
+    DECIMAL sum; the running peak is an integer window max; the
+    drawdown is an integer difference; ``max_dd_frac`` is the maximum
+    over bins of the int/int rational ``dd/peak`` — every candidate
+    ratio is bit-identical across engines, so their max is too.
+
+    Scale: one map-side-combined hash agg to |keys|×|bins| rows, then a
+    per-key ordered window pass over that parameter-bounded relation;
+    the final agg is |keys|-sized.
+    """
+    from pyspark.sql.window import Window
+
+    bins = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            (F.col(ts_col).cast("long") / F.lit(step_s)).cast("long")
+            .alias("bin"),
+        )
+        .agg(
+            (F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+            .cast("long").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("key").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = bins.select(
+        "key", "bin", "v", F.max("v").over(w).alias("peak")
+    )
+    return (
+        run.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.max("peak").alias("peak_cents"),
+            F.max(F.col("peak") - F.col("v")).alias("max_drawdown_cents"),
+            F.max(
+                (F.col("peak") - F.col("v")) / F.col("peak")
+            ).alias("max_dd_frac"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_bins", "peak_cents", "max_drawdown_cents", "max_dd_frac",
+        )
+        .orderBy(key_col)
+    )

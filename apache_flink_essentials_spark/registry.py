@@ -8836,3 +8836,276 @@ _register(
     """,
     late=True,
 )(_cohort_value_q)
+
+
+# =========================================================================
+# round 9 batch 6: robust drift tails (MAD / Kendall / Bollinger /
+# drawdown), Adamic-Adar link prediction, Yule's K, HHI concentration
+# =========================================================================
+
+
+def _mad_bins_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.mad_anomalies_from_binned(
+        TS3.binned_sums(_events(spark, sf), "ts", "value", 3600), k=5
+    )
+
+
+_register(
+    "ts_mad_bins",
+    # the drift workbench's robust tail over the SAME binned_sums
+    # relation cusum/acf consume; exact lower-median integer contract
+    # (vs events_mad_outliers' per-row interpolated-percentile screen)
+    """
+    WITH b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bins AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
+    ), cnt AS (
+      SELECT count(*)::BIGINT AS n FROM bins
+    ), rk AS (
+      SELECT bin, m, row_number() OVER (ORDER BY m, bin) AS _rk FROM bins
+    ), med AS (
+      SELECT m AS med_m FROM rk, cnt WHERE _rk = (n + 1) // 2
+    ), d AS (
+      SELECT bin, m, med_m, abs(m - med_m) AS _d FROM bins, med
+    ), rk2 AS (
+      SELECT _d, row_number() OVER (ORDER BY _d, bin) AS _rk FROM d
+    ), mad AS (
+      SELECT _d AS mad FROM rk2, cnt WHERE _rk = (n + 1) // 2
+    )
+    SELECT bin, m, med_m, mad, (_d > 5 * mad) AS is_anomaly
+    FROM d, mad ORDER BY bin
+    """,
+    late=True,
+)(_mad_bins_q)
+
+
+def _kendall_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.kendall_from_binned(
+        TS3.binned_sums(_events(spark, sf), "ts", "value", 3600)
+    )
+
+
+_register(
+    "ts_kendall_trend",
+    """
+    WITH b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bins AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
+    ), cnt AS (
+      SELECT count(*)::BIGINT AS n_bins FROM bins
+    ), agg AS (
+      SELECT count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN b.m > a.m THEN 1 ELSE 0 END)::BIGINT
+               AS concordant,
+             sum(CASE WHEN b.m < a.m THEN 1 ELSE 0 END)::BIGINT
+               AS discordant,
+             sum(CASE WHEN b.m = a.m THEN 1 ELSE 0 END)::BIGINT AS ties
+      FROM bins a JOIN bins b ON a.bin < b.bin
+    )
+    SELECT n_bins, n_pairs, concordant, discordant, ties,
+           (concordant - discordant) / n_pairs::DOUBLE AS kendall_tau
+    FROM agg, cnt
+    """,
+    late=True,
+)(_kendall_q)
+
+
+def _bollinger_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.bollinger_from_binned(
+        TS3.binned_sums(_events(spark, sf), "ts", "value", 3600),
+        window=24, k=2,
+    )
+
+
+_register(
+    "ts_bollinger_breaks",
+    # exact integer predicate (w·m − S1)² > k²·(w·S2 − S1²) on the
+    # HUGEINT/DECIMAL(38,0) pathway — no float reaches the booleans
+    """
+    WITH b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bins AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
+    ), roll AS (
+      SELECT bin, m,
+             count(*) OVER w AS win_n,
+             sum(m::HUGEINT) OVER w AS s1,
+             sum(m::HUGEINT * m::HUGEINT) OVER w AS s2
+      FROM bins
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bin, m, win_n::BIGINT AS win_n,
+           ((24::HUGEINT * m - s1) * (24::HUGEINT * m - s1)
+              > 4::HUGEINT * (24::HUGEINT * s2 - s1 * s1))
+             AND (24::HUGEINT * m - s1 > 0) AS is_upper_break,
+           ((24::HUGEINT * m - s1) * (24::HUGEINT * m - s1)
+              > 4::HUGEINT * (24::HUGEINT * s2 - s1 * s1))
+             AND (24::HUGEINT * m - s1 < 0) AS is_lower_break
+    FROM roll WHERE win_n = 24 ORDER BY bin
+    """,
+    late=True,
+)(_bollinger_q)
+
+
+def _drawdown_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.max_drawdown(
+        _events(spark, sf), "ts", "value", "event_type", step_s=86400
+    )
+
+
+_register(
+    "ts_max_drawdown",
+    """
+    WITH bins AS (
+      SELECT event_type AS key, floor(epoch(ts))::BIGINT // 86400 AS bin,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), run AS (
+      SELECT key, bin, v,
+             max(v) OVER (PARTITION BY key ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM bins
+    )
+    SELECT key AS event_type, count(*)::BIGINT AS n_bins,
+           max(peak)::BIGINT AS peak_cents,
+           max(peak - v)::BIGINT AS max_drawdown_cents,
+           max((peak - v) / peak::DOUBLE) AS max_dd_frac
+    FROM run GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(_drawdown_q)
+
+
+def _adamic_adar_q(spark: SparkSession, sf: str) -> DataFrame:
+    # same region-scoped sourcing graph as graph_supplier_overlap (the
+    # scoping cuts the wedge degree BEFORE the quadratic step), but a
+    # different region and the AA weighting: rare shared customers
+    # dominate the score instead of washing out in the raw count
+    from apache_flink_essentials_spark.operators import graph as G6
+
+    region_suppliers = (
+        load_table(spark, "supplier", sf)
+        .join(F.broadcast(load_table(spark, "nation", sf)
+                          .where(F.col("n_regionkey") == 1)),
+              F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    bip = (
+        load_table(spark, "orders", sf)
+        .join(load_table(spark, "lineitem", sf)
+              .join(F.broadcast(region_suppliers), "l_suppkey",
+                    "left_semi"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("node"),
+                F.col("o_custkey").alias("nb"))
+    )
+    return (
+        G6.adamic_adar_pairs(bip, "node", "nb")
+        .orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+_register(
+    "graph_adamic_adar",
+    """
+    WITH rs AS (SELECT s_suppkey FROM supplier JOIN nation
+                  ON s_nationkey = n_nationkey WHERE n_regionkey = 1),
+    base AS (SELECT DISTINCT l_suppkey AS node, o_custkey AS nb
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN rs ON l_suppkey = s_suppkey),
+    nbw AS (SELECT nb, floor(1000000.0 / ln(count(*)) + 0.5)::BIGINT AS w
+            FROM base GROUP BY 1 HAVING count(*) >= 2),
+    pairs AS (SELECT x.node AS node_a, y.node AS node_b,
+                     count(*)::BIGINT AS n_common,
+                     sum(w)::BIGINT AS aa_micro
+              FROM base x JOIN base y
+                ON x.nb = y.nb AND x.node < y.node
+              JOIN nbw ON x.nb = nbw.nb
+              GROUP BY 1, 2)
+    SELECT node_a, node_b, n_common, aa_micro,
+           aa_micro / 1000000.0 AS aa_score
+    FROM pairs ORDER BY aa_micro DESC, node_a, node_b LIMIT 20
+    """,
+    late=True,
+)(_adamic_adar_q)
+
+
+_register(
+    "text_yule_k",
+    r"""
+    WITH tt AS (
+      SELECT grp, term, count(*)::BIGINT AS c
+      FROM (SELECT lang AS grp,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      WHERE term != '' GROUP BY 1, 2
+    ), g AS (
+      SELECT grp, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum(c * c)::BIGINT AS s2
+      FROM tt GROUP BY 1
+    )
+    SELECT grp AS lang, n_tokens, n_types,
+           (10000 * (s2 - n_tokens))::DOUBLE
+             / (n_tokens::DOUBLE * n_tokens::DOUBLE) AS yule_k
+    FROM g ORDER BY lang
+    """,
+    late=True,
+)(lambda spark, sf: X.yule_k(load_table(spark, "documents", sf), "lang"))
+
+
+def _hhi_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import profiling as P6
+
+    df = (
+        load_table(spark, "orders", sf)
+        .join(load_table(spark, "customer", sf),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(load_table(spark, "nation", sf)),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return P6.concentration_hhi(df, "n_name", "o_custkey", "o_totalprice")
+
+
+_register(
+    "events_hhi_concentration",
+    """
+    WITH pe AS (
+      SELECT n_name AS grp, o_custkey AS ent,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT grp, count(*)::BIGINT AS n_entities,
+             sum(r)::BIGINT AS total_cents,
+             sum(r::HUGEINT * r::HUGEINT) AS s2, max(r)::BIGINT AS mx
+      FROM pe GROUP BY 1
+    )
+    SELECT grp AS n_name, n_entities, total_cents,
+           s2::DOUBLE / (total_cents::DOUBLE * total_cents::DOUBLE) AS hhi,
+           mx / total_cents::DOUBLE AS top_share
+    FROM g ORDER BY n_name
+    """,
+    late=True,
+)(_hhi_q)
