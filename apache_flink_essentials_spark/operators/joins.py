@@ -845,3 +845,45 @@ def golden_record(
         )
         out = out.join(votes, "component")
     return out.orderBy("component")
+
+
+def threshold_sweep(
+    weights: DataFrame,
+    score_col: str,
+    thresholds: "list[int]",
+) -> DataFrame:
+    """Operating-curve sweep over a scored pair table → one row per
+    threshold ``(threshold_micro, n_pairs, n_above, frac_above)``: how
+    many candidate pairs survive each cut. The calibration read run
+    BEFORE freezing a Fellegi-Sunter match threshold — the knee of this
+    curve is where the 'possible' band should sit.
+
+    Shape: the scored relation collapses FIRST to a (score, count)
+    aggregate — the distinct-score table is bounded by the comparison-
+    vector space (2^fields), so the threshold grid multiplies a
+    TINY relation, never the pair table. Counts are BIGINTs and
+    ``frac_above`` an int/int rational (portable); thresholds are
+    integer micro-units so every comparison is exact.
+    """
+    sc = (
+        weights.groupBy(F.col(score_col).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grid = F.explode(
+        F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+    ).alias("threshold_micro")
+    return (
+        sc.select(grid, "_w", "_c")
+        .groupBy("threshold_micro")
+        .agg(
+            F.sum("_c").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("_w") >= F.col("threshold_micro"),
+                         F.col("_c")).otherwise(0))
+            .cast("long").alias("n_above"),
+        )
+        .select(
+            "threshold_micro", "n_pairs", "n_above",
+            (F.col("n_above") / F.col("n_pairs")).alias("frac_above"),
+        )
+        .orderBy("threshold_micro")
+    )

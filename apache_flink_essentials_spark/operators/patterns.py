@@ -328,3 +328,72 @@ def diff_in_diff(
         ((F.col("post_treated") - F.col("pre_treated"))
          - (F.col("post_control") - F.col("pre_control"))).alias("did"),
     )
+
+
+def funnel_gap_quantiles(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+) -> DataFrame:
+    """Time-to-convert distribution for a two-step funnel → ONE row
+    ``(n_converted, min_s, p25_s, median_s, p75_s, max_s)``: the gap in
+    seconds between each key's FIRST ``first_type`` event and its first
+    ``then_type`` event at-or-after it. The latency companion to the
+    conversion-rate funnels: two products can share a conversion rate
+    while one converts in minutes and the other in weeks.
+
+    Exact-element quantiles (the ``ts_mad_bins`` lower-median idiom):
+    gaps are truncating epoch-second BIGINT differences; p25/median/p75
+    are the ELEMENTS at ranks ``max(1, (k·(n+1)) div 4)`` (k = 1,2,3)
+    under the total order (gap, key) — never interpolated floats, so
+    the row is bit-identical across engines.
+
+    Scale: two hash aggs keyed by ``key_col`` (the second carries one
+    row per converting key), then a |converters|-sized rank pass —
+    single-task by design only at the final quantile pick, which reads
+    a relation bounded by the converting-user count. For a 100 TB
+    events table swap the exact picks for `sketches.py` quantile bands
+    and keep the output contract.
+    """
+    firsts = (
+        df.where(F.col(type_col) == first_type)
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.min(F.col(ts_col).cast("long")).alias("_t0"))
+    )
+    gaps = (
+        df.where(F.col(type_col) == then_type)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("long").alias("_t1"),
+        )
+        .join(firsts, "k")
+        .where(F.col("_t1") >= F.col("_t0"))
+        .groupBy("k")
+        .agg((F.min("_t1") - F.min("_t0")).alias("gap_s"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = gaps.select(
+        "gap_s",
+        F.row_number().over(Window.orderBy("gap_s", "k")).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    pick = lambda k: F.max(  # noqa: E731
+        F.when(
+            F.col("_rk")
+            == F.greatest(F.lit(1), F.expr(f"({k} * (_n + 1)) div 4")),
+            F.col("gap_s"),
+        )
+    )
+    return ranked.agg(
+        F.max("_n").cast("long").alias("n_converted"),
+        F.min("gap_s").alias("min_s"),
+        pick(1).alias("p25_s"),
+        pick(2).alias("median_s"),
+        pick(3).alias("p75_s"),
+        F.max("gap_s").alias("max_s"),
+    )

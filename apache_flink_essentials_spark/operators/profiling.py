@@ -960,3 +960,51 @@ def concentration_hhi(
         )
         .orderBy(group_col)
     )
+
+
+def date_consistency_audit(
+    df: DataFrame,
+    early_col: str,
+    late_col: str,
+    group_col: str,
+    late_days: int = 90,
+) -> DataFrame:
+    """Cross-field temporal-consistency audit → per group
+    ``(group, n_rows, n_violations, n_late, violation_rate,
+    late_rate)``: rows where the supposedly-later timestamp precedes
+    the earlier one (``late < early`` — outright corruption: clock
+    skew, timezone double-conversion, join misalignment) and rows
+    merely SLOW (``late > early + late_days`` — an SLA read, not an
+    error). The constraint-mining sibling of `referential_audit`:
+    that one checks keys point somewhere, this one checks the pointed
+    row's dates can coexist.
+
+    Exactness: comparisons run on truncating epoch-second BIGINTs (the
+    repo's timestamp convention); counts are BIGINTs; rates are
+    int/int rationals — engine-portable unrounded.
+
+    Scale: ONE map-side-combined hash agg over the (already-joined)
+    fact scan; output is |groups|-sized. No second pass per check —
+    both predicates ride the same aggregate.
+    """
+    e = F.col(early_col).cast("long")
+    lt = F.col(late_col).cast("long")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(lt < e, 1).otherwise(0)).cast("long")
+            .alias("n_violations"),
+            F.sum(
+                F.when(lt > e + F.lit(late_days * 86400), 1).otherwise(0)
+            ).cast("long").alias("n_late"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows", "n_violations", "n_late",
+            (F.col("n_violations") / F.col("n_rows"))
+            .alias("violation_rate"),
+            (F.col("n_late") / F.col("n_rows")).alias("late_rate"),
+        )
+        .orderBy(group_col)
+    )

@@ -2190,3 +2190,80 @@ def yule_k(
         )
         .orderBy(group_col)
     )
+
+
+def log_odds_terms(
+    df: DataFrame,
+    target_value: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 10,
+) -> DataFrame:
+    """Discriminative vocabulary of one corpus slice vs the rest →
+    the ``top_n`` terms by |smoothed log-odds-ratio| between the
+    ``group_col == target_value`` slice and everything else
+    (add-one-smoothed log-odds, the core of Monroe et al. '08
+    "Fightin' Words", public paper, without the Dirichlet prior
+    tuning). The corpus-comparison read a curation pipeline runs to see
+    WHAT distinguishes a source/language slice — complementing
+    `text_js_divergence`, which says only HOW MUCH they differ.
+
+    ``score = ln((c_t+1)/(N_t−c_t+1)) − ln((c_r+1)/(N_r−c_r+1))``
+    quantized per term to half-up micro BIGINTs: each operand of each
+    ln is an exact int/int rational (identical double on both
+    engines — the zipf/BM25 log convention), the subtraction happens
+    on exact BIGINT micro-logs, and ranking/tie-break uses
+    (|score_micro| DESC, term) — no accumulated float anywhere.
+
+    Shape: tokenize + explode once → (side, term) hash agg → per-term
+    pivot of the two sides → score projection → top-k
+    (TakeOrderedAndProject). The ranked relation is vocabulary-sized.
+    """
+    side = F.when(F.col(group_col) == target_value, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    tt = (
+        df.select(
+            side.alias("_side"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.sum("_side").cast("long").alias("ct"),
+            F.sum(F.lit(1) - F.col("_side")).cast("long").alias("cr"),
+        )
+    )
+    tot = tt.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    micro = lambda x: F.floor(  # noqa: E731
+        F.log(x) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    scored = tt.crossJoin(F.broadcast(tot)).select(
+        "term", "ct", "cr",
+        (
+            micro(
+                (F.col("ct") + 1)
+                / (F.col("nt") - F.col("ct") + 1)
+            )
+            - micro(
+                (F.col("cr") + 1)
+                / (F.col("nr") - F.col("cr") + 1)
+            )
+        ).alias("log_odds_micro"),
+    )
+    return (
+        scored.where(F.col("ct") + F.col("cr") >= min_count)
+        .orderBy(
+            F.abs(F.col("log_odds_micro")).desc(), "term"
+        )
+        .limit(top_n)
+        .select(
+            "term", "ct", "cr", "log_odds_micro",
+            (F.col("log_odds_micro") / F.lit(1000000.0))
+            .alias("log_odds"),
+        )
+    )

@@ -1500,3 +1500,65 @@ def max_drawdown(
         )
         .orderBy(key_col)
     )
+
+
+def permutation_entropy_from_binned(binned: DataFrame) -> DataFrame:
+    """Order-3 permutation entropy over a finished ``binned_sums``
+    relation → ONE row ``(n_triples, n_patterns, perm_entropy,
+    normalized_pe)`` (Bandt & Pompe '02, public paper). The complexity
+    tail of the drift workbench: each consecutive bin-mean triple maps
+    to its ordinal pattern (which of the 6 orderings the values take);
+    a regular/periodic series concentrates on few patterns (low
+    entropy), noise spreads over all six (normalized ≈ 1). Robust to
+    monotone transforms of the values — only the ORDER matters, so it
+    complements the magnitude-based tails (CUSUM/MAD/Bollinger).
+
+    Portability: micro-unit BIGINT means make every ordinal comparison
+    exact; ties break by position (stable argsort — the standard
+    convention); pattern counts are BIGINTs and each p_i = n_i/N is an
+    exact rational. The entropy sum folds ≤ 6 transcendental terms —
+    round(6) absorbs fold order per the cosine/geo-mean convention.
+
+    Scale: one |bins|-sized window pass (parameter-bounded,
+    single-task by design like the other tails) then a ≤6-row agg.
+    """
+    from pyspark.sql.window import Window
+
+    m = _micro_means(binned)
+    w = Window.orderBy("bin")
+    tri = m.select(
+        F.lag("m", 2).over(w).alias("a"),
+        F.lag("m", 1).over(w).alias("b"),
+        F.col("m").alias("c"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    ab = F.col("a") <= F.col("b")
+    ac = F.col("a") <= F.col("c")
+    bc = F.col("b") <= F.col("c")
+    pattern = (
+        F.when(ab & bc, "012")
+        .when(ab & ~bc & ac, "021")
+        .when(ab & ~bc & ~ac, "201")
+        .when(~ab & ac, "102")
+        .when(~ab & ~ac & bc, "120")
+        .otherwise("210")
+    )
+    counts = tri.groupBy(pattern.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    withp = counts.select(
+        "n",
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_N"),
+    )
+    ent = -F.sum(
+        (F.col("n") / F.col("_N")) * F.log(F.col("n") / F.col("_N"))
+    )
+    return withp.agg(
+        F.max("_N").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.round(ent, 6).alias("perm_entropy"),
+        F.round(ent / F.log(F.lit(6.0)), 6).alias("normalized_pe"),
+    )

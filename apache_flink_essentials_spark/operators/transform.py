@@ -543,3 +543,101 @@ def global_prefix_sum(
         .withColumn(out_col, F.col("_voff") + F.col("_lcum"))
         .drop("_pid", "_lcum", "_voff")
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    iterations: int = 12,
+    scale: int = 10**6,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain over each
+    key's event timeline → ``(event_type, pi_micro, pi)``: where user
+    sessions SETTLE if the observed transition behavior keeps running —
+    the long-run state mix that a raw event-type histogram (which mixes
+    in entry-state bias) does not give you. Power iteration on
+    :func:`transition_counts`'s matrix (Page et al. '99 is the same
+    fixed point with teleport; this is the undamped chain).
+
+    Exact-integer fixed point (the ``pagerank_fixedpoint`` contract):
+    π₀ = scale div n uniformly; each step folds
+    ``π'_j = Σ_i (π_i · c_ij) div c_i`` with truncating positive int64
+    division — identical on both engines, so ``iterations`` unrolled
+    CTE stages reproduce it bit-for-bit. States with NO outgoing
+    transitions keep their own mass (the dangling convention). The
+    ≤ n·iterations ulps of truncated mass are the price of exact
+    cross-engine replay. Overflow headroom: π ≤ 1e6, c ≤ rows → the
+    per-term product stays ≪ 2^63 for corpora under ~9e12 transitions.
+
+    Scale: ONE keyed lead() pass over the data; everything after is
+    |types|²-sized (bounded by the event vocabulary, never the corpus),
+    so the iteration loop costs |types|-row joins with
+    per-round lineage truncation.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    t = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cf", F.sum("c").over(Window.partitionBy("from_type"))
+        )
+        .persist()
+    )
+    states = (
+        t.select(F.col("from_type").alias("s"))
+        .union(t.select(F.col("to_type").alias("s")))
+        .distinct()
+        .persist()
+    )
+    n = states.count()
+    if n == 0:
+        t.unpersist()
+        return states.select(
+            F.col("s").alias("event_type"),
+            F.lit(0).cast("long").alias("pi_micro"),
+            F.lit(0.0).alias("pi"),
+        )
+    sources = t.select(F.col("from_type").alias("s")).distinct()
+    dangling = states.join(sources, "s", "left_anti").select(
+        "s", F.lit(True).alias("_dang")
+    )
+    pi = states.withColumn(
+        "pi", F.lit(int(scale) // n).cast("long")
+    )
+    for _ in range(iterations):
+        inflow = (
+            pi.join(t, pi["s"] == t["from_type"])
+            .select(
+                F.col("to_type").alias("s"),
+                F.expr("(pi * c) div cf").alias("_m"),
+            )
+            .groupBy("s")
+            .agg(F.sum("_m").cast("long").alias("_in"))
+        )
+        pi = (
+            pi.join(inflow, "s", "left")
+            .join(F.broadcast(dangling), "s", "left")
+            .select(
+                "s",
+                (
+                    F.coalesce(F.col("_in"), F.lit(0))
+                    + F.when(F.col("_dang"), F.col("pi")).otherwise(0)
+                ).cast("long").alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    t.unpersist()
+    states.unpersist()
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.col("pi").alias("pi_micro"),
+        (F.col("pi") / F.lit(float(scale))).alias("pi"),
+    ).orderBy("event_type")

@@ -9109,3 +9109,275 @@ _register(
     """,
     late=True,
 )(_hhi_q)
+
+
+# =========================================================================
+# round 9 batch 7: Markov stationary distribution, discriminative
+# log-odds vocabulary, funnel latency quantiles, date-consistency audit,
+# permutation entropy, FS threshold sweep
+# =========================================================================
+
+
+def _markov_stationary_q(spark: SparkSession, sf: str) -> DataFrame:
+    return T.markov_stationary(
+        _events(spark, sf), "user_id", "ts", "event_type",
+        iterations=12, order_cols=["event_id"],
+    )
+
+
+def _markov_oracle(iterations: int = 12) -> str:
+    """Unrolled power iteration (MATERIALIZED per the CTE-inlining
+    convention — each stage must evaluate once, not 3^k times)."""
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), t AS MATERIALIZED (
+      SELECT from_type, to_type, count(*)::BIGINT AS c,
+             sum(count(*)) OVER (PARTITION BY from_type)::BIGINT AS cf
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), states AS MATERIALIZED (
+      SELECT from_type AS s FROM t UNION SELECT to_type FROM t
+    ), dang AS MATERIALIZED (
+      SELECT s FROM states EXCEPT SELECT DISTINCT from_type FROM t
+    ), p0 AS MATERIALIZED (
+      SELECT s, (1000000 // (SELECT count(*) FROM states))::BIGINT AS pi
+      FROM states
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", p{i} AS MATERIALIZED (
+      SELECT st.s,
+             (coalesce(inc.m, 0)
+              + CASE WHEN st.s IN (SELECT s FROM dang)
+                     THEN prev.pi ELSE 0 END)::BIGINT AS pi
+      FROM states st
+      JOIN p{i - 1} prev ON prev.s = st.s
+      LEFT JOIN (SELECT t.to_type AS s,
+                        sum((p.pi * t.c) // t.cf)::BIGINT AS m
+                 FROM p{i - 1} p JOIN t ON t.from_type = p.s
+                 GROUP BY 1) inc ON inc.s = st.s
+    )""")
+    tail = f"""
+    SELECT s AS event_type, pi AS pi_micro, pi / 1000000.0 AS pi
+    FROM p{iterations} ORDER BY event_type
+    """
+    return head + "".join(steps) + tail
+
+
+_register(
+    "events_markov_stationary", _markov_oracle(12), late=True
+)(_markov_stationary_q)
+
+
+_register(
+    "text_log_odds_en",
+    r"""
+    WITH tt AS (
+      SELECT term,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS cr
+      FROM (SELECT lang,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      WHERE term != '' GROUP BY 1
+    ), tot AS (
+      SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM tt
+    ), s AS (
+      SELECT term, ct, cr,
+             (floor(ln((ct + 1) / (nt - ct + 1)) * 1e6 + 0.5)::BIGINT
+              - floor(ln((cr + 1) / (nr - cr + 1)) * 1e6 + 0.5)::BIGINT)
+               AS log_odds_micro
+      FROM tt, tot
+    )
+    SELECT term, ct, cr, log_odds_micro,
+           log_odds_micro / 1000000.0 AS log_odds
+    FROM s WHERE ct + cr >= 10
+    ORDER BY abs(log_odds_micro) DESC, term LIMIT 20
+    """,
+    late=True,
+)(lambda spark, sf: X.log_odds_terms(
+    load_table(spark, "documents", sf), "en", "lang",
+    top_n=20, min_count=10,
+))
+
+
+def _funnel_gap_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import patterns as PA7
+
+    return PA7.funnel_gap_quantiles(
+        _events(spark, sf), "user_id", "ts", "event_type",
+        "signup", "purchase",
+    )
+
+
+_register(
+    "events_funnel_gap_quantiles",
+    """
+    WITH f AS (
+      SELECT user_id AS k, min(floor(epoch(ts))::BIGINT) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), g AS (
+      SELECT e.user_id AS k,
+             min(floor(epoch(e.ts))::BIGINT) - min(f.t0) AS gap_s
+      FROM events e JOIN f ON e.user_id = f.k
+      WHERE e.event_type = 'purchase'
+        AND floor(epoch(e.ts))::BIGINT >= f.t0
+      GROUP BY 1
+    ), r AS (
+      SELECT k, gap_s, row_number() OVER (ORDER BY gap_s, k) AS rk,
+             count(*) OVER ()::BIGINT AS n
+      FROM g
+    )
+    SELECT max(n)::BIGINT AS n_converted, min(gap_s)::BIGINT AS min_s,
+           max(CASE WHEN rk = greatest(1, (1 * (n + 1)) // 4)
+                    THEN gap_s END)::BIGINT AS p25_s,
+           max(CASE WHEN rk = greatest(1, (2 * (n + 1)) // 4)
+                    THEN gap_s END)::BIGINT AS median_s,
+           max(CASE WHEN rk = greatest(1, (3 * (n + 1)) // 4)
+                    THEN gap_s END)::BIGINT AS p75_s,
+           max(gap_s)::BIGINT AS max_s
+    FROM r
+    """,
+    late=True,
+)(_funnel_gap_q)
+
+
+def _date_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import profiling as P7
+
+    j = (
+        load_table(spark, "lineitem", sf)
+        .join(load_table(spark, "orders", sf),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderstatus", "o_orderdate", "l_shipdate")
+    )
+    return P7.date_consistency_audit(
+        j, "o_orderdate", "l_shipdate", "o_orderstatus", late_days=90
+    )
+
+
+_register(
+    "dq_date_consistency",
+    """
+    WITH j AS (
+      SELECT o_orderstatus AS grp,
+             floor(epoch(o_orderdate))::BIGINT AS e,
+             floor(epoch(l_shipdate))::BIGINT AS l
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT grp AS o_orderstatus, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN l < e THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+           sum(CASE WHEN l > e + 7776000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_late,
+           sum(CASE WHEN l < e THEN 1 ELSE 0 END)::BIGINT
+             / count(*)::BIGINT AS violation_rate,
+           sum(CASE WHEN l > e + 7776000 THEN 1 ELSE 0 END)::BIGINT
+             / count(*)::BIGINT AS late_rate
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    late=True,
+)(_date_audit_q)
+
+
+def _perm_entropy_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.permutation_entropy_from_binned(
+        TS3.binned_sums(_events(spark, sf), "ts", "value", 3600)
+    )
+
+
+_register(
+    "ts_permutation_entropy",
+    """
+    WITH b0 AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
+             count(*)::BIGINT AS n,
+             (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), bins AS (
+      SELECT bin, (sc * 20000 + n) // (2 * n) AS m FROM b0
+    ), tri AS (
+      SELECT lag(m, 2) OVER (ORDER BY bin) AS a,
+             lag(m, 1) OVER (ORDER BY bin) AS b,
+             m AS c
+      FROM bins
+    ), pat AS (
+      SELECT CASE WHEN a <= b AND b <= c THEN '012'
+                  WHEN a <= b AND NOT b <= c AND a <= c THEN '021'
+                  WHEN a <= b AND NOT b <= c AND NOT a <= c THEN '201'
+                  WHEN NOT a <= b AND a <= c THEN '102'
+                  WHEN NOT a <= b AND NOT a <= c AND b <= c THEN '120'
+                  ELSE '210' END AS pattern
+      FROM tri WHERE a IS NOT NULL AND b IS NOT NULL
+    ), counts AS (
+      SELECT pattern, count(*)::BIGINT AS n FROM pat GROUP BY 1
+    ), wp AS (
+      SELECT n, sum(n) OVER ()::BIGINT AS nn FROM counts
+    )
+    SELECT max(nn)::BIGINT AS n_triples, count(*)::BIGINT AS n_patterns,
+           round(-sum((n / nn) * ln(n / nn)), 6) AS perm_entropy,
+           round(-sum((n / nn) * ln(n / nn)) / ln(6.0), 6)
+             AS normalized_pe
+    FROM wp
+    """,
+    late=True,
+)(_perm_entropy_q)
+
+
+_ER_SWEEP_GRID = [
+    -4_000_000, -2_000_000, 0, 2_000_000, 4_000_000,
+    6_000_000, 8_000_000, 10_000_000, 12_000_000,
+]
+
+
+def _er_sweep_q(spark: SparkSession, sf: str) -> DataFrame:
+    return J.threshold_sweep(
+        _fs_weights_q(spark, sf), "weight_micro", _ER_SWEEP_GRID
+    )
+
+
+def _er_sweep_oracle() -> str:
+    grid = ", ".join(f"({t})" for t in _ER_SWEEP_GRID)
+    return f"""
+    WITH cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+    ), j AS (
+      SELECT id_a, id_b,
+             (levenshtein(lower(a.c_name), lower(b.c_name)) <= 1)::INT
+               AS agree_name,
+             (a.c_nationkey = b.c_nationkey)::INT AS agree_nation,
+             (a.c_mktsegment = b.c_mktsegment)::INT AS agree_segment
+      FROM cand
+      JOIN customer a ON a.c_custkey = id_a
+      JOIN customer b ON b.c_custkey = id_b
+    ), w AS (
+      SELECT (CASE WHEN agree_name = 1 THEN {_FS_W["name"][0]}
+                   ELSE {_FS_W["name"][1]} END
+              + CASE WHEN agree_nation = 1 THEN {_FS_W["nation"][0]}
+                     ELSE {_FS_W["nation"][1]} END
+              + CASE WHEN agree_segment = 1 THEN {_FS_W["segment"][0]}
+                     ELSE {_FS_W["segment"][1]} END)::BIGINT
+               AS weight_micro
+      FROM j
+    ), sc AS (
+      SELECT weight_micro AS _w, count(*)::BIGINT AS _c
+      FROM w GROUP BY 1
+    ), grid(threshold_micro) AS (VALUES {grid})
+    SELECT threshold_micro::BIGINT AS threshold_micro,
+           sum(_c)::BIGINT AS n_pairs,
+           sum(CASE WHEN _w >= threshold_micro THEN _c ELSE 0 END)::BIGINT
+             AS n_above,
+           sum(CASE WHEN _w >= threshold_micro THEN _c ELSE 0 END)::BIGINT
+             / sum(_c)::BIGINT AS frac_above
+    FROM sc, grid GROUP BY 1 ORDER BY 1
+    """
+
+
+_register("er_threshold_sweep", _er_sweep_oracle(), late=True)(_er_sweep_q)
