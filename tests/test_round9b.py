@@ -208,3 +208,66 @@ def test_hhi_even_vs_monopoly(spark):
     assert abs(out["skew"].hhi - 0.82) < 1e-12
     assert out["skew"].top_share == 0.9
     assert out["skew"].total_cents == 1000
+
+
+def test_binned_sums_stream_mad_equals_batch(spark):
+    # the round-9 MAD tail rides the SAME complete-mode binned-sums
+    # state as cusum/acf: drained stream state -> mad tail == batch
+    # bit-for-bit (exact integer contract end to end)
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        mad_anomalies_from_binned,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        binned_sums_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    state = run_stream_to_df(
+        binned_sums_stream(stream_in), output_mode="complete"
+    )
+    streamed = sorted(
+        map(tuple, mad_anomalies_from_binned(state).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            mad_anomalies_from_binned(
+                binned_sums(events, "ts", "value", 3600)
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_binned_sums_stream_permutation_entropy_equals_batch(spark):
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        permutation_entropy_from_binned,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        binned_sums_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    state = run_stream_to_df(
+        binned_sums_stream(stream_in), output_mode="complete"
+    )
+    streamed = permutation_entropy_from_binned(state).collect()
+    batch = permutation_entropy_from_binned(
+        binned_sums(events, "ts", "value", 3600)
+    ).collect()
+    assert list(map(tuple, streamed)) == list(map(tuple, batch))
+    assert batch[0].n_triples > 0
