@@ -792,3 +792,101 @@ def adamic_adar_pairs(
             (F.col("aa_micro") / F.lit(1000000.0)).alias("aa_score"),
         )
     )
+
+
+def hits_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 6,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities in int64 fixed-point micro-units over a
+    directed graph → ``(node, hub_micro, auth_micro)`` (Kleinberg '99,
+    public paper). The directed complement of ``pagerank_fixedpoint``:
+    a node is a good HUB when it points at good authorities and a good
+    AUTHORITY when good hubs point at it — on a supplier→customer
+    graph, hub = broad-reach supplier, authority = customer courted by
+    the well-connected suppliers (which indegree alone does not say).
+
+    Exact-integer contract: h₀ uniform ``scale div |src nodes|``; each
+    round folds ``a_raw(j) = Σ_{i→j} h(i)`` exactly in BIGINT, then
+    L1-normalizes with ``a(j) = (a_raw(j)·scale) div Σ a_raw``. The L1
+    invariant bounds everything: Σh ≤ scale after every round, so
+    ``a_raw(j) ≤ scale`` and the normalization product never exceeds
+    ``scale² = 1e12`` — deep inside int64, no decimal pathway needed.
+    Truncating positive division is identical on both engines, so the
+    unrolled-CTE oracle reproduces every round bit-for-bit. Nodes on
+    one side only carry a 0 on the other score (a source that nobody
+    cites is a zero authority — reported, not dropped).
+
+    Scale: edges dedup + repartition once; per round two key-shuffled
+    aggregates over the edge relation plus two one-row L1 totals
+    (broadcast); per-round lineage truncation via eager localCheckpoint
+    (the pagerank contract). Never a data-sized collect.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    srcs = e.select(F.col("src").alias("node")).distinct().persist()
+    dsts = e.select(F.col("dst").alias("node")).distinct().persist()
+    n_src = srcs.count()
+    if n_src == 0:
+        for x in (e, srcs, dsts):
+            x.unpersist()
+        return e.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+        )
+    h = srcs.withColumn("h", F.lit(int(scale) // n_src).cast("long"))
+
+    def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum(col).cast("long").alias("_tot"))
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                # raw <= scale by the L1 invariant, so the product is
+                # <= scale^2 = 1e12 — positive int64 `div` throughout
+                F.expr(f"({col} * {int(scale)}) div _tot").alias(col),
+            )
+        )
+
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        a = _l1_normalize(a_raw, "a").localCheckpoint(eager=True)
+        h_raw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        h = _l1_normalize(h_raw, "h").localCheckpoint(eager=True)
+
+    out = (
+        srcs.select("node").union(dsts.select("node")).distinct()
+        .join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long")
+            .alias("hub_micro"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long")
+            .alias("auth_micro"),
+        )
+        .orderBy("node")
+    )
+    for x in (e, srcs, dsts):
+        x.unpersist()
+    return out

@@ -2118,3 +2118,67 @@ def ivf_balance_report(
         (F.col("n_vecs") / n).alias("share"),
         (F.col("n_vecs") * F.lit(k) / n).alias("load_factor"),
     ).orderBy("cluster_id")
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column →
+    ``(query_id, true_label, predicted_label, votes, correct)`` (Cover &
+    Hart '67, public literature). The evaluation read on top of
+    :func:`knn_cosine_bruteforce`: when the label is a cluster/topic/
+    source id, the vote agreement rate is the standard probe for "does
+    this embedding space separate my classes" — run it BEFORE spending
+    on an ANN index over a space that doesn't.
+
+    Determinism: neighbors come from the rounded-cosine ranked top-k
+    (id tie-break, the knn convention); the vote picks
+    (votes DESC, label ASC) — an exact integer/order rule, so the
+    predicted label is engine-portable even when two labels tie.
+
+    Scale: the kNN plan (broadcast queries × embeddings) dominates; the
+    vote adds one broadcast of the slim (id, label) projection and two
+    |queries·k|-sized aggregates.
+    """
+    nn = knn_cosine_bruteforce(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lbl = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+    )
+    votes = (
+        nn.join(F.broadcast(lbl), "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_nl")
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("_nl").alias("predicted_label"),
+            "votes",
+        )
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id", "true_label", "predicted_label", "votes",
+            (F.col("predicted_label") == F.col("true_label"))
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -9381,3 +9381,243 @@ def _er_sweep_oracle() -> str:
 
 
 _register("er_threshold_sweep", _er_sweep_oracle(), late=True)(_er_sweep_q)
+
+
+# =========================================================================
+# round 9 batch 8: HITS hubs/authorities, kNN label vote, running
+# revenue share, revenue deciles
+# =========================================================================
+
+
+def _hits_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import graph as G8
+
+    edges = (
+        load_table(spark, "lineitem", sf)
+        .join(load_table(spark, "orders", sf),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+            .alias("dst"),
+        )
+    )
+    return G8.hits_fixedpoint(edges, iterations=6)
+
+
+def _hits_oracle(iterations: int = 6) -> str:
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS src,
+                      'C' || o_custkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), srcs AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    dsts AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e),
+    h0 AS MATERIALIZED (
+      SELECT node,
+             (1000000 // (SELECT count(*) FROM srcs))::BIGINT AS h
+      FROM srcs
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        prev_h = f"h{i - 1}"
+        steps.append(f""", a{i}r AS MATERIALIZED (
+      SELECT e.dst AS node, sum(p.h)::BIGINT AS a
+      FROM e JOIN {prev_h} p ON e.src = p.node GROUP BY 1
+    ), a{i} AS MATERIALIZED (
+      SELECT node,
+             ((a * 1000000) // (SELECT sum(a) FROM a{i}r))::BIGINT AS a
+      FROM a{i}r
+    ), h{i}r AS MATERIALIZED (
+      SELECT e.src AS node, sum(p.a)::BIGINT AS h
+      FROM e JOIN a{i} p ON e.dst = p.node GROUP BY 1
+    ), h{i} AS MATERIALIZED (
+      SELECT node,
+             ((h * 1000000) // (SELECT sum(h) FROM h{i}r))::BIGINT AS h
+      FROM h{i}r
+    )""")
+    tail = f"""
+    SELECT n.node, coalesce(hh.h, 0)::BIGINT AS hub_micro,
+           coalesce(aa.a, 0)::BIGINT AS auth_micro
+    FROM (SELECT node FROM srcs UNION SELECT node FROM dsts) n
+    LEFT JOIN h{iterations} hh ON hh.node = n.node
+    LEFT JOIN a{iterations} aa ON aa.node = n.node
+    ORDER BY n.node
+    """
+    return head + "".join(steps) + tail
+
+
+_register("graph_hits_fixedpoint", _hits_oracle(6), late=True)(_hits_q)
+
+
+def _knn_vote_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    return V.knn_label_vote(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
+_register(
+    "vec_knn_label_vote",
+    """
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  e.label AS _nl,
+                  round(
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                      'sum')
+                    / (sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE),
+                      'sum'))
+                     * sqrt(list_aggregate(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                      'sum'))),
+                  6) AS cosine
+           FROM q, e WHERE q.vec_id != e.vec_id
+         ), topk AS (
+           SELECT query_id, _nl FROM (
+             SELECT query_id, _nl, cosine,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored
+           ) WHERE rank <= 5
+         ), votes AS (
+           SELECT query_id, _nl, count(*)::BIGINT AS votes
+           FROM topk GROUP BY 1, 2
+         ), pred AS (
+           SELECT query_id, _nl AS predicted_label, votes FROM (
+             SELECT query_id, _nl, votes,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, _nl ASC) AS r
+             FROM votes
+           ) WHERE r = 1
+         )
+    SELECT p.query_id, q.label AS true_label, p.predicted_label, p.votes,
+           (p.predicted_label = q.label) AS correct
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    ORDER BY p.query_id
+    """,
+    late=True,
+)(_knn_vote_q)
+
+
+def _running_share_q(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W9
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = (
+        load_table(spark, "orders", sf)
+        .join(load_table(spark, "customer", sf),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(load_table(spark, "nation", sf)),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.col("o_orderdate").cast("long") / F.lit(2592000))
+            .cast("long").alias("period"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = (
+        W9.partitionBy("n_name").orderBy("period")
+        .rowsBetween(W9.unboundedPreceding, W9.currentRow)
+    )
+    wt = W9.partitionBy("n_name")
+    return per.select(
+        "n_name", "period", "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        (F.sum("rev_cents").over(w) / F.sum("rev_cents").over(wt))
+        .alias("cum_share"),
+    ).orderBy("n_name", "period")
+
+
+_register(
+    "olap_running_share",
+    # 30-day integer periods (epoch div 2592000): calendar months need
+    # engine-matched tz/date logic; the integer bin is the portable form
+    """
+    WITH per AS (
+      SELECT n_name, floor(epoch(o_orderdate))::BIGINT // 2592000 AS period,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, period, rev_cents,
+           sum(rev_cents) OVER (PARTITION BY n_name ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_cents,
+           sum(rev_cents) OVER (PARTITION BY n_name ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             / sum(rev_cents) OVER (PARTITION BY n_name)::BIGINT
+             AS cum_share
+    FROM per ORDER BY n_name, period
+    """,
+    late=True,
+)(_running_share_q)
+
+
+def _revenue_deciles_q(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W9
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cust = (
+        load_table(spark, "orders", sf)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    # reuse the CCNet bucketing operator across domains: score = weight
+    # = revenue -> equal-count customer deciles with exact cents mass
+    dec = CU.perplexity_buckets(
+        cust, n_buckets=10, score_col="rev_cents",
+        id_col="c_custkey", weight_col="rev_cents",
+    )
+    w_all = W9.rowsBetween(W9.unboundedPreceding, W9.unboundedFollowing)
+    w_cum = W9.orderBy("bucket").rowsBetween(
+        W9.unboundedPreceding, W9.currentRow
+    )
+    return dec.select(
+        F.col("bucket").alias("decile"),
+        F.col("n_docs").alias("n_customers"),
+        "rev_cents",
+        (F.col("rev_cents") / F.sum("rev_cents").over(w_all))
+        .alias("rev_share"),
+        (F.sum("rev_cents").over(w_cum) / F.sum("rev_cents").over(w_all))
+        .alias("cum_share"),
+    ).orderBy("decile")
+
+
+_register(
+    "events_revenue_deciles",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents, c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM cust
+    ), dec AS (
+      SELECT (floor(((rn - 1) * 10) / n) + 1)::BIGINT AS decile,
+             count(*)::BIGINT AS n_customers,
+             sum(rev_cents)::BIGINT AS rev_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_customers, rev_cents,
+           rev_cents / sum(rev_cents) OVER ()::BIGINT AS rev_share,
+           sum(rev_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             / sum(rev_cents) OVER ()::BIGINT AS cum_share
+    FROM dec ORDER BY decile
+    """,
+    late=True,
+)(_revenue_deciles_q)
