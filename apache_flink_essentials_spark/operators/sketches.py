@@ -619,3 +619,62 @@ def hll_set_ops(
         (F.col("_l") + F.col("_r") - F.col("_u")).alias("estimate"),
     )
     return base.unionByName(inter).orderBy("set_op")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values cardinality estimate + exact audit → ONE row
+    ``(n_exact, k_used, kth_hash, kmv_estimate, rel_error)``
+    (Bar-Yossef et al. '02, public paper). The third distinct-count
+    sketch next to HLL and linear counting: keep only the k SMALLEST
+    hash values ever seen; the kth smallest pins down the hash density,
+    so ``estimate = (k−1)·2^48 / h_(k)``. Like `sketch_bloom_fpr` this
+    registers the estimator AND its ground truth side by side — the
+    audit a pipeline runs before trusting the sketch at 1000× the data.
+
+    Portability: the 48-bit md5-prefix hash is the `winnow_fingerprints`
+    idiom — bit-identical on both engines — so the k-smallest set, the
+    kth value, and the one int/int estimate all match exactly. When the
+    true cardinality is below k the estimator degenerates; the row then
+    reports the exact count as the estimate (the standard KMV rule).
+
+    Scale: ONE distinct-hash aggregate (map-side combined), then a
+    TakeOrderedAndProject top-k — the k-smallest never funnels the full
+    hash set through one task; the exact count shares the same distinct
+    relation. At 100 TB the audit column is the expensive half — drop
+    ``n_exact`` and the sketch runs in one pass over the scan.
+    """
+    h = F.expr(
+        f"cast(conv(substring(md5(cast(`{col}` as string)), 1, 12),"
+        f" 16, 10) as bigint)"
+    )
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("_h"))
+        .distinct()
+        .persist()
+    )
+    kth = (
+        hashes.orderBy("_h").limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("_h").alias("kth_hash"),
+        )
+    )
+    exact = hashes.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = exact.crossJoin(F.broadcast(kth)).select(
+        "n_exact",
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("n_exact") < F.lit(k), F.col("n_exact").cast("double")
+        ).otherwise(
+            (F.lit(k - 1) * F.lit(2**48)) / F.col("kth_hash")
+        ).alias("kmv_estimate"),
+    ).select(
+        "n_exact", "k_used", "kth_hash", "kmv_estimate",
+        (
+            (F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact")
+        ).alias("rel_error"),
+    )
+    return out

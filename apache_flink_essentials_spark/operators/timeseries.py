@@ -1562,3 +1562,67 @@ def permutation_entropy_from_binned(binned: DataFrame) -> DataFrame:
         F.round(ent, 6).alias("perm_entropy"),
         F.round(ent / F.log(F.lit(6.0)), 6).alias("normalized_pe"),
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Goh-Barabási burstiness of inter-arrival gaps →
+    per type ``(type, n_gaps, mean_gap_s, burstiness)`` where
+    ``B = (σ−μ)/(σ+μ)`` over the gaps between consecutive events
+    (Goh & Barabási '08, public paper): B → −1 for a metronome,
+    0 for a Poisson process, → +1 for extreme bursts. The
+    point-process companion of the binned workbench tails — it reads
+    the raw arrival texture that hourly binning averages away.
+
+    Gaps are taken WITHIN each (type, key) timeline — the keyed window
+    keeps the lag pass distributed (a global per-type ordering would
+    funnel a type's whole history through one task at 100 TB) and is
+    the behaviorally right read: user-to-user silences are not bursts.
+
+    Portability: gaps are truncating epoch-second BIGINT differences;
+    Σg and Σg² fold exactly (g² on the DECIMAL(38,0)/HUGEINT pathway);
+    ``mean_gap_s = S1/n`` is an int/int rational and B is a fixed
+    expression tree over exactly-equal operands
+    (σ = √((n·S2 − S1²))/n, then (σ−μ)/(σ+μ)) — round(6) absorbs
+    nothing here but guards the √ boundary per the transcendental
+    convention.
+
+    Scale: one keyed-window pass, one hash agg to |types| rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(type_col, key_col).orderBy(ts_col)
+    g = (
+        df.select(
+            F.col(type_col).alias("type"),
+            (
+                F.col(ts_col).cast("long")
+                - F.lag(F.col(ts_col).cast("long")).over(w)
+            ).alias("_g"),
+        )
+        .where(F.col("_g").isNotNull())
+    )
+    gd = F.col("_g").cast("decimal(38,0)")
+    agg = g.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_g").cast("long").alias("_s1"),
+        F.sum(gd * gd).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("_s1").cast("double")
+    sigma = F.sqrt(
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s1").cast("decimal(38,0)")
+        * F.col("_s1").cast("decimal(38,0)")
+    ).cast("double") / n
+    mu = s1 / n
+    return agg.select(
+        F.col("type").alias("event_type"),
+        "n_gaps",
+        (F.col("_s1") / F.col("n_gaps")).alias("mean_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")

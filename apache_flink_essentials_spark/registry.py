@@ -9621,3 +9621,187 @@ _register(
     """,
     late=True,
 )(_revenue_deciles_q)
+
+
+# =========================================================================
+# round 9 batch 9: KMV cardinality audit, inter-arrival burstiness,
+# top-N per group, PK uniqueness audit
+# =========================================================================
+
+
+def _kmv_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK9
+
+    return SK9.kmv_distinct(_events(spark, sf), "user_id", k=64)
+
+
+_register(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS _h
+      FROM events WHERE user_id IS NOT NULL
+    ), kth AS (
+      SELECT count(*)::BIGINT AS k_used, max(_h)::BIGINT AS kth_hash
+      FROM (SELECT _h FROM h ORDER BY _h LIMIT 64)
+    ), ex AS (
+      SELECT count(*)::BIGINT AS n_exact FROM h
+    ), est AS (
+      SELECT n_exact, k_used, kth_hash,
+             CASE WHEN n_exact < 64 THEN n_exact::DOUBLE
+                  ELSE (63 * 281474976710656) / kth_hash
+             END AS kmv_estimate
+      FROM ex, kth
+    )
+    SELECT n_exact, k_used, kth_hash, kmv_estimate,
+           (kmv_estimate - n_exact) / n_exact AS rel_error
+    FROM est
+    """,
+    late=True,
+)(_kmv_q)
+
+
+def _burstiness_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import timeseries as TS3
+
+    return TS3.interarrival_burstiness(
+        _events(spark, sf), "user_id", "ts", "event_type"
+    )
+
+
+_register(
+    "ts_interarrival_burstiness",
+    """
+    WITH g AS (
+      SELECT event_type AS type,
+             floor(epoch(ts))::BIGINT
+               - lag(floor(epoch(ts))::BIGINT) OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts) AS _g
+      FROM events
+    ), a AS (
+      SELECT type, count(*)::BIGINT AS n_gaps, sum(_g)::BIGINT AS s1,
+             sum(_g::HUGEINT * _g::HUGEINT) AS s2
+      FROM g WHERE _g IS NOT NULL GROUP BY 1
+    )
+    SELECT type AS event_type, n_gaps, s1 / n_gaps AS mean_gap_s,
+           round(
+             (sqrt((n_gaps::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE)
+                / n_gaps - s1 / n_gaps)
+             / (sqrt((n_gaps::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE)
+                / n_gaps + s1 / n_gaps), 6) AS burstiness
+    FROM a ORDER BY event_type
+    """,
+    late=True,
+)(_burstiness_q)
+
+
+def _topn_group_q(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W9
+
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per = (
+        load_table(spark, "lineitem", sf)
+        .join(F.broadcast(load_table(spark, "part", sf)
+                          .select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = W9.partitionBy("p_brand").orderBy(
+        F.desc("rev_cents"), F.asc("p_partkey")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "rev_cents", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+_register(
+    "olap_topn_per_group",
+    """
+    WITH per AS (
+      SELECT p_brand, p_partkey,
+             sum(floor(l_extendedprice * (1 - l_discount) * 100
+                       + 0.5)::BIGINT)::BIGINT AS rev_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, p_partkey, rev_cents, rank FROM (
+      SELECT p_brand, p_partkey, rev_cents,
+             row_number() OVER (PARTITION BY p_brand
+                 ORDER BY rev_cents DESC, p_partkey ASC)::INT AS rank
+      FROM per
+    ) WHERE rank <= 3 ORDER BY p_brand, rank
+    """,
+    late=True,
+)(_topn_group_q)
+
+
+_UNIQ_SPECS = [
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("documents.doc_id", "documents", "doc_id"),
+    ("embeddings.vec_id", "embeddings", "vec_id"),
+    ("events.event_id", "events", "event_id"),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem", None),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("region.r_regionkey", "region", "r_regionkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def _uniqueness_q(spark: SparkSession, sf: str) -> DataFrame:
+    # PK-uniqueness audit across every declared key — referential_audit's
+    # sibling (keys EXIST there; keys are UNIQUE here). Each relation is
+    # one count/count-distinct aggregate; the union is one-row branches.
+    outs = []
+    for name, table, col in _UNIQ_SPECS:
+        t = load_table(spark, table, sf)
+        key = (
+            F.countDistinct(F.col(col))
+            if col is not None
+            else F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                key.cast("long").alias("n_distinct"),
+            ).select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")
+
+
+def _uniqueness_oracle() -> str:
+    parts = []
+    for name, table, col in _UNIQ_SPECS:
+        key = (
+            f"count(DISTINCT {col})"
+            if col is not None
+            else "count(DISTINCT (l_orderkey, l_linenumber))"
+        )
+        parts.append(f"""
+      SELECT '{name}' AS relation, count(*)::BIGINT AS n_rows,
+             {key}::BIGINT AS n_distinct,
+             (count(*) - {key})::BIGINT AS n_dup_rows
+      FROM {table}""")
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+_register("dq_uniqueness_audit", _uniqueness_oracle(), late=True)(
+    _uniqueness_q
+)

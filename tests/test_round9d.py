@@ -95,3 +95,81 @@ def test_knn_label_vote_tie_breaks_to_smaller_label(spark):
     )
     r = knn_label_vote(df, df.filter(F.col("vec_id") == 0), k=2).collect()[0]
     assert r.predicted_label == 1 and r.votes == 1 and not r.correct
+
+
+def test_kmv_exact_below_k(spark):
+    from apache_flink_essentials_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(i % 40,) for i in range(500)], "v long")
+    r = kmv_distinct(df, "v", k=64).collect()[0]
+    # cardinality 40 < k: the estimator degenerates to the exact count
+    assert r.n_exact == 40 and r.k_used == 40
+    assert r.kmv_estimate == 40.0 and r.rel_error == 0.0
+
+
+def test_kmv_estimate_matches_python_hash_replay(spark):
+    import hashlib
+
+    from apache_flink_essentials_spark.operators.sketches import kmv_distinct
+
+    vals = list(range(1000))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = kmv_distinct(df, "v", k=64).collect()[0]
+    hashes = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) for v in vals
+    )
+    kth = hashes[63]
+    assert r.kth_hash == kth and r.n_exact == 1000
+    assert r.kmv_estimate == (63 * 2**48) / kth
+    # KMV with k=64 lands within ~3 std errors of the truth here
+    assert abs(r.rel_error) < 0.5
+
+
+def test_burstiness_metronome_is_minus_one(spark):
+    import datetime
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(seconds=60 * i), "tick")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = interarrival_burstiness(df, "user_id", "ts", "event_type").collect()
+    assert len(r) == 1
+    # constant gaps: sigma = 0 -> B = -1 exactly; mean is the metronome
+    assert r[0].burstiness == -1.0 and r[0].mean_gap_s == 60.0
+
+
+def test_burstiness_bursty_series_positive(spark):
+    import datetime
+    import math
+
+    from apache_flink_essentials_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    gaps = [1, 1, 1, 1000]
+    offs = [0]
+    for g in gaps:
+        offs.append(offs[-1] + g)
+    rows = [
+        (1, base + datetime.timedelta(seconds=o), "burst") for o in offs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = interarrival_burstiness(df, "user_id", "ts", "event_type").collect()[0]
+    n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    sigma = math.sqrt(float(n * s2 - s1 * s1)) / n
+    mu = s1 / n
+    assert r.burstiness == round((sigma - mu) / (sigma + mu), 6)
+    # n=4 caps B at (sqrt(3)-1)/(sqrt(3)+1) ~ 0.268; the single-spike
+    # series sits essentially at that ceiling
+    assert r.burstiness > 0.25
