@@ -718,3 +718,173 @@ def test_signed_projection_matches_numpy(spark, vecs):
         for j in range(4):
             expect = sum(s * m for s, m in zip(table[j], vm))
             assert got[(i, j)] == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=500, allow_nan=False),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_kendall_tau_bounded_and_antisymmetric(spark, vals):
+    # |tau| <= 1 for any series, and reversing the series negates the
+    # concordant/discordant split exactly (ties are reversal-invariant)
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        kendall_from_binned,
+    )
+
+    def run(series):
+        data = [
+            (BASE + datetime.timedelta(hours=i), round(float(v), 2))
+            for i, v in enumerate(series)
+        ]
+        df = spark.createDataFrame(data, "ts timestamp, value double")
+        return kendall_from_binned(
+            binned_sums(df, "ts", "value", 3600)
+        ).collect()[0]
+
+    fwd = run(vals)
+    rev = run(list(reversed(vals)))
+    assert -1.0 <= fwd.kendall_tau <= 1.0
+    assert fwd.concordant == rev.discordant
+    assert fwd.ties == rev.ties
+    assert fwd.n_pairs == len(vals) * (len(vals) - 1) // 2
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.sampled_from([3, 5]),
+)
+@settings(**SETTINGS)
+def test_mad_flags_iff_exceeds_k_mad(spark, vals, k):
+    # the flag is EXACTLY |m - med| > k*MAD — replay the lower-median
+    # rule in python on the quantized micro means
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        mad_anomalies_from_binned,
+    )
+
+    data = [
+        (BASE + datetime.timedelta(hours=i), round(float(v), 2))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, value double")
+    out = mad_anomalies_from_binned(
+        binned_sums(df, "ts", "value", 3600), k=k
+    ).collect()
+    ms = sorted((round(round(float(v), 2) * 100) * 10000) for v in vals)
+    med = ms[(len(ms) + 1) // 2 - 1]
+    ds = sorted(abs(m - med) for m in ms)
+    mad = ds[(len(ds) + 1) // 2 - 1]
+    for r in out:
+        assert r.med_m == med and r.mad == mad
+        assert r.is_anomaly == (abs(r.m - med) > k * mad)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # minute offset
+            st.sampled_from(["a", "b", "c"]),        # type
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_markov_stationary_mass_conserved_within_truncation(spark, rows):
+    # total pi mass never exceeds 1e6 and loses at most
+    # n_states * iterations ulps to truncating division
+    from apache_flink_essentials_spark.operators.transform import (
+        markov_stationary,
+    )
+
+    data = [
+        (i, u, BASE + datetime.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    iters = 4
+    out = markov_stationary(
+        df, "user_id", "ts", "event_type", iterations=iters,
+        order_cols=["event_id"],
+    ).collect()
+    if not out:
+        return
+    total = sum(r.pi_micro for r in out)
+    n_states = len(out)
+    assert total <= 1_000_000
+    assert total >= 1_000_000 - n_states * (iters + 1)
+    assert all(r.pi_micro >= 0 for r in out)
+
+
+@given(
+    ws=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_threshold_sweep_monotone_nonincreasing(spark, ws):
+    # survivors can only shrink as the threshold rises, and every count
+    # equals the exact python filter
+    from apache_flink_essentials_spark.operators.joins import threshold_sweep
+
+    df = spark.createDataFrame([(w,) for w in ws], "weight_micro long")
+    grid = [-5_000_000, 0, 5_000_000]
+    out = {
+        r.threshold_micro: r
+        for r in threshold_sweep(df, "weight_micro", grid).collect()
+    }
+    prev = None
+    for t in grid:
+        assert out[t].n_above == sum(1 for w in ws if w >= t)
+        assert out[t].n_pairs == len(ws)
+        if prev is not None:
+            assert out[t].n_above <= prev
+        prev = out[t].n_above
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=900, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_max_drawdown_bounds(spark, vals):
+    # 0 <= max_drawdown <= running peak; frac in [0, 1); a
+    # non-decreasing series has zero drawdown
+    from apache_flink_essentials_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    rows = [
+        ("k", BASE + datetime.timedelta(days=i), round(float(v), 2))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    r = max_drawdown(df, "ts", "value", "k").collect()[0]
+    assert 0 <= r.max_drawdown_cents <= r.peak_cents
+    assert 0.0 <= r.max_dd_frac < 1.0
+
+    inc = sorted(round(float(v), 2) for v in vals)
+    rows2 = [
+        ("k", BASE + datetime.timedelta(days=i), v)
+        for i, v in enumerate(inc)
+    ]
+    df2 = spark.createDataFrame(rows2, "k string, ts timestamp, value double")
+    r2 = max_drawdown(df2, "ts", "value", "k").collect()[0]
+    assert r2.max_drawdown_cents == 0 and r2.max_dd_frac == 0.0
