@@ -264,19 +264,26 @@ def quantile_histogram_partials(
     ``portable_hll_partials``; any SQL engine reproduces the bucket ids
     bit-for-bit because the only float ops are one subtraction, one
     division, and one floor over IEEE doubles in a fixed operand order.
-    Requires ``vmax > vmin`` (degenerate single-value inputs need no
-    histogram). Values above/below the bounds clamp to the edge buckets,
-    so partials stay mergeable when a later day's data exceeds the bounds
-    the sketch was sized with."""
+    Values above/below the bounds clamp to the edge buckets, so partials
+    stay mergeable when a later day's data exceeds the bounds the sketch
+    was sized with. Degenerate ranges are safe: when ``(vmax−vmin)/n``
+    UNDERFLOWS to 0.0 (bounds closer than ~n·5e-324 — hypothesis found
+    the subnormal pair (0.0, 5e-324)), every value lands in bucket 0
+    instead of tripping ANSI divide-by-zero; the one-bucket-width error
+    bound then holds trivially."""
     lo = F.lit(vmin) if isinstance(vmin, (int, float)) else vmin
     hi = F.lit(vmax) if isinstance(vmax, (int, float)) else vmax
     width = (hi - lo) / float(n_buckets)
-    bucket = F.greatest(
-        F.lit(0).cast("bigint"),
-        F.least(
-            F.floor((F.col(col) - lo) / width), F.lit(n_buckets - 1).cast("bigint")
+    bucket = F.when(
+        width > 0,
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.floor((F.col(col) - lo) / width),
+                F.lit(n_buckets - 1).cast("bigint"),
+            ),
         ),
-    )
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         df.where(F.col(col).isNotNull())
         .groupBy(bucket.alias("bucket"))
