@@ -28,9 +28,13 @@ from apache_flink_essentials_spark.operators.profiling import p_chart
 from apache_flink_essentials_spark.operators.timeseries import (
     acf,
     binned_sums,
+    bollinger_from_binned,
     cusum_changepoints,
     holt_winters_from_binned,
+    kendall_from_binned,
     lag_correlation,
+    mad_anomalies_from_binned,
+    permutation_entropy_from_binned,
     seasonal_naive_eval,
     theilsen_from_binned,
 )
@@ -72,6 +76,18 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     holt_winters_from_binned(bins, period=24).orderBy(
         F.desc("bin")
     ).show(5)
+
+    print("round-9 robust tails, SAME shared relation (no extra scans):")
+    mad = mad_anomalies_from_binned(bins)
+    print(f"MAD-flagged bins: {mad.filter('is_anomaly').count()}")
+    kendall_from_binned(bins).show()
+    bb = bollinger_from_binned(bins)
+    print(
+        "Bollinger breaks (up/down):",
+        bb.filter("is_upper_break").count(),
+        bb.filter("is_lower_break").count(),
+    )
+    permutation_entropy_from_binned(bins).show()
 
     print("daily error-share p-chart (SPC control limits):")
     p_chart(events, "ts", F.col("event_type") == "error").show()
