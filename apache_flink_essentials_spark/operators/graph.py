@@ -825,6 +825,10 @@ def hits_fixedpoint(
     (broadcast); per-round lineage truncation via eager localCheckpoint
     (the pagerank contract). Never a data-sized collect.
     """
+    if iterations < 1:
+        # `a` only exists after the first authority half-step; there is
+        # no meaningful round-0 state to report
+        raise ValueError("hits_fixedpoint requires iterations >= 1")
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

@@ -654,11 +654,16 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         f"cast(conv(substring(md5(cast(`{col}` as string)), 1, 12),"
         f" 16, 10) as bigint)"
     )
+    # lazy localCheckpoint (not persist): the distinct-hash relation
+    # materializes once at the collect and BOTH branches (top-k subquery
+    # + exact count) read it; the checkpoint is GC-cleaned with the
+    # DataFrame, where an un-unpersisted cache would pin storage for the
+    # session (no safe unpersist point exists before the caller's action)
     hashes = (
         df.where(F.col(col).isNotNull())
         .select(h.alias("_h"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     kth = (
         hashes.orderBy("_h").limit(k)

@@ -2150,12 +2150,13 @@ def yule_k(
     genuine prose tens — and unlike TTR it barely moves with corpus
     size, so one threshold works across sources of different volume.
 
-    Exactness: Σ m²·V_m = Σ_types freq², an exact BIGINT sum; the
-    output is the single rational ``10000·(S2 − N) / N²`` whose
-    operands convert exactly to double (N < 2^53 per group — petabyte
-    headroom) and whose N² is ONE IEEE multiply — bit-identical across
-    engines, unrounded per convention. N² stays on the double pathway
-    deliberately: the BIGINT square would overflow near N ≈ 3e9.
+    Exactness: Σ m²·V_m = Σ_types freq², summed exactly on the
+    DECIMAL(38,0)/HUGEINT pathway (a single term with freq > ~3e9
+    would wrap a BIGINT square); the output is the single rational
+    ``10000·(S2 − N) / N²`` whose operands convert exactly to double
+    (N < 2^53 per group — petabyte headroom) and whose N² is ONE IEEE
+    multiply — bit-identical across engines, unrounded per convention.
+    N² stays on the double pathway deliberately for the same reason.
 
     Shape: tokenize + explode once → (group, term) hash agg →
     per-group sum of c and c² — two map-side-combined exchanges, the
@@ -2175,14 +2176,18 @@ def yule_k(
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_types"),
-            F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+            # c² on the DECIMAL(38,0)/HUGEINT pathway (the hhi idiom):
+            # one term with c > ~3e9 would wrap a BIGINT square
+            F.sum(F.col("c").cast("decimal(38,0)")
+                  * F.col("c").cast("decimal(38,0)")).alias("_s2"),
         )
         .select(
             F.col("grp").alias(group_col),
             "n_tokens",
             "n_types",
             (
-                (F.lit(10000) * (F.col("_s2") - F.col("n_tokens")))
+                (F.lit(10000).cast("decimal(38,0)")
+                 * (F.col("_s2") - F.col("n_tokens")))
                 .cast("double")
                 / (F.col("n_tokens").cast("double")
                    * F.col("n_tokens").cast("double"))

@@ -1367,11 +1367,7 @@ def kendall_from_binned(binned: DataFrame) -> DataFrame:
     never data-sized; the bin table broadcasts.
     """
     m = _micro_means(binned)
-    counts = m.agg(F.count(F.lit(1)).alias("n_bins")).select(
-        "n_bins",
-        ((F.col("n_bins") * (F.col("n_bins") - 1)) / 2).cast("long")
-        .alias("_np"),
-    )
+    counts = m.agg(F.count(F.lit(1)).alias("n_bins"))
     a = m.select(F.col("bin").alias("bi"), F.col("m").alias("mi"))
     b = m.select(F.col("bin").alias("bj"), F.col("m").alias("mj"))
     pairs = a.join(F.broadcast(b), F.col("bi") < F.col("bj"))

@@ -567,10 +567,13 @@ def markov_stationary(
     ``π'_j = Σ_i (π_i · c_ij) div c_i`` with truncating positive int64
     division — identical on both engines, so ``iterations`` unrolled
     CTE stages reproduce it bit-for-bit. States with NO outgoing
-    transitions keep their own mass (the dangling convention). The
-    ≤ n·iterations ulps of truncated mass are the price of exact
-    cross-engine replay. Overflow headroom: π ≤ 1e6, c ≤ rows → the
-    per-term product stays ≪ 2^63 for corpora under ~9e12 transitions.
+    transitions keep their own mass (the dangling convention). Each
+    nonzero transition-matrix entry truncates < 1 ulp per round, so
+    the total mass loss is bounded by
+    ``(n − 1) + iterations·|nonzero entries|`` ulps of 1/scale
+    (worst case iterations·n² + n) — the price of exact cross-engine
+    replay. Overflow headroom: π ≤ 1e6, c ≤ rows → the per-term
+    product stays ≪ 2^63 for corpora under ~9e12 transitions.
 
     Scale: ONE keyed lead() pass over the data; everything after is
     |types|²-sized (bounded by the event vocabulary, never the corpus),
@@ -600,6 +603,7 @@ def markov_stationary(
     n = states.count()
     if n == 0:
         t.unpersist()
+        states.unpersist()
         return states.select(
             F.col("s").alias("event_type"),
             F.lit(0).cast("long").alias("pi_micro"),

@@ -9061,11 +9061,11 @@ _register(
       WHERE term != '' GROUP BY 1, 2
     ), g AS (
       SELECT grp, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
-             sum(c * c)::BIGINT AS s2
+             sum(c::HUGEINT * c::HUGEINT) AS s2
       FROM tt GROUP BY 1
     )
     SELECT grp AS lang, n_tokens, n_types,
-           (10000 * (s2 - n_tokens))::DOUBLE
+           (10000::HUGEINT * (s2 - n_tokens))::DOUBLE
              / (n_tokens::DOUBLE * n_tokens::DOUBLE) AS yule_k
     FROM g ORDER BY lang
     """,
@@ -9764,10 +9764,16 @@ def _uniqueness_q(spark: SparkSession, sf: str) -> DataFrame:
     outs = []
     for name, table, col in _UNIQ_SPECS:
         t = load_table(spark, table, sf)
+        # composite keys count as a STRUCT: multi-column countDistinct
+        # drops rows where ANY column is NULL, while DuckDB's
+        # count(DISTINCT (a, b)) keeps structs with NULL fields — the
+        # struct form makes both engines keep them (null-safe grouping)
         key = (
             F.countDistinct(F.col(col))
             if col is not None
-            else F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+            else F.countDistinct(
+                F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
+            )
         )
         outs.append(
             t.agg(
