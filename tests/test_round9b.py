@@ -271,3 +271,32 @@ def test_binned_sums_stream_permutation_entropy_equals_batch(spark):
     ).collect()
     assert list(map(tuple, streamed)) == list(map(tuple, batch))
     assert batch[0].n_triples > 0
+
+
+def test_binned_sums_stream_bollinger_and_kendall_equal_batch(spark):
+    # two more tails off the SAME complete-mode state: Bollinger break
+    # flags and the Kendall trend row match batch bit-for-bit
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.timeseries import (
+        binned_sums,
+        bollinger_from_binned,
+        kendall_from_binned,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        binned_sums_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    state = run_stream_to_df(
+        binned_sums_stream(stream_in), output_mode="complete"
+    )
+    batch_bins = binned_sums(events, "ts", "value", 3600)
+    assert sorted(map(tuple, bollinger_from_binned(state).collect())) == \
+        sorted(map(tuple, bollinger_from_binned(batch_bins).collect()))
+    assert kendall_from_binned(state).collect() == \
+        kendall_from_binned(batch_bins).collect()
