@@ -42,6 +42,11 @@ def run(spark=None, sf_dir="/root/testdata/sf0.001"):
     G.neighbor_overlap_pairs(bip, "node", "nb", max_wedge_degree=200) \
         .orderBy(F.col("n_common").desc(), "node_a", "node_b").show(10)
 
+    print("Adamic-Adar weighting of the same wedges (rare shared "
+          "customers dominate):")
+    G.adamic_adar_pairs(bip, "node", "nb", max_wedge_degree=200) \
+        .orderBy(F.col("aa_micro").desc(), "node_a", "node_b").show(10)
+
     print("Co-purchase graph triangle census (community density):")
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
     pairs = (
