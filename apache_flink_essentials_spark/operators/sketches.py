@@ -136,6 +136,21 @@ def portable_hll_partials(
     ).agg(F.max("_rho").alias("_mx"))
 
 
+def hll_raw_numerator(p: int = 8) -> float:
+    """The HLL raw-estimate numerator ``alpha_m * m^2 * 2^(max_rho)``
+    FOLDED IN PYTHON and inlined as ONE double literal on both engines
+    (the Benford-literal discipline). Engine-side constant arithmetic
+    diverges: Spark parses ``0.7213`` as DECIMAL and loses precision in
+    the decimal division chain (~6e-6 relative — sf0.1 exposed it),
+    while DuckDB's ``/`` promotes to DOUBLE; a single literal removes
+    the whole question."""
+    m = 1 << p
+    max_rho = 48 - p + 1
+    return (0.7213 / (1.0 + 1.079 / m)) * float(m) * float(m) * float(
+        1 << max_rho
+    )
+
+
 def portable_hll_merge(
     partials: DataFrame, keys: Sequence[str] = (), p: int = 8
 ) -> DataFrame:
@@ -150,7 +165,10 @@ def portable_hll_merge(
     partials = partials.groupBy(
         *[F.col(k) for k in keys], F.col("_bucket")
     ).agg(F.max("_mx").alias("_mx"))
-    alpha = "(0.7213 / (1.0 + 1.079 / {m}.0))".format(m=m)
+    # numerator folded in Python, ONE literal in the plan (see
+    # hll_raw_numerator): Spark parses 0.7213 as DECIMAL and its
+    # decimal division chain loses ~6e-6 relative vs the IEEE chain
+    num = hll_raw_numerator(p)
     two_pow_max = 1 << max_rho
     rolled = partials.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("_present"),
@@ -167,15 +185,15 @@ def portable_hll_merge(
         *(f"`{k}`" for k in keys),
         "v_empty",
         "register_sum",
-        f"{alpha} * {m}.0 * {m}.0 * {two_pow_max}.0"
-        " / cast(register_sum as double) AS _raw",
+        f"{num!r} / cast(register_sum as double) AS _raw",
     )
     return est.selectExpr(
         *(f"`{k}`" for k in keys),
         "v_empty",
         "register_sum",
         f"case when _raw <= {2.5 * m} and v_empty > 0"
-        f" then round({m}.0 * ln({m}.0 / v_empty), 4)"
+        f" then round(cast({m} as double)"
+        f" * ln(cast({m} as double) / v_empty), 4)"
         " else _raw end AS hll_distinct",
     )
 

@@ -1404,6 +1404,11 @@ def hash_classifier_score(
 
     Output: (doc_id, n_tokens, score, label) where score = sum(w)/
     ((n_weights/2) * n_tokens) in [-1, 1] and label = keep iff score > 0.
+    The score is an UNROUNDED per-row rational (exact int sum over a
+    power-of-two-times-n denominator): rounding it was the hash hazard —
+    these denominators HIT the x.xxxxx5 boundary routinely, where Spark
+    and DuckDB round() disagree (sf0.1 exposed one), and a rounded
+    near-zero score could even flip the keep/drop label.
 
     Scale: ONE scan, ZERO shuffles — the per-token hash+weight+sum runs
     as an array fold inside the scan stage (aggregate over the token
@@ -1432,7 +1437,7 @@ def hash_classifier_score(
     ).select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(F.col("_sw") / (float(half) * F.col("n_tokens")), 6).alias("score"),
+        (F.col("_sw") / (float(half) * F.col("n_tokens"))).alias("score"),
     )
     return out.withColumn(
         "label", F.when(F.col("score") > 0, F.lit("keep")).otherwise(F.lit("drop"))

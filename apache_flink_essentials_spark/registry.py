@@ -5960,7 +5960,10 @@ def _hll_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "sketch_hll_distinct",
-    r"""
+    # raw-estimate numerator = the SAME Python-folded double literal the
+    # Spark side inlines (hll_raw_numerator) — no engine-side constant
+    # arithmetic on either engine
+    rf"""
     WITH hb AS (
       SELECT event_type,
              ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT % 256
@@ -5986,8 +5989,8 @@ _register(
       FROM rolled
     ), raw AS (
       SELECT event_type, v_empty, register_sum,
-             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-               * 2199023255552.0 / register_sum::DOUBLE AS raw
+             {SK.hll_raw_numerator(8)!r}
+               / register_sum::DOUBLE AS raw
       FROM reg
     ), est AS (
       SELECT event_type, v_empty, register_sum,
@@ -6214,10 +6217,10 @@ _register(
       FROM documents
     ), s AS (
       SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-             round(list_sum(list_transform(toks,
+             list_sum(list_transform(toks,
                  t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 512
                        * 2654435761) % 2048 - 1024))
-                   / (1024.0 * len(toks)), 6) AS score
+                   / (1024.0 * len(toks)) AS score
       FROM t
     )
     SELECT doc_id, n_tokens, score,
@@ -6921,8 +6924,7 @@ def _hll_scalar_est(src: str) -> str:
                   ELSE raw END
       FROM (
         SELECT 256 - present AS v_empty,
-               (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                 * 2199023255552.0
+               {SK.hll_raw_numerator(8)!r}
                  / (s_present
                     + (256 - present) * 2199023255552::BIGINT)::DOUBLE
                  AS raw

@@ -27,10 +27,12 @@ def test_hash_classifier_matches_python_model(spark):
     for doc_id, text in rows:
         toks = text.lower().split()
         sw = sum(_py_weight(t) for t in toks)
-        expect = round(sw / (1024.0 * len(toks)), 6)
+        # UNROUNDED per-row rational: identical int operands -> the
+        # engine's double equals python's exactly
+        expect = sw / (1024.0 * len(toks))
         got = out[doc_id]
         assert got.n_tokens == len(toks)
-        assert abs(got.score - expect) < 1e-9
+        assert got.score == expect
         assert got.label == ("keep" if got.score > 0 else "drop")
 
 
