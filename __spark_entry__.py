@@ -53,10 +53,13 @@ def _verified_names() -> set[str]:
     order (round 1 covered 49 of 132), so we rotate: queries without a green
     driver row yet are registered first, already-verified ones last. A row
     counts as settled when it hash-matched, OR when its only "failure" is
-    ``err == "no_oracle"`` — a rows-only check is the best an oracle-less op
-    can ever achieve, so re-submitting it wastes checked-prefix slots (round
-    2 burned 7 slots this way). Later rounds' files override earlier ones
-    for the same name.
+    ``err == "no_oracle"`` AND the name is *still* oracle-less in the current
+    registry — a rows-only check is the best an oracle-less op can ever
+    achieve, so re-submitting it wastes checked-prefix slots (round 2 burned
+    7 slots this way). But a query that *gains* an oracle later (round 9
+    found ``ts_ewma_anomaly`` / ``curation_pack_sequences`` stuck this way)
+    must re-enter the checked prefix until it earns a hash-matched row.
+    Later rounds' files override earlier ones for the same name.
     """
     status: dict[str, bool] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -72,7 +75,9 @@ def _verified_names() -> set[str]:
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
-            good = (not err or err == "no_oracle") and not any(
+            good = (
+                not err or (err == "no_oracle" and name not in registry.ORACLES)
+            ) and not any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )

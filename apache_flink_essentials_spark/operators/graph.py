@@ -566,28 +566,19 @@ def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
     registered unrounded. The naive per-community float sum would be
     order-nondeterministic; the algebraic fold removes it.
 
-    Scale: one degree hash-agg, one (community) rollup, two slim
-    joins to tag edge endpoints with communities (broadcast when the
-    assignment is small), one 1-row aggregate. Nothing exceeds |E|.
+    PARTIAL ASSIGNMENTS: Q is computed over the subgraph INDUCED by
+    the assigned nodes — edges with an unassigned endpoint contribute
+    to NEITHER m nor the degree term, so both come from the same edge
+    population (a degree term over all edges next to an m over
+    assigned-only edges would silently skew Q). With a full
+    assignment this is the classic definition verbatim.
+
+    Scale: two slim joins to tag edge endpoints with communities
+    (broadcast when the assignment is small), one (community) rollup
+    over the tagged endpoints, one 1-row aggregate. Nothing exceeds
+    |E|.
     """
-    e = edges.select("a", "b").localCheckpoint(eager=False)
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    dc = (
-        deg.join(assign, "node")
-        .groupBy("community")
-        .agg(F.sum("degree").alias("_dc"))
-    )
-    bsum = dc.agg(
-        F.count(F.lit(1)).alias("n_communities"),
-        F.sum(
-            F.col("_dc").cast("decimal(38,0)") * F.col("_dc")
-        ).alias("_B"),
-    )
+    e = edges.select("a", "b")
     tagged = (
         e.join(
             assign.select(F.col("node").alias("a"),
@@ -597,6 +588,19 @@ def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
             assign.select(F.col("node").alias("b"),
                           F.col("community").alias("_cb")), "b"
         )
+        .localCheckpoint(eager=False)
+    )
+    dc = (
+        tagged.select(F.col("_ca").alias("community"))
+        .unionAll(tagged.select(F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("_dc"))
+    )
+    bsum = dc.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(
+            F.col("_dc").cast("decimal(38,0)") * F.col("_dc")
+        ).alias("_B"),
     )
     asum = tagged.agg(
         F.count(F.lit(1)).alias("n_edges"),
@@ -815,6 +819,11 @@ def hits_fixedpoint(
     invariant bounds everything: Σh ≤ scale after every round, so
     ``a_raw(j) ≤ scale`` and the normalization product never exceeds
     ``scale² = 1e12`` — deep inside int64, no decimal pathway needed.
+    DOMAIN: ``|src nodes| < scale`` is REQUIRED (h₀ floors to 0
+    otherwise, zeroing every score and the L1 total — raised as a
+    clear error, not a divide-by-zero) and ``scale ≤ 3·10⁹`` keeps
+    scale² inside int64; for billion-node graphs pass a larger scale
+    up to that cap.
     Truncating positive division is identical on both engines, so the
     unrolled-CTE oracle reproduces every round bit-for-bit. Nodes on
     one side only carry a 0 on the other score (a source that nobody
@@ -849,6 +858,17 @@ def hits_fixedpoint(
             F.lit(0).cast("long").alias("hub_micro"),
             F.lit(0).cast("long").alias("auth_micro"),
         )
+    if int(scale) > 3_000_000_000:
+        raise ValueError(
+            f"hits_fixedpoint: scale={scale} > 3e9 — scale² must fit "
+            "int64 for the exact L1 normalization"
+        )
+    if n_src >= int(scale):
+        raise ValueError(
+            f"hits_fixedpoint: {n_src} source nodes >= scale={scale}; "
+            "the uniform h0 = scale div n_src floors to 0 and every "
+            "score degenerates. Pass a larger scale (<= 3e9)."
+        )
     h = srcs.withColumn("h", F.lit(int(scale) // n_src).cast("long"))
 
     def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
@@ -858,8 +878,17 @@ def hits_fixedpoint(
             .select(
                 "node",
                 # raw <= scale by the L1 invariant, so the product is
-                # <= scale^2 = 1e12 — positive int64 `div` throughout
-                F.expr(f"({col} * {int(scale)}) div _tot").alias(col),
+                # <= scale^2 <= 9e18 — positive int64 `div` throughout;
+                # _tot > 0 is guaranteed when the graph has >= 1 edge
+                # and h0 >= 1 (enforced above), but guard anyway so a
+                # pathological all-zero round reports 0, not an error
+                F.when(
+                    F.col("_tot") > 0,
+                    F.expr(f"({col} * {int(scale)}) div _tot"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
             )
         )
 

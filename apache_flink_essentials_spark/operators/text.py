@@ -1726,12 +1726,26 @@ def kneser_ney_bigrams(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
+    # second term multiplies AS DOUBLES (matching the oracle's
+    # n1p::DOUBLE * n1f::DOUBLE * 3 / (c1::DOUBLE * b::DOUBLE * 4)):
+    # the earlier BIGINT product c1·B·4 overflows int64 on web-scale
+    # corpora (c1 ~ 1e12 for a head word × B ~ 1e10 bigram types).
+    # IEEE double ops are deterministic, so the identical expression
+    # tree on both engines stays bit-equal.
     pkn = (
         F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0))
         .cast("double")
         / (F.lit(4) * F.col("c1")).cast("double")
-        + (F.col("n1p") * F.col("n1f") * F.lit(3)).cast("double")
-        / (F.col("c1") * F.col("_B") * F.lit(4)).cast("double")
+        + (
+            F.col("n1p").cast("double")
+            * F.col("n1f").cast("double")
+            * F.lit(3)
+        )
+        / (
+            F.col("c1").cast("double")
+            * F.col("_B").cast("double")
+            * F.lit(4)
+        )
     ).alias("p_kn")
     size = _estimated_input_bytes(df)
     if size is not None and size < (256 << 20):

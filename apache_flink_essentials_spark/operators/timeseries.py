@@ -608,12 +608,24 @@ def binned_sums(
 def _micro_means(binned: DataFrame) -> DataFrame:
     """(bin, m) half-up micro-unit BIGINT means from a ``binned_sums``
     relation — the exact-integer quantization shared by the drift
-    workbench tails (contract documented in `cusum_changepoints`)."""
+    workbench tails (contract documented in `cusum_changepoints`).
+
+    ``round_half_up(a/b) = floor((2a + b) / (2b))`` for ANY sign of a
+    (half rounds toward +inf). The floor is made portable by
+    subtracting the positive residue before the truncating ``div``
+    (Spark truncates toward zero; DuckDB ``//`` floors natively — the
+    oracle side needs no correction). The earlier form divided the
+    raw numerator with ``div`` directly, which for NEGATIVE bin sums
+    truncated up instead of flooring — off-by-one vs the oracle."""
     return binned.select(
         "bin",
         F.expr(
-            "(CAST(_s * 100 AS BIGINT) * 20000 + _n) div (2 * _n)"
-        ).alias("m"),
+            "CAST(_s * 100 AS BIGINT) * 20000 + _n"
+        ).alias("_x"),
+        F.expr("2 * _n").alias("_d"),
+    ).select(
+        "bin",
+        F.expr("(_x - ((_x % _d) + _d) % _d) div _d").alias("m"),
     )
 
 
@@ -850,13 +862,19 @@ def cusum_from_binned(
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     idx = Window.orderBy("bin")
     joined = mbins.crossJoin(F.broadcast(stats))
-    shift = 1_000_000_000_000_000  # positivity shift for floor-division
     c = F.sum(F.col("m") * F.col("_nb") - F.col("_T")).over(w)
     i = F.row_number().over(idx).cast("long")
+    # floor(C/nb) portably and overflow-free: subtract the POSITIVE
+    # residue ((C % nb) + nb) % nb so the numerator divides exactly —
+    # truncating division (Spark `div`) then equals floor division
+    # (DuckDB `//`) with operands never exceeding |C| + nb. The old
+    # positivity-shift idiom (shift·nb) overflowed int64 once
+    # nb > 9.2e18/shift ≈ 9223 bins, well inside the documented
+    # |bins| < 1e5 domain.
     out = joined.select(
         "bin",
         F.col("m").alias("bin_mean_micro"),
-        (c + F.lit(shift) * F.col("_nb")).cast("long").alias("_pre"),
+        c.cast("long").alias("_c"),
         (
             c.cast("decimal(38,0)") * c
             > F.lit(threshold_sigma * threshold_sigma)
@@ -867,7 +885,9 @@ def cusum_from_binned(
     ).select(
         "bin",
         "bin_mean_micro",
-        (F.expr("_pre div _nb") - F.lit(shift)).alias("cusum_micro"),
+        F.expr("(_c - ((_c % _nb) + _nb) % _nb) div _nb").alias(
+            "cusum_micro"
+        ),
         "is_changepoint",
     )
     return out.orderBy("bin")

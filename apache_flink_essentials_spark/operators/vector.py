@@ -89,25 +89,24 @@ def knn_cosine_bruteforce(
     """
     # norms precomputed per ROW (not per pair): the pairwise stage then does
     # ONE dot product per pair instead of three — same values bit-for-bit
-    # (identical fold), ~3× less compute at the quadratic stage
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_expr(F.col(vec_col)).alias("q_norm"),
+    # (identical fold), ~3× less compute at the quadratic stage.
+    # SQL strings, not Column-API folds — the `_dot_sql` py4j rationale.
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"sqrt({_dot_sql(f'`{vec_col}`', f'`{vec_col}`')}) AS q_norm",
     )
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm_expr(F.col(vec_col)).alias("n_norm"),
+    e = embeddings.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS n_vec",
+        f"sqrt({_dot_sql(f'`{vec_col}`', f'`{vec_col}`')}) AS n_norm",
     )
     pairs = e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
+    scored = pairs.selectExpr(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
-            round_dp,
-        ).alias("cosine"),
+        f"round({_dot_sql('q_vec', 'n_vec')} / (q_norm * n_norm),"
+        f" {round_dp}) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -255,6 +254,50 @@ def signed_projection(
     )
 
 
+_VM_SQL = (
+    "transform(`{vec}`,"
+    " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+)
+
+
+def _packed_sig_sql(n_proj: int, dim: int, seed: int) -> str:
+    """SQL for the packed SimHash signature over a micro-quantized
+    vector column named ``_vm`` — ``Σ_j [proj_j >= 0]·2^j`` with each
+    projection the same exact integer fold as
+    :func:`signed_projection` (identical values bit-for-bit: the sign
+    applied to component i of row j is the SAME ±1, the fold order is
+    the same left-to-right i = 0..dim−1, and the packing bit is the
+    same 2^j).
+
+    The sign MATRIX is carried as ``n_proj`` BIGINT literals — row j's
+    64 signs packed one bit each (bit i set ⟺ s[j][i] = +1, decoded
+    with ``(r >> i) & 1``; rows with bit 63 set wrap to the negative
+    signed twin, which arithmetic shiftright + &1 decodes identically).
+    The earlier form spelled out n_proj×dim ±1 literals (a ~1100-node
+    expression tree, built and optimized TWICE per search: catalyst
+    analysis dominated the sub-second audit queries); this tree is
+    ~50 nodes, leaving the per-row work unchanged."""
+    if dim > 64:
+        raise ValueError("packed sign rows require dim <= 64")
+    table = signed_sign_table(n_proj, dim, seed)
+    packed = []
+    for row in table:
+        bits = sum((1 << i) for i, s in enumerate(row) if s == 1)
+        if bits >= 1 << 63:  # reinterpret as signed int64
+            bits -= 1 << 64
+        packed.append(f"{bits}L")
+    rows = "array(" + ",".join(packed) + ")"
+    return (
+        f"aggregate(zip_with({rows}, sequence(0, {n_proj - 1}),"
+        " (r, j) -> IF("
+        f"aggregate(zip_with(_vm, sequence(0, {dim - 1}),"
+        " (x, i) -> IF((shiftright(r, i) & 1) = 1, x, -x)),"
+        " cast(0 as bigint), (acc, v) -> acc + v) >= 0,"
+        " shiftleft(cast(1 as bigint), j), cast(0 as bigint))),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
 def signed_signature(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -263,23 +306,23 @@ def signed_signature(
     n_proj: int = 16,
     seed: int = 0,
 ) -> DataFrame:
-    """Pack :func:`signed_projection`'s sign bits into ONE BIGINT
+    """Pack the :func:`signed_projection` sign bits into ONE BIGINT
     SimHash signature per vector: ``sig = Σ_j bit_j · 2^j`` (exact
     integer — requires ``n_proj <= 63``). The compact form Hamming
-    search and near-dup banding operate on."""
+    search and near-dup banding operate on.
+
+    Computed PER ROW in a single scan-stage expression (the n_proj
+    integer folds inline, bits packed with shiftleft) — NOT via the
+    flat ``signed_projection`` relation: the explode-then-groupBy
+    route shuffles n_proj rows per vector to rebuild what one row
+    already holds, an exchange this form never pays. Values are
+    bit-identical (same fold, same sign rule, same packing)."""
     if n_proj > 63:
         raise ValueError("n_proj must fit a BIGINT signature (<= 63)")
-    proj = signed_projection(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, n_proj=n_proj,
-        seed=seed,
-    )
-    return proj.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("bit"),
-                F.expr("shiftleft(cast(1 as bigint), cast(proj_idx as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("sig")
+    return df.selectExpr(
+        f"`{id_col}`", _VM_SQL.format(vec=vec_col) + " AS _vm"
+    ).selectExpr(
+        f"`{id_col}`", _packed_sig_sql(n_proj, dim, seed) + " AS sig"
     )
 
 
@@ -339,6 +382,98 @@ def hamming_knn(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def hamming_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_proj: int = 16,
+    seed: int = 0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recall@k of Hamming (SimHash) search against exact cosine KNN
+    over the SAME corpus, fused into one plan → per query
+    ``(query_id, n_exact, n_hit, recall)``.
+
+    Semantically identical to ``knn_recall(hamming_knn(...),
+    knn_cosine_bruteforce(...))`` but the two legs SHARE one candidate
+    relation: each corpus row carries (vector, norm, signature) out of
+    a single scan, the query×corpus pair set is enumerated ONCE, and
+    both rankings — cosine (rounded before ranking, ties by neighbor
+    id — the `knn_cosine_bruteforce` contract) and Hamming (ties by
+    neighbor id) — are windows over that one relation, so one exchange
+    on query_id serves both. Recall then needs NO join at all: an
+    exact-top-k pair is a hit iff its OWN hamming rank is ≤ k — read
+    off in the final aggregate. The unfused form paid ~4 corpus scans,
+    2 signature shuffles, 2 ranking exchanges and a recall join
+    (7 exchanges / 16 codegen stages for a 10-query audit).
+
+    Scale: the broadcast side is the bounded query set (the
+    `knn_cosine_bruteforce` convention); the corpus side streams
+    through one scan — signature + norm are scan-stage expressions.
+    """
+    sig_sql = _packed_sig_sql(n_proj, dim, seed)
+    vm = _VM_SQL.format(vec=vec_col)
+    # every projection below is a SQL STRING (one parsed py4j call per
+    # select) — the `_dot_sql` rationale: Column-API lambda folds cost a
+    # py4j round trip per node, which on this sub-second audit is more
+    # driver time than the whole execution
+    e = embeddings.selectExpr(
+        f"`{id_col}` AS neighbor_id", f"`{vec_col}` AS n_vec",
+        f"{vm} AS _vm",
+    ).selectExpr(
+        "neighbor_id", "n_vec",
+        f"{sig_sql} AS n_sig",
+        # per row, not per pair
+        f"sqrt({_dot_sql('n_vec', 'n_vec')}) AS n_norm",
+    )
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id", f"`{vec_col}` AS q_vec",
+        f"{vm} AS _vm",
+    ).selectExpr(
+        "query_id", "q_vec",
+        f"{sig_sql} AS q_sig",
+        f"sqrt({_dot_sql('q_vec', 'q_vec')}) AS q_norm",
+    )
+    pairs = e.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round({_dot_sql('q_vec', 'n_vec')} / (q_norm * n_norm),"
+        f" {round_dp}) AS cosine",
+        "cast(bit_count(q_sig ^ n_sig) as bigint) AS hamming",
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wc).alias("_rank_c"),
+        F.row_number().over(wh).alias("_rank_h"),
+    )
+    return (
+        ranked.where(F.col("_rank_c") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(
+                F.when(F.col("_rank_h") <= k, 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
     )
 
 

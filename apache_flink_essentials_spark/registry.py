@@ -6999,7 +6999,8 @@ _register(
     # m = half-up micro mean from the exact cents sum; C_i = nb·Σm − i·T
     # (BIGINT fold, no division inside); flag ⟺ C_i² > 16·V·i with
     # V = nb·Σm² − T² in HUGEINT; emitted cusum_micro = floor(C_i/nb)
-    # via a positivity shift so truncating division == floor everywhere.
+    # via positive-residue subtraction so the division is exact (and
+    # truncate == floor) on both engines with no overflow headroom needed.
     """
     WITH b0 AS (
       SELECT floor(epoch(ts))::BIGINT // 3600 AS bin,
@@ -7022,8 +7023,7 @@ _register(
       FROM bins, stats
     )
     SELECT bin, m AS bin_mean_micro,
-           ((c + 1000000000000000 * nb) // nb) - 1000000000000000
-             AS cusum_micro,
+           (c - ((c % nb) + nb) % nb) // nb AS cusum_micro,
            (c::HUGEINT * c::HUGEINT) > 16::HUGEINT * v * i::HUGEINT
              AS is_changepoint
     FROM folded ORDER BY bin
@@ -8098,7 +8098,8 @@ _register(
     scored AS (
       SELECT w1, w2, c12, n1p, n1f,
              greatest(4 * c12 - 3, 0)::DOUBLE / (4 * c1)::DOUBLE
-             + (n1p * n1f * 3)::DOUBLE / (c1 * b * 4)::DOUBLE AS p_kn,
+             + (n1p::DOUBLE * n1f::DOUBLE * 3)
+               / (c1::DOUBLE * b::DOUBLE * 4) AS p_kn,
              row_number() OVER (ORDER BY c12 DESC, w1, w2)::BIGINT
                AS rank
       FROM occ JOIN lf USING (w1) JOIN rt USING (w2), btot
@@ -8331,9 +8332,10 @@ _register(
 def _hamming_recall_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     q = emb.filter(F.col("vec_id") < 10)
-    approx = V.hamming_knn(emb, q, k=5, dim=64, n_proj=16, seed=0)
-    exact = V.knn_cosine_bruteforce(emb, q)
-    return V.knn_recall(approx, exact)
+    # fused single-candidate-relation form (one corpus scan, one pair
+    # enumeration, both rankings over one exchange, join-free recall) —
+    # value-identical to knn_recall(hamming_knn(...), bruteforce(...))
+    return V.hamming_recall(emb, q, k=5, dim=64, n_proj=16, seed=0)
 
 
 _register(
