@@ -387,18 +387,45 @@ def connected_components(
     that appears in any edge gets a row (components of size 1 never appear
     in an edge list, so they are their own trivial component by definition).
 
-    Scale design: each round is one groupBy-min shuffle plus one equi-join on
-    the node id — no all-pairs step anywhere, and edge count never grows
-    beyond the input (both star ops only re-point edges toward smaller ids).
-    Convergence is O(log n) rounds, so a 100 TB pair list converges in a
-    handful of shuffles; ``localCheckpoint`` truncates the iterative lineage
-    so Catalyst never sees an exponentially nested plan.
+    Scale design: each star is ONE keyed window (min over the
+    neighborhood, partitioned by the star's center) — one |E|-row
+    shuffle, no join. The groupBy-min + equi-join formulation this
+    replaces shuffled the edge list TWICE per star once the per-node
+    min table stopped being broadcastable (it is |V|-sized — at 100 TB
+    it never broadcasts), and at bench scale paid two extra stage
+    floors per star. Edge count never grows beyond the input + the
+    bounded duplicate re-points a round can emit (the per-round
+    ``distinct`` resets them). Convergence is O(log n) rounds;
+    ``localCheckpoint(eager=False)`` truncates the iterative lineage
+    while letting the convergence-signature aggregate MATERIALIZE the
+    checkpoint in the same job — one action per round, not two.
 
     Flink analog: this is the batch form of what the reference would express
     as an iterative keyed dataflow; the reference has no graph operators, so
     this lives in the north-star extension tier (SURVEY §2.10) serving
     near-dup cluster canonicalization.
     """
+    from pyspark.sql.window import Window
+
+    # AQE off for the loop's actions: adaptive execution splits every
+    # round into one JOB per exchange (≈6 scheduling floors per round
+    # instead of 1) and buys nothing back here — the round's exchanges
+    # are equal-width hash shuffles of a slim (v, u) relation, and the
+    # one real skew risk (a giant component flooding one window
+    # partition) is not in AQE's repertoire anyway (it only re-plans
+    # joins). In exchange the loop does AQE's useful half ITSELF:
+    # shuffle partitions are re-sized per round from the EXACT edge
+    # count the convergence signature already measures (~2M slim rows
+    # ≈ 32 MB per partition, capped at the session's configured
+    # parallelism) — a converged-to-tiny tail stops paying per-task
+    # floors, a 1e10-edge round still spreads. Restored in `finally`.
+    sess = edges.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    sp_key = "spark.sql.shuffle.partitions"
+    aqe_old = sess.conf.get(aqe_key)
+    sp_old = sess.conf.get(sp_key)
+    rows_per_part = 2_000_000
+    loop_sp = max(1, int(sp_old))
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("v"),
@@ -406,41 +433,88 @@ def connected_components(
         )
         .filter(F.col("v") != F.col("u"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def signature(d: DataFrame):
         # decimal(38,0) sum of 64-bit hashes: exact, never overflows under
-        # ANSI mode regardless of id magnitude or edge count
-        row = d.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
-        ).first()
+        # ANSI mode regardless of id magnitude or edge count. This action
+        # also materializes d's lazy checkpoint — the round's ONE job
+        # (AQE disabled and partitions sized from the previous round's
+        # measured edge count just for it; see the loop preamble).
+        nonlocal loop_sp
+        sess.conf.set(aqe_key, "false")
+        sess.conf.set(sp_key, str(loop_sp))
+        try:
+            row = d.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            ).first()
+        finally:
+            sess.conf.set(aqe_key, aqe_old)
+            sess.conf.set(sp_key, sp_old)
+        loop_sp = max(
+            1,
+            min(int(sp_old), -(-int(row["n"]) // rows_per_part)),
+        )
         return (row["n"], row["s"])
 
     sig = signature(e)
     for _ in range(max_iterations):
-        # large-star: for every node, attach its strictly-larger neighbors to
-        # the minimum of its neighborhood (including itself).
-        und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
-        )
-        mins = und.groupBy("a").agg(F.min("b").alias("mn"))
-        mins = mins.select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+        # large-star: for every node, attach its strictly-larger neighbors
+        # to the minimum of its neighborhood (including itself) — the
+        # neighborhood min as a window over the doubled edge list (the
+        # doubling is a per-row explode, ONE pass over the checkpoint).
+        und = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
+        wa = Window.partitionBy("a")
         large = (
-            und.join(mins, "a")
+            und.withColumn("m", F.least(F.col("a"), F.min("b").over(wa)))
             .filter(F.col("b") > F.col("a"))
             .select(F.col("m").alias("v"), F.col("b").alias("u"))
         )
         # small-star: orient edges high→low, point every low neighbor (and
-        # the high node itself) at the neighborhood minimum.
-        o = large.select("u", "v").distinct()
-        smins = o.groupBy("u").agg(F.min("v").alias("m"))
+        # the high node itself, once) at the neighborhood minimum — again
+        # one window, with a row_number picking the single self re-point
+        # per center (duplicate (m, b) re-points from large-star are
+        # tolerated here and swept by the round's closing distinct). Both
+        # emissions leave in ONE explode pass so the window chain
+        # evaluates once, not once per union branch.
+        lw = large.select(
+            "u",
+            "v",
+            F.min("v").over(Window.partitionBy("u")).alias("m"),
+            F.row_number()
+            .over(Window.partitionBy("u").orderBy("v"))
+            .alias("_rn"),
+        )
         small = (
-            o.join(smins, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("v"), F.col("v").alias("u"))
-            .unionAll(smins.select(F.col("m").alias("v"), F.col("u").alias("u")))
+            lw.select(
+                F.explode(
+                    F.array(
+                        F.when(
+                            F.col("v") != F.col("m"),
+                            F.struct(
+                                F.col("m").alias("v"), F.col("v").alias("u")
+                            ),
+                        ),
+                        F.when(
+                            F.col("_rn") == 1,
+                            F.struct(
+                                F.col("m").alias("v"), F.col("u").alias("u")
+                            ),
+                        ),
+                    )
+                ).alias("_s")
+            )
+            .where(F.col("_s").isNotNull())
+            .select("_s.v", "_s.u")
         )
         e = (
             small.select(
@@ -449,7 +523,7 @@ def connected_components(
             )
             .filter(F.col("v") != F.col("u"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = signature(e)
         if new_sig == sig:

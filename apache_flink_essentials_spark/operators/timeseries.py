@@ -1640,5 +1640,11 @@ def interarrival_burstiness(
         F.col("type").alias("event_type"),
         "n_gaps",
         (F.col("_s1") / F.col("n_gaps")).alias("mean_gap_s"),
-        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        # σ + μ = 0 ⟺ every gap is zero (simultaneous events): B is
+        # undefined — NULL, matching DuckDB's 0/0 → NULL, instead of an
+        # ANSI DIVIDE_BY_ZERO abort taking the whole audit down because
+        # one timeline somewhere in the corpus is degenerate
+        F.when(
+            sigma + mu != F.lit(0.0), F.round((sigma - mu) / (sigma + mu), 6)
+        ).alias("burstiness"),
     ).orderBy("event_type")

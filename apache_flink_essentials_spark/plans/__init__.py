@@ -65,3 +65,58 @@ def codegen_stage_count(df: DataFrame) -> int:
     )
     stages = set(re.findall(r"\*\((\d+)\)", plan))
     return len(stages)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[dict]:
+    """Every Window-family physical node with an EMPTY partition spec —
+    the 'Moving all data to a single partition' hazard class. For each,
+    reports whether a row-BOUNDING operator (aggregate / limit /
+    top-k) sits BELOW it in the plan, which is what makes a global
+    window acceptable: the sort then runs over an aggregate-sized
+    relation, never the data.
+
+    Walks ``queryExecution().sparkPlan()`` (the physical tree before
+    AQE wrapping) via py4j. Returns ``[{"node": cls, "bounded": bool,
+    "below": [classes...]}]``.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+
+    window_classes = {
+        "WindowExec",
+        "WindowInPandasExec",
+        "WindowGroupLimitExec",
+    }
+    bounding_classes = {
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "TakeOrderedAndProjectExec",
+        "CollectLimitExec",
+    }
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    out: list[dict] = []
+    for node in walk(plan):
+        cls = node.getClass().getSimpleName()
+        if cls not in window_classes:
+            continue
+        try:
+            empty_part = node.partitionSpec().isEmpty()
+        except Exception:  # noqa: BLE001 — node variant without the method
+            continue
+        if not empty_part:
+            continue
+        below = [
+            c.getClass().getSimpleName()
+            for c in walk(node)
+            if c.getClass().getSimpleName() in bounding_classes
+        ]
+        out.append({"node": cls, "bounded": bool(below), "below": below})
+    return out

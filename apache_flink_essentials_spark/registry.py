@@ -6842,10 +6842,15 @@ def _fs_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     fields = {
         "name": (
+            # banded DP (threshold arg): O(len·1) per pair instead of
+            # O(len²) and early-exits the band; returns -1 past the
+            # threshold, so >= 0 ⟺ distance <= 1 — the joins.py:474
+            # fuzzy-pairs idiom. This comparison runs on EVERY blocked
+            # candidate pair, so it is the scoring leg's hot loop.
             F.levenshtein(
-                F.lower(F.col("_a_c_name")), F.lower(F.col("_b_c_name"))
+                F.lower(F.col("_a_c_name")), F.lower(F.col("_b_c_name")), 1
             )
-            <= 1,
+            >= 0,
             *_FS_FIELDS["name"],
         ),
         "nation": (

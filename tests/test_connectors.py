@@ -93,3 +93,52 @@ def test_load_table_memoizes_per_session_and_path(spark):
     assert a is b                    # same session+path -> same plan object
     assert a is not c                # different sf dir -> fresh plan
     assert a.count() > 0 and c.count() > 0
+
+
+# ---- real end-to-end JDBC round-trip (embedded Derby — the one JDBC
+# driver Spark itself ships, so this runs in any Spark install with no
+# external server): proof-of-life for the full option plumbing through
+# Spark's actual JDBC source/sink, not a recorder. Fails if our wrapper's
+# option names (url/dbtable/driver/partitionColumn/bounds) rot.
+_DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    url = "jdbc:derby:memory:cx_roundtrip;create=true"
+    src = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(50)], "id bigint, name string"
+    )
+    io.write_jdbc(src, url, "t_roundtrip", mode="overwrite", driver=_DERBY)
+    back = io.read_jdbc(spark, url, "t_roundtrip", driver=_DERBY)
+    rows = sorted((r.id, r.name) for r in back.collect())
+    assert rows == [(i, f"name_{i}") for i in range(50)]
+
+
+def test_jdbc_partitioned_read_embedded_derby(spark):
+    # the scale path: partitionColumn + bounds must produce a multi-split
+    # scan that still returns every row exactly once
+    url = "jdbc:derby:memory:cx_part;create=true"
+    src = spark.createDataFrame([(i, i * 2) for i in range(100)], "id bigint, v bigint")
+    io.write_jdbc(src, url, "t_part", mode="overwrite", driver=_DERBY)
+    back = io.read_jdbc(
+        spark, url, "t_part",
+        num_partitions=4, partition_column="id",
+        lower_bound=0, upper_bound=100, driver=_DERBY,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 2 for i in range(100))
+
+
+def test_kafka_wrapper_reaches_spark_source_lookup(spark):
+    # no kafka connector jar in this environment BY DESIGN — assert the
+    # wrapper hands the exact 'kafka' format to Spark's data-source
+    # lookup (the error names it), which is the boundary we own; with the
+    # jar on the classpath the same call would connect.
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        io.read_kafka(spark, "host:9092", "topic", streaming=False)
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+    assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg

@@ -127,3 +127,49 @@ def test_containment_no_cartesian_and_bounded_exchanges(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 2
+
+
+# Single-partition WindowExec whitelist: an UNPARTITIONED window funnels
+# every row through one task — acceptable ONLY above a row-bounding
+# operator (aggregate / limit / top-k below it in the plan: the sort then
+# runs over an aggregate-sized relation) or in the explicitly whitelisted
+# cases below. A new query that silently adds a global sort over a
+# data-sized relation fails this test.
+_GLOBAL_WINDOW_WHITELIST = {
+    # adaptive single-split path of transform.global_row_number /
+    # global_prefix_sum (and the contrastive fingerprint fast path): on a
+    # one-split input the plain global window IS the local sort the
+    # two-phase form would produce, so these operators deliberately skip
+    # the range-partitioned machinery; the smoke fixture is one split.
+    # At multi-split scale the same operators plan the distributed form.
+    "curation_contrastive_pairs",
+    "curation_curriculum_order",
+    "curation_quality_calibration",
+    "curation_token_budget",
+    # reference-semantics sequential constructs — the reference itself
+    # pins these at parallelism 1, so a global order is the CONTRACT:
+    "j4_connect_ratio",  # MultipleStreams.scala:115-116 running ratio
+    "w4_count_window_10",  # GlobalWindows + CountTrigger.of(size)
+}
+
+
+def test_unpartitioned_windows_bounded_or_whitelisted(spark):
+    from apache_flink_essentials_spark.plans import unpartitioned_windows
+
+    offenders = {}
+    seen_whitelisted = set()
+    for name, fn in E.queries().items():
+        ws = unpartitioned_windows(fn(spark, SF_SMOKE))
+        if not ws:
+            continue
+        if any(not w["bounded"] for w in ws):
+            if name in _GLOBAL_WINDOW_WHITELIST:
+                seen_whitelisted.add(name)
+            else:
+                offenders[name] = ws
+    assert not offenders, (
+        "unpartitioned windows over unbounded relations (add a bounding "
+        f"aggregate/limit or whitelist with justification): {offenders}"
+    )
+    stale = _GLOBAL_WINDOW_WHITELIST - seen_whitelisted
+    assert not stale, f"whitelist entries no longer exercised: {stale}"
