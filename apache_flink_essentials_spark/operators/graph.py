@@ -209,23 +209,28 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     (side 'src'|'dst', degree, n_nodes) — the distribution, not the
     per-node table, so the result is aggregate-sized at any graph size.
 
-    Scale: one distinct shuffle on the edge pair, then per-side degree
-    hash aggs and a degree-histogram agg — all keyed, all map-side
-    combined.
+    Scale: one distinct shuffle on the edge pair, then ONE (side, node)
+    hash agg over a per-row explode of both endpoints and one
+    degree-histogram agg — a single linear chain, all keyed, all
+    map-side combined. (The earlier per-side groupBy branches computed
+    the distinct subtree twice and paid a union's extra stages.)
     """
     e = edges.select("src", "dst").distinct()
-    out_deg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.lit("src").alias("side"), "degree")
-    )
-    in_deg = (
-        e.groupBy(F.col("dst").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.lit("dst").alias("side"), "degree")
-    )
+    sides = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("src").alias("side"), F.col("src").alias("node")
+                ),
+                F.struct(
+                    F.lit("dst").alias("side"), F.col("dst").alias("node")
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.side", "_s.node")
     return (
-        out_deg.unionByName(in_deg)
+        sides.groupBy("side", "node")
+        .agg(F.count(F.lit(1)).alias("degree"))
         .groupBy("side", "degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("side", "degree")

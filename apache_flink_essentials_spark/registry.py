@@ -9820,3 +9820,56 @@ def _uniqueness_oracle() -> str:
 _register("dq_uniqueness_audit", _uniqueness_oracle(), late=True)(
     _uniqueness_q
 )
+
+
+# =========================================================================
+# round 10: functional-dependency violation mining (g3 error audit)
+# =========================================================================
+_FD_SPECS = [
+    # (name, table, x_col, y_col) — a mix of FDs the fixture satisfies
+    # (the key FD p_partkey -> p_brand, g3 = 0) and ones it does not,
+    # so the audit exercises both the zero and the heavy-violation path
+    ("customer.c_nationkey->c_mktsegment", "customer",
+     "c_nationkey", "c_mktsegment"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+    ("part.p_type->p_size", "part", "p_type", "p_size"),
+]
+
+
+def _fd_q(spark: SparkSession, sf: str) -> DataFrame:
+    by_table: dict[str, list] = {}
+    for name, table, x, y in _FD_SPECS:
+        by_table.setdefault(table, []).append((name, [x], y))
+    outs = [
+        P.fd_violations(load_table(spark, t, sf), specs)
+        for t, specs in by_table.items()
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("fd")
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, x, y in _FD_SPECS:
+        parts.append(f"""
+      SELECT '{name}' AS fd, sum(rows_)::BIGINT AS n_rows,
+             count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating_groups,
+             (sum(rows_) - sum(keep_))::BIGINT AS g3_rows,
+             (sum(rows_) - sum(keep_))::BIGINT
+               / sum(rows_)::BIGINT::DOUBLE AS g3_error
+      FROM (
+        SELECT x, count(*)::BIGINT AS ny, sum(n)::BIGINT AS rows_,
+               max(n)::BIGINT AS keep_
+        FROM (SELECT {x} AS x, {y} AS y, count(*)::BIGINT AS n
+              FROM {table} GROUP BY 1, 2)
+        GROUP BY x
+      )""")
+    return " UNION ALL ".join(parts) + " ORDER BY fd"
+
+
+_register("dq_fd_violations", _fd_oracle(), late=True)(_fd_q)

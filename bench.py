@@ -274,6 +274,11 @@ HEADLINE = [
     # cohort_value_curves (0.04 s anchor, retention precedent) stay
     # sweep-only.
     "ts_holt_winters",
+    # round 10: functional-dependency g3 audit (parallel per-FD
+    # branches of column-pruned two-level hash-aggs — the
+    # referential-audit shape, proven faster than a tagged-union
+    # single job in the COVERAGE.md round-10 contrastive measurement)
+    "dq_fd_violations",
 ]
 
 

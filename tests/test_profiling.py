@@ -260,3 +260,51 @@ def test_chi2_cells_independent_table_is_zero(spark):
     assert all(r.chi2_contrib == 0.0 for r in out)
     assert {(r.k, r.band): r.n_obs for r in out}[("b", 0)] == 30
     assert all(r.expected == float(r.n_obs) for r in out)
+
+
+# ---- fd_violations (g3 error audit) ----------------------------------------
+
+
+def test_fd_violations_g3_semantics(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    # x=1 -> y in {a,a,b}: majority a kept, 1 deletion; x=2 -> clean (2 rows);
+    # x=3 -> y in {a,b,c}: keep 1, delete 2. g3 = 3 over 8 rows.
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "z"), (2, "z"),
+        (3, "a"), (3, "b"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "x int, y string")
+    r = P.fd_violations(df, [("x->y", ["x"], "y")]).collect()[0]
+    assert r.fd == "x->y"
+    assert r.n_rows == 8
+    assert r.n_groups == 3
+    assert r.n_violating_groups == 2
+    assert r.g3_rows == 3
+    assert abs(r.g3_error - 3 / 8) < 1e-15
+
+
+def test_fd_violations_null_y_is_a_value(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    # NULL y mixed with a non-NULL y violates the FD (a group whose Y is
+    # sometimes missing is not functionally determined)
+    rows = [(1, "a"), (1, None), (2, None), (2, None)]
+    df = spark.createDataFrame(rows, "x int, y string")
+    r = P.fd_violations(df, [("x->y", ["x"], "y")]).collect()[0]
+    assert r.n_violating_groups == 1
+    assert r.g3_rows == 1
+
+
+def test_fd_violations_holds_exactly(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    rows = [(i, f"v{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "x int, y string")
+    # x is a key: FD holds; also y -> y trivially holds
+    out = {r.fd: r for r in P.fd_violations(
+        df, [("x->y", ["x"], "y"), ("y->y", ["y"], "y")]
+    ).collect()}
+    assert out["x->y"].g3_rows == 0 and out["x->y"].n_violating_groups == 0
+    assert out["y->y"].g3_rows == 0 and out["y->y"].n_groups == 3

@@ -1275,3 +1275,21 @@ def test_ivf_balance_report_arrow_equals_expression(spark):
     assert abs(sum(r.share for r in expr) - 1.0) < 1e-9
     # load factors average to 1 by construction (k clusters, weights share*k)
     assert abs(sum(r.load_factor for r in expr) - 8.0) < 1e-9
+
+
+def test_connected_components_long_chain_and_dups(spark):
+    # a 17-node chain (diameter 16) forces multiple star rounds; duplicate
+    # and reversed edges plus self-loops must not change the answer
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    edges = [(i, i + 1) for i in range(16)]
+    edges += [(b, a) for a, b in edges[:5]]  # reversed dups
+    edges += [(3, 3), (9, 9)]  # self-loops (dropped)
+    edges += [(100, 101)]  # separate 2-component
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = dict(
+        (r.node, r.component)
+        for r in D.connected_components(df).collect()
+    )
+    assert all(rows[i] == 0 for i in range(17))
+    assert rows[100] == 100 and rows[101] == 100
