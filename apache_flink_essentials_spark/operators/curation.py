@@ -362,12 +362,19 @@ def weighted_sample(
         F.sum(F.col(weight_col).cast("decimal(28,6)")).alias("_w_sum"),
         F.count(F.lit(1)).alias("_w_n"),
     )
-    p = F.least(
-        F.lit(1.0),
-        F.lit(float(rate))
-        * F.col(weight_col).cast("double")
-        * F.col("_w_n").cast("double")
-        / F.col("_w_sum").cast("double"),
+    # Σw = 0 (every weight zero — e.g. token-count weights over a shard
+    # of empty docs) makes the proportional share undefined: keep
+    # NOTHING (w = 0 rows have p ∝ 0 anyway) via a NULL p that fails the
+    # acceptance filter, instead of an ANSI DIVIDE_BY_ZERO abort
+    p = F.when(
+        F.col("_w_sum") != 0,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(rate))
+            * F.col(weight_col).cast("double")
+            * F.col("_w_n").cast("double")
+            / F.col("_w_sum").cast("double"),
+        ),
     )
     return (
         df.crossJoin(F.broadcast(stats))

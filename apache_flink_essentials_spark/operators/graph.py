@@ -212,8 +212,11 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     Scale: one distinct shuffle on the edge pair, then ONE (side, node)
     hash agg over a per-row explode of both endpoints and one
     degree-histogram agg — a single linear chain, all keyed, all
-    map-side combined. (The earlier per-side groupBy branches computed
-    the distinct subtree twice and paid a union's extra stages.)
+    map-side combined. (Two rejected shapes, both measured slower at
+    bench scale: per-side groupBy branches compute the distinct subtree
+    twice; folding the dedup into a per-(side, node) count_distinct
+    doubles the rows BEFORE any dedup and plans the distinct-aggregate
+    double exchange — 1.86 s vs 0.82 s.)
     """
     e = edges.select("src", "dst").distinct()
     sides = e.select(

@@ -101,7 +101,13 @@ def zscore_anomalies(
             ).alias("sigma"),
         )
     )
-    z = (v.cast("double") - F.col("mu")) / F.col("sigma")
+    # σ = 0 (a key whose values are all equal) must yield NULL z — the
+    # DuckDB x/0 behavior — not an ANSI DIVIDE_BY_ZERO abort; the NULL
+    # then fails the |z| > t filter, so constant keys simply emit nothing
+    z = F.when(
+        F.col("sigma") > 0,
+        (v.cast("double") - F.col("mu")) / F.col("sigma"),
+    )
     return (
         df.join(F.broadcast(stats), key_col)
         .select(

@@ -1835,7 +1835,12 @@ def tokenizer_fertility(
             "n_docs",
             "n_words",
             "n_subwords",
-            (F.col("n_subwords") / F.col("n_words")).alias("fertility"),
+            # a language whose docs are all empty has zero words:
+            # fertility undefined -> NULL (DuckDB x/0), not an ANSI abort
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_subwords") / F.col("n_words"),
+            ).alias("fertility"),
         )
         .orderBy(group_col)
     )
@@ -1965,8 +1970,15 @@ def zipf_fit(
         F.sum(F.col("ly") * F.col("ly")).alias("_syy"),
     )
     n = F.col("n_terms").cast("double")
-    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # degenerate regressions must be NULL (the DuckDB x/0 behavior), not
+    # an ANSI abort: x-variance is 0 with a single term (slope/intercept
+    # undefined), y-variance is 0 when every term has the SAME count (a
+    # uniform corpus — e.g. all-unique tokens; r² undefined)
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(
+        vx != 0,
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / vx,
     )
     return sums.select(
         "n_terms",
@@ -1974,11 +1986,14 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
         .alias("intercept"),
-        F.round(
-            slope
-            * (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-            / (n * F.col("_syy") - F.col("_sy") * F.col("_sy")),
-            6,
+        F.when(
+            vy != 0,
+            F.round(
+                slope
+                * (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                / vy,
+                6,
+            ),
         ).alias("r2"),
     )
 

@@ -1012,7 +1012,12 @@ def acf_from_binned(
         .crossJoin(F.broadcast(den))
         .select(
             "lag", "n_pairs",
-            F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
+            # a constant series has zero centered energy: acf undefined
+            # -> NULL (DuckDB x/0), never an ANSI DIVIDE_BY_ZERO abort
+            F.when(
+                F.col("_den") != 0,
+                F.round(F.col("_num") / F.col("_den"), 6),
+            ).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -1163,10 +1168,16 @@ def seasonal_naive_eval(
         "n_pairs",
         F.round(F.col("_ae") / F.col("n_pairs"), 6).alias("mae"),
         F.round(F.col("_ae1") / F.col("_n1"), 6).alias("scale_mae"),
-        F.round(
-            (F.col("_ae") / F.col("n_pairs"))
-            / (F.col("_ae1") / F.col("_n1")),
-            6,
+        # a CONSTANT series makes the naive-1 scale 0 (perfect naive
+        # forecast): MASE undefined -> NULL (DuckDB x/0), not an ANSI
+        # abort taking the whole workbench down
+        F.when(
+            F.col("_ae1") != 0,
+            F.round(
+                (F.col("_ae") / F.col("n_pairs"))
+                / (F.col("_ae1") / F.col("_n1")),
+                6,
+            ),
         ).alias("mase"),
     )
 
@@ -1304,9 +1315,15 @@ def seasonality_strength(
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.var_pop("x"), 6).alias("var_total"),
         F.round(F.var_pop(F.col("x") - F.col("m")), 6).alias("var_resid"),
-        F.round(
-            F.lit(1.0) - F.var_pop(F.col("x") - F.col("m")) / F.var_pop("x"),
-            6,
+        # constant series: var_total = 0, strength undefined -> NULL
+        # (the DuckDB x/0 behavior; ANSI Spark would abort instead)
+        F.when(
+            F.var_pop("x") != 0,
+            F.round(
+                F.lit(1.0)
+                - F.var_pop(F.col("x") - F.col("m")) / F.var_pop("x"),
+                6,
+            ),
         ).alias("strength"),
     )
 
@@ -1506,8 +1523,13 @@ def max_drawdown(
             F.count(F.lit(1)).alias("n_bins"),
             F.max("peak").alias("peak_cents"),
             F.max(F.col("peak") - F.col("v")).alias("max_drawdown_cents"),
+            # an all-zero series has peak = 0: the fraction is undefined
+            # -> NULL (DuckDB 0/0), never an ANSI DIVIDE_BY_ZERO abort
             F.max(
-                (F.col("peak") - F.col("v")) / F.col("peak")
+                F.when(
+                    F.col("peak") != 0,
+                    (F.col("peak") - F.col("v")) / F.col("peak"),
+                )
             ).alias("max_dd_frac"),
         )
         .select(

@@ -66,6 +66,18 @@ def safe_norm_expr(a: Column) -> Column:
     return F.coalesce(F.nullif(norm_expr(a), F.lit(0.0)), F.lit(1.0))
 
 
+def _safe_norm_sql(v: str) -> str:
+    """SQL-string twin of :func:`safe_norm_expr` — the norm every
+    cosine-search SQL path divides by. A zero vector (a real artifact:
+    padding rows, failed embedder calls) must score cosine 0 and sink
+    to the bottom of the ranking, not raise ANSI DIVIDE_BY_ZERO and
+    kill the whole search."""
+    return (
+        f"coalesce(nullif(sqrt({_dot_sql(v, v)}), cast(0.0 as double)),"
+        " cast(1.0 as double))"
+    )
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
@@ -94,12 +106,12 @@ def knn_cosine_bruteforce(
     q = queries.selectExpr(
         f"`{id_col}` AS query_id",
         f"`{vec_col}` AS q_vec",
-        f"sqrt({_dot_sql(f'`{vec_col}`', f'`{vec_col}`')}) AS q_norm",
+        f"{_safe_norm_sql(f'`{vec_col}`')} AS q_norm",
     )
     e = embeddings.selectExpr(
         f"`{id_col}` AS neighbor_id",
         f"`{vec_col}` AS n_vec",
-        f"sqrt({_dot_sql(f'`{vec_col}`', f'`{vec_col}`')}) AS n_norm",
+        f"{_safe_norm_sql(f'`{vec_col}`')} AS n_norm",
     )
     pairs = e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.selectExpr(
@@ -134,7 +146,7 @@ def cosine_pairs_blocked(
         F.col(block_col),
         F.col(id_col),
         F.col(vec_col),
-        norm_expr(F.col(vec_col)).alias("norm"),  # per-row, before the join
+        safe_norm_expr(F.col(vec_col)).alias("norm"),  # per-row, pre-join
     )
     a = base.select(
         F.col(block_col),
@@ -430,7 +442,7 @@ def hamming_recall(
         "neighbor_id", "n_vec",
         f"{sig_sql} AS n_sig",
         # per row, not per pair
-        f"sqrt({_dot_sql('n_vec', 'n_vec')}) AS n_norm",
+        f"{_safe_norm_sql('n_vec')} AS n_norm",
     )
     q = queries.selectExpr(
         f"`{id_col}` AS query_id", f"`{vec_col}` AS q_vec",
@@ -438,7 +450,7 @@ def hamming_recall(
     ).selectExpr(
         "query_id", "q_vec",
         f"{sig_sql} AS q_sig",
-        f"sqrt({_dot_sql('q_vec', 'q_vec')}) AS q_norm",
+        f"{_safe_norm_sql('q_vec')} AS q_norm",
     )
     pairs = e.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
@@ -814,7 +826,7 @@ def ivf_search(
     indexed = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
-        norm_expr(F.col(vec_col)).alias("n_norm"),
+        safe_norm_expr(F.col(vec_col)).alias("n_norm"),
         "cluster_id",
     )
     # probe selection as ONE parsed SQL string (see _dot_sql): the
@@ -828,7 +840,7 @@ def ivf_search(
         queries.selectExpr(
             f"{id_col} AS query_id",
             f"{vec_col} AS q_vec",
-            f"sqrt({_dot_sql(vec_col, vec_col)}) AS q_norm",
+            f"{_safe_norm_sql(vec_col)} AS q_norm",
             f"slice(array_sort(array({structs})), 1, {nprobe}) AS probes",
         )
         .withColumn("probe", F.explode(F.col("probes.c")))
@@ -975,7 +987,7 @@ def embedding_dedup_pairs(
         id_col,
         vec_col,
         f"{bucket_sql} AS bucket",
-        f"sqrt({_dot_sql(vec_col, vec_col)}) AS _norm",
+        f"{_safe_norm_sql(vec_col)} AS _norm",
     )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
@@ -1109,11 +1121,11 @@ def knn_cosine_quantized(
     ).select(
         "neighbor_id",
         _quant_codes_col().alias("_qe"),
-    ).withColumn("_e_norm", norm_expr(F.col("_qe")))
+    ).withColumn("_e_norm", safe_norm_expr(F.col("_qe")))
     qry = _quant_staged(
         queries, [F.col(id_col).alias("query_id")], vec_col
     ).select("query_id", _quant_codes_col().alias("_qq")).withColumn(
-        "_q_norm", norm_expr(F.col("_qq"))
+        "_q_norm", safe_norm_expr(F.col("_qq"))
     )
     scored = (
         emb.join(F.broadcast(qry))
@@ -1247,7 +1259,7 @@ def semantic_dedup(
         F.col(id_col),
         F.col(vec_col),
         "cluster_id",
-        norm_expr(F.col(vec_col)).alias("_norm"),
+        safe_norm_expr(F.col(vec_col)).alias("_norm"),
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
@@ -1594,15 +1606,15 @@ def knn_cosine_matryoshka(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         prefix.alias("q_pre"),
-    ).withColumn("q_pre_norm", norm_expr(F.col("q_pre"))).withColumn(
-        "q_norm", norm_expr(F.col("q_vec"))
+    ).withColumn("q_pre_norm", safe_norm_expr(F.col("q_pre"))).withColumn(
+        "q_norm", safe_norm_expr(F.col("q_vec"))
     )
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         prefix.alias("n_pre"),
-    ).withColumn("n_pre_norm", norm_expr(F.col("n_pre"))).withColumn(
-        "n_norm", norm_expr(F.col("n_vec"))
+    ).withColumn("n_pre_norm", safe_norm_expr(F.col("n_pre"))).withColumn(
+        "n_norm", safe_norm_expr(F.col("n_vec"))
     )
     coarse = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))

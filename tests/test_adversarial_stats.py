@@ -159,3 +159,96 @@ def test_cusum_negative_series_matches_floor_semantics(spark):
         assert row.bin_mean_micro == m
         c += m * nb - T
         assert row.cusum_micro == c // nb, (i, row.cusum_micro, c // nb)
+
+
+# ---- ANSI divide-by-zero sweep: constant/empty/degenerate inputs -------
+# Spark 4 ANSI mode ABORTS on x/0 even for doubles (unlike IEEE); DuckDB
+# returns NULL. Every ratio below must yield NULL on its degenerate
+# input, never an exception — one weird key/series/language somewhere in
+# 100 TB must not kill a corpus-wide audit.
+
+
+def test_zscore_constant_key_emits_nothing(spark):
+    from apache_flink_essentials_spark.operators import profiling as P
+
+    rows = [(i, 7, 5.0) for i in range(20)]  # sigma = 0 for the key
+    df = spark.createDataFrame(rows, "event_id long, user_id int, value double")
+    assert P.zscore_anomalies(df).count() == 0
+
+
+def test_acf_constant_series_null(spark):
+    rows = [(_ts(i * 3600), 5.0) for i in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = TS.acf(df, "ts", "value", lags=(1, 2, 3)).collect()
+    assert len(out) == 3
+    assert all(r.acf is None for r in out)
+
+
+def test_seasonality_strength_constant_series_null(spark):
+    rows = [(_ts(i * 3600), 5.0) for i in range(48)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = TS.seasonality_strength(df, "ts", "value", period=24).collect()[0]
+    assert r.var_total == 0.0
+    assert r.strength is None
+
+
+def test_seasonal_naive_constant_series_mase_null(spark):
+    rows = [(_ts(i * 3600), 5.0) for i in range(48)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = TS.seasonal_naive_eval(df, "ts", "value", season_lag=24).collect()[0]
+    assert r.mae == 0.0
+    assert r.mase is None
+
+
+def test_zipf_single_term_and_uniform_counts(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    one = spark.createDataFrame(
+        [(1, "hello hello hello")], "doc_id long, text string"
+    )
+    r = X.zipf_fit(one).collect()[0]
+    assert r.n_terms == 1 and r.slope is None  # x-variance 0
+
+    uniform = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    r = X.zipf_fit(uniform).collect()[0]
+    assert r.n_terms == 4
+    assert r.r2 is None  # every count equal: y-variance 0
+
+
+def test_tokenizer_fertility_empty_language_null(spark):
+    from apache_flink_essentials_spark.operators import text as X
+
+    rows = [(1, "", "xx"), (2, "   ", "xx"), (3, "real words here", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in X.tokenizer_fertility(df).collect()}
+    assert out["xx"].n_words == 0 and out["xx"].fertility is None
+    assert out["en"].fertility is not None
+
+
+def test_max_drawdown_all_zero_series_null_frac(spark):
+    rows = [(_ts(i * 86400), 0.0, "zero") for i in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, event_type string")
+    r = TS.max_drawdown(df, "ts", "value", "event_type").collect()[0]
+    assert r.peak_cents == 0 and r.max_drawdown_cents == 0
+    assert r.max_dd_frac is None
+
+
+def test_cosine_searches_survive_zero_vectors(spark):
+    # a zero embedding (padding row / failed embedder call) must score
+    # cosine 0 and sink in the ranking — safe-norm convention — never
+    # raise ANSI DIVIDE_BY_ZERO through any cosine path
+    from apache_flink_essentials_spark.operators import vector as V
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # the zero vector
+            (3, [0.0, 1.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    knn = V.knn_cosine_bruteforce(emb, q, k=4).collect()
+    by_id = {r.neighbor_id: r.cosine for r in knn}
+    assert by_id[2] == 0.0  # zero vector scored, not crashed
+    assert by_id[1] > by_id[2]
+    rec = V.hamming_recall(emb, q, k=3, dim=4, n_proj=8).collect()
+    assert rec[0].n_exact == 3  # ran end to end
