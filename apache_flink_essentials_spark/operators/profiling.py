@@ -1044,34 +1044,54 @@ def fd_violations(
     shape `referential_audit` measured FASTER than a tagged-union
     single job (COVERAGE.md round-10 note). NULL Y counts as a value
     (a group mixing NULL and non-NULL Y violates the FD).
+
+    Streaming twin: ``streaming.rollup.fd_xy_counts_stream`` maintains
+    the same ``fd_xy_counts`` state relation (associative BIGINT
+    counts → stream ≡ batch bit-for-bit); :func:`fd_from_xy_counts` is
+    the derive-on-read tail (the g3 rollup depends on per-group
+    maxima, so it re-runs on read over the |distinct X,Y|-row state).
     """
-    outs = []
-    for name, x_cols, y_col in fds:
-        xy = (
-            df.groupBy(*[F.col(c) for c in x_cols], F.col(y_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-        )
-        per_x = xy.groupBy(*[F.col(c) for c in x_cols]).agg(
-            F.count(F.lit(1)).alias("_ny"),
-            F.sum("_n").alias("_rows"),
-            F.max("_n").alias("_keep"),
-        )
-        outs.append(
-            per_x.agg(
-                F.lit(name).alias("fd"),
-                F.sum("_rows").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).cast("long").alias("n_groups"),
-                F.sum(F.when(F.col("_ny") > 1, 1).otherwise(0))
-                .cast("long").alias("n_violating_groups"),
-                (F.sum("_rows") - F.sum("_keep"))
-                .cast("long").alias("g3_rows"),
-            ).select(
-                "fd", "n_rows", "n_groups", "n_violating_groups",
-                "g3_rows",
-                (F.col("g3_rows") / F.col("n_rows")).alias("g3_error"),
-            )
-        )
+    outs = [
+        fd_from_xy_counts(fd_xy_counts(df, x_cols, y_col), name, x_cols)
+        for name, x_cols, y_col in fds
+    ]
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("fd")
+
+
+def fd_xy_counts(
+    df: DataFrame, x_cols: "list[str]", y_col: str
+) -> DataFrame:
+    """The FD audit's state relation: exact BIGINT count per distinct
+    ``(X..., Y)`` — one map-side-combined hash agg over a column-pruned
+    scan. Associative, so the streaming twin maintains the SAME
+    relation as complete-mode state."""
+    return df.groupBy(*[F.col(c) for c in x_cols], F.col(y_col)).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+
+
+def fd_from_xy_counts(
+    xy: DataFrame, name: str, x_cols: "list[str]"
+) -> DataFrame:
+    """Derive-on-read g3 rollup over a finished :func:`fd_xy_counts`
+    relation (batch or drained stream state) → the single audit row
+    documented in :func:`fd_violations`."""
+    per_x = xy.groupBy(*[F.col(c) for c in x_cols]).agg(
+        F.count(F.lit(1)).alias("_ny"),
+        F.sum("_n").alias("_rows"),
+        F.max("_n").alias("_keep"),
+    )
+    return per_x.agg(
+        F.lit(name).alias("fd"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_ny") > 1, 1).otherwise(0))
+        .cast("long").alias("n_violating_groups"),
+        (F.sum("_rows") - F.sum("_keep")).cast("long").alias("g3_rows"),
+    ).select(
+        "fd", "n_rows", "n_groups", "n_violating_groups", "g3_rows",
+        (F.col("g3_rows") / F.col("n_rows")).alias("g3_error"),
+    )

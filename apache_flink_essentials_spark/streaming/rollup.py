@@ -483,3 +483,21 @@ def countmin_estimate_from_grid(
         .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("est_count"))
         .orderBy("item")
     )
+
+
+def fd_xy_counts_stream(
+    stream: DataFrame, x_cols: "list[str]", y_col: str
+) -> DataFrame:
+    """Streaming twin of ``profiling.fd_xy_counts`` — the functional-
+    dependency audit's state relation as complete-mode stream state:
+    exact BIGINT count per distinct ``(X..., Y)``. The count is an
+    associative sum, so the drained state is BIT-IDENTICAL to the batch
+    relation over the same rows in any arrival order; state is
+    |distinct X, Y| rows — cardinality-bounded, not volume-bounded.
+    Feed the completed aggregate to ``profiling.fd_from_xy_counts``:
+    the g3 rollup depends on per-group maxima (every arrival can move
+    them), so the audit row is derive-on-read BY SEMANTICS (the
+    ``binned_sums_stream`` split)."""
+    return stream.groupBy(
+        *[F.col(c) for c in x_cols], F.col(y_col)
+    ).agg(F.count(F.lit(1)).alias("_n"))

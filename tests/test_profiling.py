@@ -308,3 +308,32 @@ def test_fd_violations_holds_exactly(spark):
     ).collect()}
     assert out["x->y"].g3_rows == 0 and out["x->y"].n_violating_groups == 0
     assert out["y->y"].g3_rows == 0 and out["y->y"].n_groups == 3
+
+
+def test_fd_audit_stream_equals_batch(spark):
+    from apache_flink_essentials_spark import load_table
+    from apache_flink_essentials_spark.operators.profiling import (
+        fd_from_xy_counts,
+        fd_violations,
+    )
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.rollup import (
+        fd_xy_counts_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    stream_in = replay_as_stream(events, num_files=3, order_by="ts")
+    state = run_stream_to_df(
+        fd_xy_counts_stream(stream_in, ["user_id"], "event_type"),
+        output_mode="complete",
+    )
+    streamed = sorted(map(tuple, fd_from_xy_counts(
+        state, "events.user_id->event_type", ["user_id"]
+    ).collect()))
+    batch = sorted(map(tuple, fd_violations(
+        events, [("events.user_id->event_type", ["user_id"], "event_type")]
+    ).collect()))
+    assert streamed == batch and len(batch) == 1

@@ -890,3 +890,50 @@ def test_max_drawdown_bounds(spark, vals):
     df2 = spark.createDataFrame(rows2, "k string, ts timestamp, value double")
     r2 = max_drawdown(df2, "ts", "value", "k").collect()[0]
     assert r2.max_drawdown_cents == 0 and r2.max_dd_frac == 0.0
+
+
+# ---- connected components vs a union-find model -----------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edge_rows=edges_strategy)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edge_rows):
+    """The large-star/small-star loop must agree with a plain Python
+    union-find on ANY random multigraph (self-loops, duplicates,
+    reversed edges, chains, stars — whatever hypothesis deals): every
+    node incident to a non-loop edge labeled with its component's
+    minimum id."""
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edge_rows:
+        if a != b:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in D.connected_components(df).collect()
+    }
+    assert got == expected
