@@ -708,3 +708,94 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         ).alias("rel_error"),
     )
     return out
+
+
+def kmv_jaccard(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """KMV set-similarity estimate + exact audit → ONE row
+    ``(k_used, n_exact_a, n_exact_b, n_exact_inter, jaccard_exact,
+    jaccard_kmv, abs_error)`` (Beyer et al. '07 synopses / Broder's
+    min-hash union trick, public papers): keep each side's k smallest
+    distinct-value hashes, take the k smallest of their union, and
+    estimate ``J ≈ |{h ∈ S_union : h ∈ S_a ∧ h ∈ S_b}| / k`` — the
+    corpus-overlap screen that answers "how much does this new crawl
+    intersect what we already have" from two sketch files without ever
+    joining the corpora. Like `kmv_distinct` / `sketch_bloom_fpr`, the
+    exact ground truth rides alongside — the audit run before trusting
+    the sketch at 1000× the data (drop the exact columns and the sketch
+    halves are two top-k passes).
+
+    Portability: the 48-bit md5-prefix hash is the `winnow_fingerprints`
+    idiom — bit-identical on both engines — so the k-min sets, the
+    membership counts, and both int/int Jaccard rationals match exactly.
+    When a side has fewer than k distinct values the union sketch sees
+    the WHOLE side and the estimator is exact on that side's portion
+    (standard small-set KMV behavior; k_used reports the actual size).
+
+    Scale: per side one distinct-hash agg (map-side combined) + a
+    TakeOrderedAndProject top-k (never a one-task global sort); the
+    union sketch and membership marking run on ≤ 2k rows; the exact
+    audit reuses the two distinct relations via one semi-join and one
+    union-distinct count.
+    """
+    def _hashes(df: DataFrame) -> DataFrame:
+        h = F.expr(
+            f"cast(conv(substring(md5(cast(`{col}` as string)), 1, 12),"
+            " 16, 10) as bigint)"
+        )
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(h.alias("_h"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    ha, hb = _hashes(df_a), _hashes(df_b)
+    sa = ha.orderBy("_h").limit(k).select("_h", F.lit(1).alias("_in_a"))
+    sb = hb.orderBy("_h").limit(k).select("_h", F.lit(1).alias("_in_b"))
+    su = (
+        sa.select("_h").unionAll(sb.select("_h"))
+        .distinct().orderBy("_h").limit(k)
+    )
+    est = (
+        su.join(F.broadcast(sa), "_h", "left")
+        .join(F.broadcast(sb), "_h", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(
+                F.when(
+                    F.col("_in_a").isNotNull()
+                    & F.col("_in_b").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("_m"),
+        )
+    )
+    na = ha.agg(F.count(F.lit(1)).cast("long").alias("n_exact_a"))
+    nb = hb.agg(F.count(F.lit(1)).cast("long").alias("n_exact_b"))
+    ni = ha.join(hb, "_h", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_inter")
+    )
+    return (
+        est.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            "k_used", "n_exact_a", "n_exact_b", "n_exact_inter",
+            F.when(
+                (F.col("n_exact_a") + F.col("n_exact_b")
+                 - F.col("n_exact_inter")) > 0,
+                F.col("n_exact_inter")
+                / (F.col("n_exact_a") + F.col("n_exact_b")
+                   - F.col("n_exact_inter")),
+            ).otherwise(F.lit(0.0)).alias("jaccard_exact"),
+            (F.col("_m") / F.col("k_used")).alias("jaccard_kmv"),
+        )
+        .select(
+            "*",
+            F.abs(
+                F.col("jaccard_kmv") - F.col("jaccard_exact")
+            ).alias("abs_error"),
+        )
+    )

@@ -9873,3 +9873,63 @@ def _fd_oracle() -> str:
 
 
 _register("dq_fd_violations", _fd_oracle(), late=True)(_fd_q)
+
+
+# =========================================================================
+# round 10 (cont.): KMV set-similarity — sketch-file corpus-overlap screen
+# =========================================================================
+def _kmv_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    from apache_flink_essentials_spark.operators import sketches as SK4
+
+    ev = _events(spark, sf)
+    return SK4.kmv_jaccard(
+        ev.where(F.col("event_type") == "purchase").select("user_id"),
+        ev.where(F.col("event_type") == "view").select("user_id"),
+        "user_id",
+        k=128,
+    )
+
+
+_register(
+    "sketch_kmv_jaccard",
+    """
+    WITH ha AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS _h
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), hb AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS _h
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+    ), sa AS (SELECT _h FROM ha ORDER BY _h LIMIT 128),
+    sb AS (SELECT _h FROM hb ORDER BY _h LIMIT 128),
+    su AS (
+      SELECT _h FROM (SELECT _h FROM sa UNION SELECT _h FROM sb)
+      ORDER BY _h LIMIT 128
+    ), est AS (
+      SELECT count(*)::BIGINT AS k_used,
+             sum(CASE WHEN su._h IN (SELECT _h FROM sa)
+                       AND su._h IN (SELECT _h FROM sb)
+                      THEN 1 ELSE 0 END)::BIGINT AS m
+      FROM su
+    ), ex AS (
+      SELECT (SELECT count(*) FROM ha)::BIGINT AS n_exact_a,
+             (SELECT count(*) FROM hb)::BIGINT AS n_exact_b,
+             (SELECT count(*) FROM ha
+              WHERE _h IN (SELECT _h FROM hb))::BIGINT AS n_exact_inter
+    )
+    SELECT k_used, n_exact_a, n_exact_b, n_exact_inter,
+           CASE WHEN (n_exact_a + n_exact_b - n_exact_inter) > 0
+                THEN n_exact_inter
+                     / (n_exact_a + n_exact_b - n_exact_inter)::DOUBLE
+                ELSE 0.0 END AS jaccard_exact,
+           m / k_used::DOUBLE AS jaccard_kmv,
+           abs(m / k_used::DOUBLE
+               - CASE WHEN (n_exact_a + n_exact_b - n_exact_inter) > 0
+                      THEN n_exact_inter
+                           / (n_exact_a + n_exact_b - n_exact_inter)::DOUBLE
+                      ELSE 0.0 END) AS abs_error
+    FROM est, ex
+    """,
+    late=True,
+)(_kmv_jaccard_q)

@@ -277,8 +277,11 @@ HEADLINE = [
     # round 10: functional-dependency g3 audit (parallel per-FD
     # branches of column-pruned two-level hash-aggs — the
     # referential-audit shape, proven faster than a tagged-union
-    # single job in the COVERAGE.md round-10 contrastive measurement)
+    # single job in the COVERAGE.md round-10 contrastive measurement),
+    # and KMV set-similarity (two distinct-hash top-k sketches + a
+    # 2k-row union membership pass; exact audit rides along)
     "dq_fd_violations",
+    "sketch_kmv_jaccard",
 ]
 
 

@@ -28,3 +28,13 @@ def test_relationship_mining_example_runs(spark):
     rows = clusters.collect()
     # cluster sizes are >= 2 (CC only sees matched pairs) and counts > 0
     assert all(r.cluster_size >= 2 and r.n_clusters > 0 for r in rows)
+
+
+def test_data_contracts_example_runs(spark):
+    from examples.data_contracts import run
+
+    ref = run(spark)
+    rows = ref.collect()
+    # TPC-H fixture is referentially clean: audits must report zeros
+    assert len(rows) == 3
+    assert all(r.n_orphans == 0 and r.n_null_fk == 0 for r in rows)

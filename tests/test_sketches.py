@@ -252,3 +252,46 @@ def test_hll_set_ops_disjoint_intersection_near_zero(spark):
     # estimates: ~sqrt(3)*0.065*2000 at 1 sigma) — assert 3 sigma of that
     assert abs(out["intersection"]) <= 3 * 0.065 * 2000 * 1.8
     assert abs(out["left"] - 1000) <= 260
+
+
+# ---- KMV Jaccard -----------------------------------------------------------
+
+
+def test_kmv_jaccard_small_sets_exact(spark):
+    from apache_flink_essentials_spark.operators import sketches as SK
+
+    # |A|=6, |B|=6, |A∩B|=3 -> J = 3/9; k=64 > all set sizes, so the
+    # union sketch sees everything and the estimate must be EXACT
+    a = spark.createDataFrame([(v,) for v in "abcdef"], "x string")
+    b = spark.createDataFrame([(v,) for v in "defghi"], "x string")
+    r = SK.kmv_jaccard(a, b, "x", k=64).collect()[0]
+    assert (r.n_exact_a, r.n_exact_b, r.n_exact_inter) == (6, 6, 3)
+    assert abs(r.jaccard_exact - 3 / 9) < 1e-15
+    assert r.jaccard_kmv == r.jaccard_exact
+    assert r.abs_error == 0.0
+    assert r.k_used == 9  # |A ∪ B| distinct hashes
+
+
+def test_kmv_jaccard_disjoint_and_identical(spark):
+    from apache_flink_essentials_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(v,) for v in "abc"], "x string")
+    b = spark.createDataFrame([(v,) for v in "xyz"], "x string")
+    r = SK.kmv_jaccard(a, b, "x", k=16).collect()[0]
+    assert r.jaccard_kmv == 0.0 and r.jaccard_exact == 0.0
+
+    r2 = SK.kmv_jaccard(a, a, "x", k=16).collect()[0]
+    assert r2.jaccard_kmv == 1.0 and r2.jaccard_exact == 1.0
+
+
+def test_kmv_jaccard_estimates_within_sketch_error(spark):
+    from apache_flink_essentials_spark.operators import sketches as SK
+
+    # 300 overlap out of 700-union -> J = 3/7; k=128 sketch error
+    # ~1/sqrt(k) ≈ 0.09 — assert a generous band, exactness is pinned
+    # by the oracle row
+    a = spark.createDataFrame([(f"v{i}",) for i in range(500)], "x string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(200, 700)], "x string")
+    r = SK.kmv_jaccard(a, b, "x", k=128).collect()[0]
+    assert r.k_used == 128
+    assert abs(r.jaccard_kmv - 3 / 7) < 0.15
