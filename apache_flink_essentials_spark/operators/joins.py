@@ -698,16 +698,31 @@ def fs_match_weights(
         *[F.col(c).alias(f"_b_{c}") for c in attrs],
     )
     j = candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-    agree_cols = []
+    # two-stage projection: materialize each agreement flag ONCE, then
+    # derive the weights from the flags — guarantees a single evaluation
+    # of expensive comparators (the banded levenshtein is the ER hot
+    # loop) instead of leaning on codegen subexpression elimination to
+    # dedup the flag and its weight CASE
+    flags = j.select(
+        "id_a",
+        "id_b",
+        *[
+            agree_expr.cast("int").alias(f"agree_{name}")
+            for name, (agree_expr, m, u) in fields.items()
+        ],
+    )
     total = F.lit(0).cast("bigint")
     for name, (agree_expr, m, u) in fields.items():
         w_agree = round(math.log2(m / u) * 1e6)
         w_dis = round(math.log2((1 - m) / (1 - u)) * 1e6)
-        agree = agree_expr.cast("int").alias(f"agree_{name}")
-        agree_cols.append(agree)
-        w = F.when(agree_expr, F.lit(w_agree)).otherwise(F.lit(w_dis))
-        total = total + w
-    out = j.select("id_a", "id_b", *agree_cols, total.alias("weight_micro"))
+        total = total + F.when(
+            F.col(f"agree_{name}") == 1, F.lit(w_agree)
+        ).otherwise(F.lit(w_dis))
+    out = flags.select(
+        "id_a", "id_b",
+        *[f"agree_{name}" for name in fields],
+        total.alias("weight_micro"),
+    )
     return out.select(
         "*",
         F.when(F.col("weight_micro") >= t_match_micro, F.lit("match"))
