@@ -554,23 +554,36 @@ def lag_correlation(
         a.crossJoin(F.broadcast(lag_df))
         .join(b, F.col("bin_b") == F.col("bin") + F.col("lag"))
     )
+    # power sums on the DECIMAL(38,0)/HUGEINT pathway: per-bin counts
+    # square — a 1e10-events/hour bin at 100 TB makes ca² = 1e20, far
+    # past int64 (the raw-BIGINT form silently wrapped non-ANSI and
+    # errored ANSI); linear sums stay BIGINT (bounded by total events)
+    cad = F.col("ca").cast("decimal(38,0)")
+    cbd = F.col("cb").cast("decimal(38,0)")
     sums = paired.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ca").alias("sx"),
         F.sum("cb").alias("sy"),
-        F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
-        F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
-        F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        F.sum(cad * cbd).alias("sxy"),
+        F.sum(cad * cad).alias("sxx"),
+        F.sum(cbd * cbd).alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    vx = nd * F.col("sxx") - sxd * sxd
+    vy = nd * F.col("syy") - syd * syd
+    num = nd * F.col("sxy") - sxd * syd
     return (
         sums.where((vx > 0) & (vy > 0))
         .select(
             "lag",
             "n",
-            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("r"),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("r"),
         )
         .orderBy("lag")
     )

@@ -6618,17 +6618,19 @@ _register(
     ), sums AS (
       SELECT lag, count(*)::BIGINT AS n,
              sum(ca)::BIGINT AS sx, sum(cb)::BIGINT AS sy,
-             sum(ca * cb)::BIGINT AS sxy,
-             sum(ca * ca)::BIGINT AS sxx,
-             sum(cb * cb)::BIGINT AS syy
+             sum(ca::HUGEINT * cb::HUGEINT) AS sxy,
+             sum(ca::HUGEINT * ca::HUGEINT) AS sxx,
+             sum(cb::HUGEINT * cb::HUGEINT) AS syy
       FROM paired GROUP BY 1
     )
     SELECT lag, n,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-             AS r
+           round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                 / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+                    * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)),
+                 6) AS r
     FROM sums
-    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    WHERE (n::HUGEINT * sxx - sx::HUGEINT * sx) > 0
+      AND (n::HUGEINT * syy - sy::HUGEINT * sy) > 0
     ORDER BY lag
     """,
     late=True,
