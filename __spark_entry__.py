@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -46,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _verified_names() -> set[str]:
+def _verified_names() -> dict[str, int]:
     """Names already green in a prior round's CORRECTNESS_r*.json.
 
     The driver oracle-checks a bounded prefix of ``queries()`` insertion
@@ -60,8 +61,15 @@ def _verified_names() -> set[str]:
     found ``ts_ewma_anomaly`` / ``curation_pack_sequences`` stuck this way)
     must re-enter the checked prefix until it earns a hash-matched row.
     Later rounds' files override earlier ones for the same name.
+
+    Returns ``{name: round}`` where ``round`` is the LATEST round whose
+    row for the name is green — the settled tail is then ordered
+    stalest-attestation-first so each driver pass re-attests the oldest
+    rows (a query rewritten after its green row regains a current row
+    within a few rounds instead of never).
     """
     status: dict[str, bool] = {}
+    last_green: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -71,6 +79,8 @@ def _verified_names() -> set[str]:
             continue
         if not isinstance(data, dict):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -82,7 +92,9 @@ def _verified_names() -> set[str]:
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             status[name] = good
-    return {n for n, g in status.items() if g}
+            if good:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return {n: last_green.get(n, 0) for n, g in status.items() if g}
 
 
 def _family(name: str) -> str:
@@ -93,8 +105,10 @@ def _driver_order(names: list[str]) -> list[str]:
     """Unverified oracle-backed names first — round-robin across op
     families so every family gets at least one row inside whatever prefix
     the driver checks — then unverified oracle-less names (whose rows-only
-    check is weaker but still new signal), then already-settled names in
-    registration order."""
+    check is weaker but still new signal), then already-settled names
+    ordered STALEST green row first (so the driver's bounded prefix
+    re-attests the oldest rows each round, keeping attestation fresh for
+    queries rewritten after their green row)."""
     verified = _verified_names()
     has_oracle = set(registry.ORACLES)
     late = getattr(registry, "LATE_ADDITIONS", set())
@@ -102,7 +116,11 @@ def _driver_order(names: list[str]) -> list[str]:
     pending_oracle = [n for n in pending if n in has_oracle and n not in late]
     pending_late = [n for n in pending if n in has_oracle and n in late]
     pending_rows_only = [n for n in pending if n not in has_oracle]
-    done = [n for n in names if n in verified]
+    reg_idx = {n: i for i, n in enumerate(names)}
+    done = sorted(
+        (n for n in names if n in verified),
+        key=lambda n: (verified[n], reg_idx[n]),
+    )
     by_family: dict[str, list[str]] = {}
     for n in pending_oracle:
         by_family.setdefault(_family(n), []).append(n)

@@ -404,6 +404,15 @@ def connected_components(
     as an iterative keyed dataflow; the reference has no graph operators, so
     this lives in the north-star extension tier (SURVEY §2.10) serving
     near-dup cluster canonicalization.
+
+    Concurrency note: each round's action temporarily sets session-level
+    ``spark.sql.adaptive.enabled=false`` and shrinks
+    ``spark.sql.shuffle.partitions`` (restored in ``finally``). Any query
+    running CONCURRENTLY on the same SparkSession during a round would
+    execute under those overrides — this operator assumes the session is
+    not shared with concurrent queries while it runs (true for every
+    caller in this repo; use a dedicated session/
+    ``spark.newSession()`` if you need concurrent work).
     """
     from pyspark.sql.window import Window
 

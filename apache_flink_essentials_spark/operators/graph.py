@@ -316,6 +316,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Distinct canonical undirected co-occurrence edge list ``(a, b)``
+    (``a < b``) from a ``(group, item)`` relation: two items are linked
+    iff they share a group (e.g. parts co-purchased in one order).
+
+    Shape: ONE groupBy collapses each group into a sorted distinct item
+    array (``collect_set`` dedups in-task, so the input needs no
+    up-front distinct), pairs are enumerated IN-TASK from each array
+    (``a < b`` falls out of the sort), then one distinct canonicalizes
+    across groups — 2 shuffles total. The self-join formulation this
+    replaces (li ⋈ li on group + filter + distinct) paid 3 shuffles and
+    materialized both join sides; at sf0.1 this build measures ~1.05 s
+    vs ~1.43 s for the join form (round-11 bench).
+
+    Scale: a group with m distinct items emits C(m,2) pairs in-task —
+    at 100 TB set ``max_group_size`` (the hot-block cap idiom, see
+    SCALING.md): groups above the cap are dropped BEFORE enumeration
+    (documented under-count of edges through mega-groups, which carry
+    little co-occurrence signal anyway — same recall trade as the dedup
+    tier's bucket caps).
+    """
+    adj = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("_items"))
+    )
+    if max_group_size is not None:
+        adj = adj.filter(F.size("_items") <= max_group_size)
+    return (
+        adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) -> "
+                    "transform(slice(_items, i + 2, size(_items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.a", "_p.b")
+        .distinct()
+    )
+
+
 def undirected_edges(
     df: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:
@@ -347,12 +395,16 @@ def triangle_stats(
     Last Reducer", WWW — public paper): orient every edge from the
     endpoint that is SMALLER in the total order (degree, node) to the
     larger one. Every triangle then has exactly one node with out-edges
-    to both others, so generating candidate wedges from co-out-neighbor
-    pairs and left-semi-joining them against the oriented edge list
-    counts each triangle exactly once — and the wedge generation is
-    quadratic in the OUT-degree, which orientation bounds by O(sqrt(m))
-    on any graph, killing the hub-node m² blowup that id-ordering
-    suffers on star graphs.
+    to both others, so ``n_triangles = Σ_{(u,v) oriented}
+    |N+(u) ∩ N+(v)|`` — the EDGE-ITERATOR count: per-node sorted
+    out-adjacency arrays join back onto the oriented edges and the
+    intersection size is computed in-task (``array_intersect``), so the
+    C(outdeg,2) wedge-candidate relation is never materialized or
+    shuffled (the round-11 rewrite; the prior wedge-self-join +
+    semi-join form shuffled ~12.5 M wedge rows at sf0.1 and measured
+    ~0.7 s slower). Orientation bounds the out-degree by O(sqrt(m)) on
+    any graph, killing the hub-node m² blowup that id-ordering suffers
+    on star graphs, and bounds every adjacency array the same way.
 
     The (degree, node) order is packed into one BIGINT
     ``degree * 10^12 + node`` so the orientation comparison, the wedge
@@ -369,10 +421,12 @@ def triangle_stats(
     documented under-count of triangles THROUGH dropped hubs.
 
     Scale: degrees = one hash agg on the exploded endpoints; orientation
-    = two broadcast-or-shuffle joins of the slim (node, ord) relation;
-    wedge generation = self-equi-join on the oriented source (bounded by
-    orientation); closure test = one equi-join on the packed pair. All
-    aggregates map-side combined; output is one row.
+    = two broadcast-or-shuffle joins of the slim (node, ord) relation
+    (AQE converts to broadcast when the node relation fits); adjacency
+    build = one |E|-row groupBy; the intersect joins carry Σ outdeg =
+    |E| array elements per side — strictly less data than the wedge
+    relation they replace. All aggregates map-side combined; output is
+    one row.
 
     ``global_clustering = 3 * n_triangles / n_wedges`` is a ratio of two
     BIGINTs — bit-identical across engines (no rounding needed).
@@ -445,16 +499,24 @@ def triangle_stats(
         )
         .localCheckpoint(eager=False)
     )
-    w1 = oriented.select("src", F.col("dst").alias("w1"))
-    w2 = oriented.select("src", F.col("dst").alias("w2"))
-    wedges = (
-        w1.join(w2, "src")
-        .filter(F.col("w1") < F.col("w2"))
-        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    out_adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("_nbrs")
     )
     tri = (
-        wedges.join(oriented, ["src", "dst"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        oriented.join(
+            out_adj.select(F.col("src").alias("_s"), F.col("_nbrs").alias("_na")),
+            F.col("src") == F.col("_s"),
+        )
+        .join(
+            out_adj.select(F.col("src").alias("_d"), F.col("_nbrs").alias("_nb")),
+            F.col("dst") == F.col("_d"),
+        )
+        .select(
+            F.size(F.array_intersect("_na", "_nb")).cast("long").alias("_c")
+        )
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles")
+        )
     )
     return (
         totals.crossJoin(F.broadcast(tri))

@@ -1051,6 +1051,8 @@ def fd_violations(
     the derive-on-read tail (the g3 rollup depends on per-group
     maxima, so it re-runs on read over the |distinct X,Y|-row state).
     """
+    if not fds:
+        raise ValueError("fd_violations requires at least one FD spec")
     outs = [
         fd_from_xy_counts(fd_xy_counts(df, x_cols, y_col), name, x_cols)
         for name, x_cols, y_col in fds

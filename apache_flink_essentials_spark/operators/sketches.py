@@ -790,7 +790,9 @@ def kmv_jaccard(
                 / (F.col("n_exact_a") + F.col("n_exact_b")
                    - F.col("n_exact_inter")),
             ).otherwise(F.lit(0.0)).alias("jaccard_exact"),
-            (F.col("_m") / F.col("k_used")).alias("jaccard_kmv"),
+            F.when(
+                F.col("k_used") > 0, F.col("_m") / F.col("k_used")
+            ).otherwise(F.lit(0.0)).alias("jaccard_kmv"),
         )
         .select(
             "*",

@@ -78,6 +78,13 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
     Walks ``queryExecution().sparkPlan()`` (the physical tree before
     AQE wrapping) via py4j. Returns ``[{"node": cls, "bounded": bool,
     "below": [classes...]}]``.
+
+    Broadcast subtrees (``BroadcastExchangeExec`` and broadcast query
+    stages) are EXCLUDED from the boundedness search: a 1-row stats
+    aggregate on the broadcast side of a ``crossJoin(F.broadcast(...))``
+    bounds only that side, not the window's streaming input, so counting
+    it would false-negative on exactly the single-partition-sort hazard
+    this check exists to catch.
     """
     plan = df._jdf.queryExecution().sparkPlan()
 
@@ -96,11 +103,38 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
         "CollectLimitExec",
     }
 
-    def walk(node):
+    broadcast_prefixes = ("BroadcastExchange", "BroadcastQueryStage")
+
+    def _broadcast_child_index(node):
+        # In the pre-AQE sparkPlan no exchange nodes exist yet: the
+        # broadcast side of a Broadcast*JoinExec is a plain child,
+        # identified by buildSide (BuildLeft=0 / BuildRight=1).
+        cls = node.getClass().getSimpleName()
+        if not cls.startswith("Broadcast") or "Join" not in cls:
+            return None
+        try:
+            side = node.buildSide().toString()
+        except Exception:  # noqa: BLE001 — join variant without buildSide
+            return None
+        return 0 if side == "BuildLeft" else 1
+
+    def walk(node, skip_broadcast=False):
         yield node
+        bcast_idx = _broadcast_child_index(node) if skip_broadcast else None
         it = node.children().iterator()
+        i = 0
         while it.hasNext():
-            yield from walk(it.next())
+            child = it.next()
+            if skip_broadcast and (
+                i == bcast_idx
+                or child.getClass().getSimpleName().startswith(
+                    broadcast_prefixes
+                )
+            ):
+                i += 1
+                continue
+            yield from walk(child, skip_broadcast)
+            i += 1
 
     out: list[dict] = []
     for node in walk(plan):
@@ -115,7 +149,7 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
             continue
         below = [
             c.getClass().getSimpleName()
-            for c in walk(node)
+            for c in walk(node, skip_broadcast=True)
             if c.getClass().getSimpleName() in bounding_classes
         ]
         out.append({"node": cls, "bounded": bool(below), "below": below})

@@ -7058,16 +7058,10 @@ def _tri_q(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, "lineitem", sf)
         .join(F.broadcast(part), "l_partkey", "left_semi")
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        left.join(right, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
+    return G3.triangle_stats(
+        G3.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     )
-    return G3.triangle_stats(G3.undirected_edges(pairs, "pa", "pb"))
 
 
 _register(
@@ -7542,15 +7536,10 @@ def _kcore_q(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, "lineitem", sf)
         .join(F.broadcast(part), "l_partkey", "left_semi")
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    pairs = (
-        li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-        .join(li.select("l_orderkey", F.col("l_partkey").alias("pb")),
-              "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+    return G3.kcore(
+        G3.cooccurrence_edges(li, "l_orderkey", "l_partkey"), k=30
     )
-    return G3.kcore(G3.undirected_edges(pairs, "pa", "pb"), k=30)
 
 
 def _kcore_oracle(k: int = 30, rounds: int = 10) -> str:
@@ -7955,16 +7944,10 @@ def _assort_q(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, "lineitem", sf)
         .join(F.broadcast(part), "l_partkey", "left_semi")
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        left.join(right, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
+    return G4.degree_assortativity(
+        G4.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     )
-    return G4.degree_assortativity(G4.undirected_edges(pairs, "pa", "pb"))
 
 
 _register(
@@ -8522,16 +8505,8 @@ def _khop_q(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, "lineitem", sf)
         .join(F.broadcast(part), "l_partkey", "left_semi")
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        left.join(right, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-    )
-    e = G5.undirected_edges(pairs, "pa", "pb")
+    e = G5.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     seeds = e.agg(F.min("a").alias("node"))
     return G5.khop_reach(e, seeds, max_hops=3)
 
@@ -8725,16 +8700,8 @@ def _modularity_q(spark: SparkSession, sf: str) -> DataFrame:
             F.broadcast(part.select("l_partkey")), "l_partkey", "left_semi"
         )
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    left = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        left.join(right, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-    )
-    e = G6.undirected_edges(pairs, "pa", "pb")
+    e = G6.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     assign = part.select(
         F.col("l_partkey").alias("node"), F.col("p_brand").alias("community")
     )
@@ -9925,8 +9892,10 @@ _register(
                 THEN n_exact_inter
                      / (n_exact_a + n_exact_b - n_exact_inter)::DOUBLE
                 ELSE 0.0 END AS jaccard_exact,
-           m / k_used::DOUBLE AS jaccard_kmv,
-           abs(m / k_used::DOUBLE
+           CASE WHEN k_used > 0 THEN m / k_used::DOUBLE
+                ELSE 0.0 END AS jaccard_kmv,
+           abs(CASE WHEN k_used > 0 THEN m / k_used::DOUBLE
+                    ELSE 0.0 END
                - CASE WHEN (n_exact_a + n_exact_b - n_exact_inter) > 0
                       THEN n_exact_inter
                            / (n_exact_a + n_exact_b - n_exact_inter)::DOUBLE
