@@ -952,13 +952,23 @@ def containment_pairs(
     shingle set is ≥ ``threshold`` contained in dst's. Both directions of
     a pair can appear (near-exact dups).
 
-    Scale shape: identical blocked-pair economics to
-    ``ngram_jaccard_pairs`` — the ``block_cols`` equi-join confines the
-    quadratic step to blocks; the intersection is computed ONCE per
-    unordered pair (id_a < id_b) and both ordered directions are emitted
-    array-side via explode, halving the pairwise set work vs a directional
-    self-join. Use MinHash/LSH when no natural blocking key exists.
-    ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``).
+    Scale shape (round-11 rewrite): intersections come from a SHINGLE
+    POSTING join, not an in-block all-pairs join — explode each doc's
+    distinct shingles into (block, shingle, id) postings, self-equi-join
+    on (block, shingle) with ``id_a < id_b``, and ``|S_A ∩ S_B|`` is a
+    count per pair. Only pairs that actually SHARE a shingle ever
+    materialize (the all-pairs form computed n²/2 zero-intersection
+    candidates per block and shuffled full shingle arrays both ways: it
+    measured alpha≈1.8 super-linear on the sf0.1→sf1 scaling curve,
+    207 s at sf1; the posting join reads <1 power). Work is
+    ``Σ_shingle C(df_shingle, 2)`` — bounded by co-occurrence, not block
+    size². The residual hazard is a HEAVY-HITTER shingle (df → block
+    size revives the quadratic for that shingle): boilerplate strings at
+    corpus scale — cap with ``max_block_size`` (skips hot blocks) and
+    use MinHash/LSH when no natural blocking key exists. Doc sizes join
+    back from a slim (id, n) relation (AQE broadcasts it when small);
+    both ordered directions emit array-side via explode, so the set work
+    still happens once per unordered pair.
     """
     block_cols = block_cols or ["lang", "source"]
     base = df.select(
@@ -967,23 +977,37 @@ def containment_pairs(
         shingles_expr(text_col, shingle_k).alias("sh"),
     )
     base = _cap_blocks(base, block_cols, max_block_size)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), *block_cols
+    sized = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.col("sh"), F.size("sh").alias("_n"),
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), *block_cols
+    posts = sized.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.explode("sh").alias("_s"),
     )
-    pairs = (
-        a.join(b, on=block_cols)
+    pa = posts.select(
+        F.col(id_col).alias("id_a"), *block_cols, "_s"
+    )
+    pb = posts.select(
+        F.col(id_col).alias("id_b"), *block_cols, "_s"
+    )
+    inter = (
+        pa.join(pb, on=[*block_cols, "_s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("_i"))
+    )
+    sizes = sized.select(F.col(id_col), F.col("_n"))
+    pairs = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("_i"),
-            F.size("sh_a").alias("_na"),
-            F.size("sh_b").alias("_nb"),
         )
-        .filter(F.col("_i") > 0)
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "_i", "_na", "_nb")
     )
     # int/int division is exact IEEE double in both engines (see
     # ngram_jaccard_pairs) — the oracle reproduces it bit-for-bit

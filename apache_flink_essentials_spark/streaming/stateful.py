@@ -864,3 +864,110 @@ def last_touch_attribution_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+KNN_TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+_KNN_TOPK_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("scores", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def knn_topk_stream(
+    df: DataFrame,
+    queries: "list[tuple[int, list[float]]]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Online top-k nearest neighbors of a FIXED query set over an
+    embedding ingest stream → ``(query_id, vec_id, score, rank)``, the
+    current top-k per query re-emitted whenever a batch improves it.
+
+    The streaming complement of the batch brute-force KNN
+    (``vector.py``): instead of rescanning the corpus per evaluation,
+    each arriving vector is scored against every query ONCE, at ingest
+    — the online retrieval-eval / dedup-screen deployment shape.
+
+    Scale/shape contract:
+      * scoring is JVM-side: the query vectors are inlined as array
+        literals (model-sized — a query set, never a corpus) and the
+        dot product folds via ``zip_with``+``aggregate`` BEFORE the
+        stateful exchange; the shuffle carries slim (query_id, vec_id,
+        score) rows, |queries| per arriving vector, never the vectors.
+      * state per query is the k-row top list (two fixed arrays) —
+        bounded by k, not by stream volume.
+      * merge order is deterministic: (score DESC, vec_id ASC) tiebreak,
+        so the drained top-k equals the batch top-k over the same rows
+        for ANY arrival order (asserted in tests). Scores are raw dot
+        products — cosine when inputs are unit-normalized (the
+        embeddings fixture contract).
+    """
+    structs = []
+    for qid, qv in queries:
+        arr = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                arr,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                dot.alias("score"),
+            )
+        )
+    scored = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.explode(F.array(*structs)).alias("_q"),
+    ).select("vec_id", F.col("_q.query_id").alias("query_id"),
+             F.col("_q.score").alias("score"))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, scores = state.get
+            cur = list(zip(scores, ids))
+        else:
+            cur = []
+        for pdf in pdfs:
+            cur.extend(
+                zip(pdf["score"].astype(float).tolist(),
+                    pdf["vec_id"].astype("int64").tolist())
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:k]
+        state.update((
+            [int(i) for _, i in cur], [float(s) for s, _ in cur],
+        ))
+        yield pd.DataFrame(
+            [
+                (int(key[0]), int(i), float(s), r + 1)
+                for r, (s, i) in enumerate(cur)
+            ],
+            columns=["query_id", "vec_id", "score", "rank"],
+        )
+
+    return scored.groupBy("query_id").applyInPandasWithState(
+        fn,
+        outputStructType=KNN_TOPK_OUTPUT,
+        stateStructType=_KNN_TOPK_STATE,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
