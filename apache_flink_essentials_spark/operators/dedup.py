@@ -290,11 +290,21 @@ def ngram_jaccard_pairs(
     Complement to minhash_lsh_pairs when a natural blocking key exists.
     ``max_block_size`` skips hot blocks entirely (see ``_cap_blocks``).
 
-    PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
-    pair emitted, matching the DuckDB oracle on test fixtures). At
-    100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
-    pairs in a single task. Recommended starting points and the
-    recall argument are in SCALING.md §'Hot-block caps'.
+    Scale shape (round-11, the containment_pairs rewrite): for
+    ``threshold > 0`` intersections come from a TOKEN-POSTING join —
+    explode distinct tokens, self-equi-join on (block, token),
+    count per pair — so only pairs that actually share a token ever
+    materialize (any pair passing a positive threshold must), and
+    ``jaccard = _i / (na + nb − _i)`` derives from the count plus a slim
+    per-doc size relation. Work is ``Σ_token C(df_token, 2)``, bounded
+    by co-occurrence instead of block-size² (the all-pairs join this
+    replaces measured alpha≈1.8 super-linear on containment's identical
+    shape). ``threshold <= 0`` asks for EVERY blocked pair including
+    zero-intersection ones — only the all-pairs join can express that,
+    so it falls back (and at scale is exactly the full quadratic it
+    looks like). Heavy-hitter tokens (stopwords!) are the posting join's
+    skew hazard — at 100 TB strip stopwords upstream or set
+    ``max_block_size``.
 
     PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
     pair emitted, matching the DuckDB oracle on test fixtures). At
@@ -307,6 +317,43 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], F.array_distinct(tokens_expr(text_col)).alias("tok")
     )
     base = _cap_blocks(base, block_cols, max_block_size)
+    if threshold > 0:
+        sized = base.select(
+            F.col(id_col), *[F.col(c) for c in block_cols],
+            F.col("tok"), F.size("tok").alias("_n"),
+        )
+        posts = sized.select(
+            F.col(id_col), *[F.col(c) for c in block_cols],
+            F.explode("tok").alias("_t"),
+        )
+        inter_counts = (
+            posts.select(F.col(id_col).alias("id_a"), *block_cols, "_t")
+            .join(
+                posts.select(F.col(id_col).alias("id_b"), *block_cols, "_t"),
+                on=[*block_cols, "_t"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("_i"))
+        )
+        sizes = sized.select(F.col(id_col), F.col("_n"))
+        # unrounded int/int division — engine-portable (see minhash_lsh_pairs)
+        return (
+            inter_counts.join(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"), *[F.col(c) for c in block_cols]
     )
@@ -939,6 +986,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.6,
     max_block_size: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |S_A ∩ S_B| / |S_A|
     (Broder's containment, the directional complement of resemblance/
@@ -964,11 +1012,19 @@ def containment_pairs(
     ``Σ_shingle C(df_shingle, 2)`` — bounded by co-occurrence, not block
     size². The residual hazard is a HEAVY-HITTER shingle (df → block
     size revives the quadratic for that shingle): boilerplate strings at
-    corpus scale — cap with ``max_block_size`` (skips hot blocks) and
-    use MinHash/LSH when no natural blocking key exists. Doc sizes join
-    back from a slim (id, n) relation (AQE broadcasts it when small);
-    both ordered directions emit array-side via explode, so the set work
-    still happens once per unordered pair.
+    corpus scale. ``max_shingle_df`` is the cap: shingles whose in-block
+    document frequency exceeds it are dropped from the POSTING join but
+    still counted in each doc's ``|S_A|`` denominator, so capped
+    containment is a guaranteed UNDER-estimate (never a false positive;
+    a pair glued only by boilerplate scores lower — usually the right
+    call for curation). At 100 TB set it (a few hundred): the
+    ubiquitous-boilerplate shingle carries no dedup signal and C(df,2)
+    of a corpus-wide string is the whole job's cost. ``max_block_size``
+    still skips hot BLOCKS entirely; use MinHash/LSH when no natural
+    blocking key exists. Doc sizes join back from a slim (id, n)
+    relation (AQE broadcasts it when small); both ordered directions
+    emit array-side via explode, so the set work still happens once per
+    unordered pair.
     """
     block_cols = block_cols or ["lang", "source"]
     base = df.select(
@@ -985,6 +1041,21 @@ def containment_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.explode("sh").alias("_s"),
     )
+    if max_shingle_df is not None:
+        # window count per (block, shingle): one pass over the postings,
+        # same partitioning the join needs anyway — no extra relation
+        from pyspark.sql.window import Window as _W
+
+        posts = (
+            posts.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(
+                    _W.partitionBy(*block_cols, "_s")
+                ),
+            )
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     pa = posts.select(
         F.col(id_col).alias("id_a"), *block_cols, "_s"
     )

@@ -240,3 +240,121 @@ def test_bm25_empty_corpus_and_no_hit_query(spark):
     assert T.bm25_rank(docs, ["zzz_not_present"], k=5).collect() == []
     hit = T.bm25_rank(docs, ["delta"], k=5).collect()
     assert [r.doc_id for r in hit] == [2]
+
+
+# ---- containment posting join: heavy-hitter shingle cap ----------------------
+
+
+def test_containment_shingle_df_cap_underestimates(spark):
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    # 4 docs in one block; "x y z" boilerplate in all of them; docs 1/2
+    # also share real content
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c d e"),
+            (2, "x y z a b c d f"),
+            (3, "x y z p q r s t"),
+            (4, "x y z u v w m n"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+
+    uncapped = {
+        (r.src_id, r.dst_id): r.containment
+        for r in D.containment_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r.src_id, r.dst_id): r.containment
+        for r in D.containment_pairs(
+            docs, threshold=0.0, max_shingle_df=3
+        ).collect()
+    }
+    # cap drops the boilerplate-only pairs (their only shared shingles
+    # have df=4 > 3) and UNDER-estimates the real pair, never over
+    assert set(capped) <= set(uncapped)
+    for pair, c in capped.items():
+        assert c <= uncapped[pair] + 1e-12
+    # the real near-dup pair (1->2 shares a..e run) survives the cap
+    assert (1, 2) in capped and capped[(1, 2)] > 0.5
+    # a boilerplate-only pair is gone under the cap but present uncapped
+    assert (3, 4) in uncapped and (3, 4) not in capped
+
+
+def test_containment_posting_join_matches_bruteforce(spark):
+    """Posting-join intersections == python set intersections on a
+    planted corpus (the rewrite's correctness pin)."""
+    import itertools
+
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "beta gamma delta epsilon zeta eta",
+        3: "one two three four five six seven",
+        4: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+        5: "unrelated words entirely here now yes",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in D.containment_pairs(docs, threshold=0.0).collect()
+    }
+
+    def sh(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {t}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        inter = len(sh(texts[a]) & sh(texts[b]))
+        if inter:
+            want[(a, b)] = inter / len(sh(texts[a]))
+            want[(b, a)] = inter / len(sh(texts[b]))
+    assert got == want
+
+
+def test_ngram_jaccard_posting_join_matches_bruteforce(spark):
+    import itertools
+
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "beta gamma delta eta",
+        3: "one two three four",
+        4: "alpha beta gamma delta",
+        5: "alpha one unique words",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en"))
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, block_cols=["lang"], threshold=0.01
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.01:
+            want[(a, b)] = j
+    assert got == want
+
+
+def test_ngram_jaccard_threshold_zero_keeps_disjoint_pairs(spark):
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en"))
+    rows = D.ngram_jaccard_pairs(
+        docs, block_cols=["lang"], threshold=0.0
+    ).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 0.0
