@@ -65,3 +65,33 @@ def test_driver_order_partitions(tmp_path, monkeypatch):
     rows_only = [n for n in names if n not in registry.ORACLES]
     for n in rows_only:
         assert order.index(n) > max(order.index(p) for p in pending_old)
+
+
+def test_settled_tail_orders_stalest_attestation_first(tmp_path, monkeypatch):
+    """Round-11 rotation: within the settled tail, a name whose latest
+    green row is OLDER sorts earlier, so the driver's bounded prefix
+    re-attests stale rows each round."""
+    names = list(registry.QUERIES)
+    picks = [n for n in names if n in registry.ORACLES][:3]
+    old_p = tmp_path / "CORRECTNESS_r03.json"
+    new_p = tmp_path / "CORRECTNESS_r07.json"
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    # picks[0] green in r3 only (stale); picks[1] green in r3 AND r7
+    # (fresh wins); picks[2] green in r7 only
+    old_p.write_text(json.dumps({picks[0]: green, picks[1]: green}))
+    new_p.write_text(json.dumps({picks[1]: green, picks[2]: green}))
+    monkeypatch.setattr(
+        E.glob, "glob",
+        lambda pattern: (
+            [str(old_p), str(new_p)] if "CORRECTNESS" in pattern else []
+        ),
+    )
+    v = E._verified_names()
+    assert v[picks[0]] == 3 and v[picks[1]] == 7 and v[picks[2]] == 7
+    order = E._driver_order(names)
+    # all three are settled (go after every pending name), and the r3
+    # name precedes both r7 names within the tail
+    assert order.index(picks[0]) < order.index(picks[1])
+    assert order.index(picks[0]) < order.index(picks[2])
+    assert order[-3:][0] == picks[0] or order.index(picks[0]) >= len(order) - 3

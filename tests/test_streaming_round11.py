@@ -233,3 +233,62 @@ def test_knn_topk_stream_state_bounded_by_k(spark):
     # every emission is <= k rows per query
     per_emit = out.groupBy("query_id", "rank").count().collect()
     assert all(r["rank"] <= 3 for r in per_emit)
+
+
+def test_knn_topk_stream_state_survives_restart(spark):
+    """GroupState recovery for the online KNN: first half of the corpus,
+    stop, append the second half, restart from the SAME checkpoint — the
+    last emission per query must equal numpy brute-force top-k over the
+    FULL corpus, which only holds if the per-query top-k state survived."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from apache_flink_essentials_spark.io import write_stream_files
+    from apache_flink_essentials_spark.streaming.stateful import (
+        knn_topk_stream,
+    )
+
+    emb = _load(spark, "embeddings").limit(300)
+    rows = emb.collect()
+    queries = [(0, list(rows[3].embedding))]
+    k = 4
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    src = tempfile.mkdtemp(prefix="knn_src_")
+    out = tempfile.mkdtemp(prefix="knn_out_")
+    ckpt = tempfile.mkdtemp(prefix="knn_ckpt_")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        q = write_stream_files(
+            knn_topk_stream(stream, queries, k=k, output_mode="append"),
+            out, ckpt, trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in _glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (now, now))
+    run_once()
+
+    sink = spark.read.parquet(out)
+    final = (
+        sink.groupBy("query_id", "vec_id").agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    got = [r.vec_id for r in final]
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    scores = mat @ np.array(queries[0][1], dtype=np.float64)
+    want = [int(v) for _, v in sorted(zip(-scores, ids))[:k]]
+    assert got == want
