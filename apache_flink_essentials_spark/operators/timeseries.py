@@ -642,6 +642,13 @@ def _micro_means(binned: DataFrame) -> DataFrame:
     )
 
 
+# pair count above which theilsen_from_binned ranks with the distributed
+# two-phase global_row_number instead of a single-task window (2M rows in
+# one sort task is ms-scale; module-level so tests can lower it to pin
+# two-path equivalence without generating 2M pairs)
+_THEILSEN_SMALL_PAIRS = 2_000_000
+
+
 def theilsen_from_binned(binned: DataFrame) -> DataFrame:
     """Theil-Sen robust trend over a finished ``binned_sums`` relation →
     ONE row ``(n_bins, n_pairs, slope_micro_per_bin)``: the MEDIAN of
@@ -659,43 +666,118 @@ def theilsen_from_binned(binned: DataFrame) -> DataFrame:
 
     Scale: the pair enumeration is |bins|² — QUADRATIC IN THE BIN
     COUNT, which is PARAMETER-bounded (time span / step: a year of
-    hourly bins is 8,760 rows → 38M pairs, engine-trivial), never
-    data-sized. The bin table broadcasts; no data-sized relation is
-    ever joined. At 100 TB the cost lives entirely in the one
-    ``binned_sums`` scan-agg.
+    hourly bins is 8,760 rows → 38M pairs), never data-sized. At
+    100 TB the data-sized cost lives entirely in the one
+    ``binned_sums`` scan-agg; the |bins|-row micro-mean table is then
+    COLLECTED (aggregate-sized, same justification as the IVF
+    codebooks / bloom word lists — hours-to-days of bins, never rows
+    of data) so the scan-agg runs ONCE instead of once per join side,
+    and so the pair count is known at the driver. The median rank
+    strategy is then chosen on the ACTUAL pair count, not a file-size
+    proxy: ≤2M pairs → a plain single-task window (ms-scale, and any
+    two-phase plan is strictly more jobs); above that the pair fanout
+    is spread over ``defaultParallelism`` slices and ranked by the
+    two-phase ``global_row_number`` (range partition + broadcast
+    offsets — never a 38M-row single task, which is what the earlier
+    unconditional ``row_number() OVER (ORDER BY …)`` form funneled).
+    Ranks are identical across both paths because (slope, bi, bj) is
+    a total order.
     """
-    from pyspark.sql.window import Window
-
-    m = _micro_means(binned)
-    a = m.select(F.col("bin").alias("bi"), F.col("m").alias("mi"))
-    b = m.select(F.col("bin").alias("bj"), F.col("m").alias("mj"))
-    slopes = a.join(F.broadcast(b), F.col("bi") < F.col("bj")).select(
+    spark = binned.sparkSession
+    small_pairs = _THEILSEN_SMALL_PAIRS
+    m_rows = sorted(
+        (int(r["bin"]), int(r["m"]))
+        for r in _micro_means(binned).collect()
+    )
+    n_bins = len(m_rows)
+    n_pairs = n_bins * (n_bins - 1) // 2
+    if n_bins == 0:
+        return spark.createDataFrame(
+            [],
+            "n_bins long, n_pairs long, slope_micro_per_bin double",
+        )
+    # pair generation by INDEX explode over spark.range, not a θ-join:
+    # row i emits sequence(i+1, n−1) partner indices (whole-stage
+    # codegen) and both sides' (bin, m) come from literal-array lookups
+    # on the collected bins — zero joins, zero broadcasts, ONE job for
+    # the whole tail. The earlier a.join(broadcast(b), bi < bj) was a
+    # BroadcastNestedLoopJoin whose interpreted |bins|² predicate
+    # evaluation dominated the whole op (measured 1.37 s of a 2.4 s
+    # total at sf0.1's 720 bins); even the equi-join form paid a
+    # broadcast-exchange job per run. The literal arrays are
+    # |bins|-sized (parameter-bounded, hours-to-days of bins).
+    # ONE py4j call per array via a SQL literal — both F.array(F.lit(x)
+    # for x …) and F.lit(list) construct a Column per ELEMENT through
+    # py4j (cProfile: 1,452 lit calls = 0.79 s of driver overhead at
+    # 720 bins); a single parsed array(…L) expression is ~0 driver cost
+    arr_bin = F.expr(
+        "array(%s)" % ",".join("%dL" % b for b, _ in m_rows)
+    )
+    arr_m = F.expr(
+        "array(%s)" % ",".join("%dL" % mm for _, mm in m_rows)
+    )
+    base = spark.range(max(n_bins - 1, 0))
+    if n_pairs > small_pairs:
+        base = base.repartition(spark.sparkContext.defaultParallelism)
+    # element_at is 1-indexed; sequence ascends because id ≤ n−2 here
+    pairs = base.select(
+        F.element_at(arr_bin, (F.col("id") + 1).cast("int")).alias("bi"),
+        F.element_at(arr_m, (F.col("id") + 1).cast("int")).alias("mi"),
+        F.explode(
+            F.sequence(F.col("id") + 2, F.lit(n_bins))
+        ).alias("_j"),
+    )
+    slopes = pairs.select(
         "bi",
-        "bj",
+        F.element_at(arr_bin, F.col("_j").cast("int")).alias("bj"),
         (
-            (F.col("mj") - F.col("mi")).cast("double")
-            / (F.col("bj") - F.col("bi")).cast("double")
+            (
+                F.element_at(arr_m, F.col("_j").cast("int"))
+                - F.col("mi")
+            ).cast("double")
+            / (
+                F.element_at(arr_bin, F.col("_j").cast("int"))
+                - F.col("bi")
+            ).cast("double")
         ).alias("slope"),
     )
-    w = Window.orderBy("slope", "bi", "bj")
-    ranked = slopes.select(
-        "slope", F.row_number().over(w).alias("_rk")
-    )
-    counts = binned.agg(F.count(F.lit(1)).alias("n_bins")).select(
-        "n_bins",
-        (F.col("n_bins") * (F.col("n_bins") - 1) / 2).cast("long")
-        .alias("n_pairs"),
-    )
+    if n_pairs > small_pairs:
+        from .transform import global_row_number
+
+        ranked = global_row_number(
+            slopes,
+            ["slope", "bi", "bj"],
+            "_rk",
+            single_split=False,
+        ).select("slope", "_rk")
+    else:
+        from pyspark.sql.window import Window
+
+        ranked = slopes.select(
+            "slope",
+            F.row_number()
+            .over(Window.orderBy("slope", "bi", "bj"))
+            .cast("long")
+            .alias("_rk"),
+        )
     # middle rank(s): odd N -> the single (N+1) div 2; even N -> both
     # N div 2 and N div 2 + 1 (their fixed-order average is the median)
-    picked = ranked.crossJoin(F.broadcast(counts)).where(
-        (F.col("_rk") == F.expr("(n_pairs + 1) div 2"))
-        | (F.col("_rk") == F.expr("n_pairs div 2 + 1"))
-    )
-    return picked.groupBy("n_bins", "n_pairs").agg(
-        F.round(
-            (F.min("slope") + F.max("slope")) / F.lit(2.0), 6
-        ).alias("slope_micro_per_bin")
+    r_lo = (n_pairs + 1) // 2
+    r_hi = n_pairs // 2 + 1
+    picked = ranked.where(F.col("_rk").isin(r_lo, r_hi))
+    # groupBy on the literals (not a global agg) so a pair-less input
+    # (n_bins == 1) yields ZERO rows, matching the oracle's grouped form
+    return (
+        picked.groupBy(
+            F.lit(n_bins).cast("long").alias("n_bins"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+        )
+        .agg(
+            F.round(
+                (F.min("slope") + F.max("slope")) / F.lit(2.0), 6
+            ).alias("slope_micro_per_bin")
+        )
+        .select("n_bins", "n_pairs", "slope_micro_per_bin")
     )
 
 

@@ -393,6 +393,7 @@ def global_row_number(
     order_cols: Sequence[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    single_split: bool | None = None,
 ) -> DataFrame:
     """Distributed global row_number over a TOTAL order — the scalable
     replacement for ``row_number().over(Window.orderBy(...))``, which
@@ -416,8 +417,14 @@ def global_row_number(
     SAME single-task sort the simple form runs directly — the adaptive
     choice mirrors what AQE does for exchanges, keyed on actual input
     parallelism rather than a size guess.
+
+    ``single_split`` overrides the probe when the caller KNOWS the
+    answer (e.g. a pair-fanout op whose row count is computed at the
+    driver — the file-size probe only sees the pre-fanout scan and
+    under-estimates such inputs): False forces the two-phase path,
+    True forces the plain window, None (default) probes.
     """
-    if input_is_single_split(df):
+    if single_split if single_split is not None else input_is_single_split(df):
         return df.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),

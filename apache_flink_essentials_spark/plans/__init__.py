@@ -136,6 +136,75 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
             yield from walk(child, skip_broadcast)
             i += 1
 
+    # row-MULTIPLYING nodes: a bounding aggregate BELOW one of these does
+    # not bound the window's input — the multiplier re-inflates the
+    # aggregate's output before it reaches the sort (the Theil-Sen class
+    # of hazard: |bins|-row agg → |bins|² pair join/explode → global
+    # window funnels the full pair table through one task while the
+    # walker sees a HashAggregate below and calls it bounded). Semi/anti
+    # joins only filter, so they are exempt.
+    multiplier_prefixes = ("Generate", "Expand", "CartesianProduct")
+
+    def _single_row_side(node) -> bool:
+        # a GLOBAL aggregate (no grouping keys) emits exactly one row;
+        # joining against it multiplies by 1 — the stats-attach pattern
+        # (crossJoin(broadcast(df.agg(...)))) used all over the repo.
+        # Projects/Filters above it don't change the bound.
+        cls = node.getClass().getSimpleName()
+        while cls.startswith(("Project", "Filter")):
+            node = node.children().head()
+            cls = node.getClass().getSimpleName()
+        if "Aggregate" in cls:
+            try:
+                return node.groupingExpressions().isEmpty()
+            except Exception:  # noqa: BLE001 — variant w/o the accessor
+                return False
+        return False
+
+    def _is_multiplier(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls.startswith(multiplier_prefixes):
+            return True
+        if "Join" in cls and cls.endswith("Exec"):
+            try:
+                jt = node.joinType().toString()
+            except Exception:  # noqa: BLE001 — non-join Exec with 'Join'
+                return True
+            if jt in ("LeftSemi", "LeftAnti", "ExistenceJoin"):
+                return False
+            # a join against a single-row side cannot inflate row count
+            ch = node.children()
+            if ch.size() == 2 and (
+                _single_row_side(ch.head())
+                or _single_row_side(ch.last())
+            ):
+                return False
+            return True
+        return False
+
+    def _bounded_below(node, multiplied=False):
+        # bounding classes reached WITHOUT crossing a multiplier bound
+        # the window input; anything below a multiplier does not
+        found: list[str] = []
+        bcast_idx = _broadcast_child_index(node)
+        it = node.children().iterator()
+        i = 0
+        while it.hasNext():
+            child = it.next()
+            ccls = child.getClass().getSimpleName()
+            if i == bcast_idx or ccls.startswith(broadcast_prefixes):
+                i += 1
+                continue
+            if not multiplied and ccls in bounding_classes:
+                found.append(ccls)
+            found.extend(
+                _bounded_below(
+                    child, multiplied or _is_multiplier(child)
+                )
+            )
+            i += 1
+        return found
+
     out: list[dict] = []
     for node in walk(plan):
         cls = node.getClass().getSimpleName()
@@ -147,10 +216,6 @@ def unpartitioned_windows(df: DataFrame) -> list[dict]:
             continue
         if not empty_part:
             continue
-        below = [
-            c.getClass().getSimpleName()
-            for c in walk(node, skip_broadcast=True)
-            if c.getClass().getSimpleName() in bounding_classes
-        ]
+        below = _bounded_below(node)
         out.append({"node": cls, "bounded": bool(below), "below": below})
     return out

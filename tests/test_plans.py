@@ -150,6 +150,13 @@ _GLOBAL_WINDOW_WHITELIST = {
     # pins these at parallelism 1, so a global order is the CONTRACT:
     "j4_connect_ratio",  # MultipleStreams.scala:115-116 running ratio
     "w4_count_window_10",  # GlobalWindows + CountTrigger.of(size)
+    # adaptive small path of theilsen_from_binned: the pair count is
+    # computed AT THE DRIVER from the collected |bins| table before the
+    # plan is built — the global window only plans when n_pairs ≤ 2M
+    # (above that the two-phase global_row_number ranks instead), so the
+    # single task is row-bounded by construction, just invisibly to a
+    # static plan walk (the bound lives in Python, not the plan).
+    "ts_theilsen_trend",
 }
 
 
@@ -173,3 +180,44 @@ def test_unpartitioned_windows_bounded_or_whitelisted(spark):
     )
     stale = _GLOBAL_WINDOW_WHITELIST - seen_whitelisted
     assert not stale, f"whitelist entries no longer exercised: {stale}"
+
+
+def test_walker_catches_pair_fanout_above_aggregate(spark):
+    # the r11 Theil-Sen hazard class: an aggregate-BOUNDED relation is
+    # re-inflated by a pair θ-join (or explode) BEFORE the global window,
+    # so the "HashAggregate below" evidence is void — the walker must
+    # report bounded=False. (The old walker called this bounded; the op
+    # shipped a potential 38M-row single-task sort at its own parameter
+    # bound.)
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from apache_flink_essentials_spark.plans import unpartitioned_windows
+
+    m = spark.range(100).groupBy((F.col("id") % 10).alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    a = m.select(F.col("k").alias("ka"), F.col("n").alias("na"))
+    b = m.select(F.col("k").alias("kb"), F.col("n").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+    ranked = pairs.withColumn(
+        "rk", F.row_number().over(Window.orderBy("ka", "kb"))
+    )
+    ws = unpartitioned_windows(ranked)
+    assert ws and all(not w["bounded"] for w in ws), ws
+
+    # …while the stats-attach shape (window above a join whose build
+    # side is a 1-ROW global aggregate) stays bounded: factor is 1
+    tot = m.agg(F.sum("n").alias("total"))
+    shared = m.crossJoin(F.broadcast(tot)).withColumn(
+        "rk", F.row_number().over(Window.orderBy("k"))
+    )
+    ws2 = unpartitioned_windows(shared)
+    assert ws2 and all(w["bounded"] for w in ws2), ws2
+
+    # explode between the aggregate and the window is likewise fanout
+    ex = m.select(F.explode(F.sequence(F.lit(0), F.col("n"))).alias("x"))
+    ws3 = unpartitioned_windows(
+        ex.withColumn("rk", F.row_number().over(Window.orderBy("x")))
+    )
+    assert ws3 and all(not w["bounded"] for w in ws3), ws3
