@@ -326,6 +326,12 @@ def ngram_jaccard_pairs(
             F.col(id_col), *[F.col(c) for c in block_cols],
             F.explode("tok").alias("_t"),
         )
+        # block_cols ride through the pair groupBy AND both size joins, so
+        # an id that appears in several blocks (or on several rows) keeps
+        # per-(block, pair) semantics — identical to the all-pairs form,
+        # which emitted one row per block-pair; without them, counts from
+        # different blocks would merge and the bare-id size join would
+        # fan out (r11 advisory)
         inter_counts = (
             posts.select(F.col(id_col).alias("id_a"), *block_cols, "_t")
             .join(
@@ -333,19 +339,25 @@ def ngram_jaccard_pairs(
                 on=[*block_cols, "_t"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
+            .groupBy(*block_cols, "id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("int").alias("_i"))
         )
-        sizes = sized.select(F.col(id_col), F.col("_n"))
+        sizes = sized.select(F.col(id_col), *block_cols, F.col("_n"))
         # unrounded int/int division — engine-portable (see minhash_lsh_pairs)
         return (
             inter_counts.join(
-                sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
-                "id_a",
+                sizes.select(
+                    F.col(id_col).alias("id_a"), *block_cols,
+                    F.col("_n").alias("_na"),
+                ),
+                ["id_a", *block_cols],
             )
             .join(
-                sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
-                "id_b",
+                sizes.select(
+                    F.col(id_col).alias("id_b"), *block_cols,
+                    F.col("_n").alias("_nb"),
+                ),
+                ["id_b", *block_cols],
             )
             .withColumn(
                 "jaccard",
@@ -368,6 +380,73 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_best_match(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Per-document BEST near-dup partner: for every doc with at least one
+    blocked pair at ``jaccard ≥ threshold``, the single highest-jaccard
+    partner (ties → smallest partner id). Output ``(doc_id, best_match_id,
+    best_jaccard)`` — O(corpus) rows by construction.
+
+    This is the corpus-bounded OUTPUT CONTRACT for pair-emitting dedup:
+    `ngram_jaccard_pairs` emits one row per qualifying pair, and pair
+    count grows with duplicate DENSITY squared, not corpus size — the
+    sf0.1→sf1 scaling curve measured 97× output growth for 10× data
+    (11.08M pairs at sf1). At 100 TB the pair list itself becomes the
+    bottleneck regardless of join shape; downstream curation almost
+    always wants a per-doc decision anyway (drop if best ≥ τ, or route
+    to the rep via `dedup_clusters`).
+
+    Scale shape: the posting join's pair stream feeds a groupBy(doc)
+    with two conditional ``max_by`` — Catalyst PIPELINES the pairs into
+    the aggregate's map-side partial combine, so the full pair relation
+    is reduced to ≤|docs| rows per task BEFORE the exchange; the
+    unbounded pair list is never shuffled or materialized. Both
+    directions of each unordered pair are claimed by exploding (doc,
+    partner) and (partner, doc) from one pair row.
+    """
+    pairs = ngram_jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        block_cols=block_cols,
+        threshold=threshold,
+        max_block_size=max_block_size,
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc"),
+                    F.col("id_b").alias("partner"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc"),
+                    F.col("id_a").alias("partner"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.doc", "_e.partner", "_e.jaccard")
+    # max_by key (jaccard, -partner): highest score first, then the
+    # SMALLEST partner id — a total order, so the pick is deterministic
+    return (
+        sym.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.expr("max_by(partner, struct(jaccard, -partner))").alias(
+                "best_match_id"
+            ),
+            F.max("jaccard").alias("best_jaccard"),
+        )
     )
 
 
@@ -1062,21 +1141,30 @@ def containment_pairs(
     pb = posts.select(
         F.col(id_col).alias("id_b"), *block_cols, "_s"
     )
+    # per-(block, pair) semantics: block_cols in the groupBy and both
+    # size joins, matching the old all-pairs form when an id spans
+    # blocks (r11 advisory — bare-id keys merged counts across blocks)
     inter = (
         pa.join(pb, on=[*block_cols, "_s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy(*block_cols, "id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("_i"))
     )
-    sizes = sized.select(F.col(id_col), F.col("_n"))
+    sizes = sized.select(F.col(id_col), *block_cols, F.col("_n"))
     pairs = (
         inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
-            "id_a",
+            sizes.select(
+                F.col(id_col).alias("id_a"), *block_cols,
+                F.col("_n").alias("_na"),
+            ),
+            ["id_a", *block_cols],
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
-            "id_b",
+            sizes.select(
+                F.col(id_col).alias("id_b"), *block_cols,
+                F.col("_n").alias("_nb"),
+            ),
+            ["id_b", *block_cols],
         )
         .select("id_a", "id_b", "_i", "_na", "_nb")
     )

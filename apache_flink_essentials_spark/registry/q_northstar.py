@@ -172,6 +172,43 @@ _register(
     load_table(spark, "documents", sf), block_cols=["lang", "source"]
 ))
 
+# corpus-bounded output contract for pair-emitting dedup (r12): pair count
+# grows with duplicate density² (11.08M pairs at sf1 = 97× the sf0.1
+# output), so the per-doc argmax is the shape that survives 100 TB —
+# O(corpus) rows, pairs reduced by map-side partial max_by before any
+# exchange
+_register(
+    "dedup_ngram_best_match",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.tok, b.tok))::DOUBLE
+                   / len(list_distinct(a.tok || b.tok)) AS jaccard
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+                  / len(list_distinct(a.tok || b.tok)) >= 0.5
+    ), sym AS (
+      SELECT id_a AS doc, id_b AS partner, jaccard FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, jaccard FROM pairs
+    ), ranked AS (
+      SELECT doc, partner, jaccard,
+             row_number() OVER (PARTITION BY doc
+               ORDER BY jaccard DESC, partner ASC) AS rn
+      FROM sym
+    )
+    SELECT doc AS doc_id, partner AS best_match_id, jaccard AS best_jaccard
+    FROM ranked WHERE rn = 1
+    """,
+)(lambda spark, sf: D.ngram_jaccard_best_match(
+    load_table(spark, "documents", sf), block_cols=["lang", "source"]
+))
+
 _STOPWORDS_SQL = "['" + "', '".join(X.STOPWORDS_EN) + "']"
 
 _register(

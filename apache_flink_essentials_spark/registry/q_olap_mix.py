@@ -692,18 +692,22 @@ def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Two latest-state snapshots built from overlapping event subsets
     (event_id % 3 != 0 vs % 2 != 0) diffed back into a changelog — users
     present only in one snapshot surface as A/D, differing latest values
-    as U."""
+    as U. Single-scan/single-shuffle form (r12): both snapshots derive
+    from the same events relation, so snapshot_diff_from_events collapses
+    the two changelog windows + full-outer join into one conditional
+    max_by aggregate (sf0.1 min-of-5: 0.373 s vs 0.634 s, same rows)."""
     ev = _events(spark, sf).select(
         "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"),
-        "value", F.lit("U").alias("op"),
+        "value",
     )
-    old_snap = C.apply_changelog(
-        ev.filter(F.col("event_id") % 3 != 0), ["user_id"], ["ts_s", "event_id"]
-    ).select("user_id", "value")
-    new_snap = C.apply_changelog(
-        ev.filter(F.col("event_id") % 2 != 0), ["user_id"], ["ts_s", "event_id"]
-    ).select("user_id", "value")
-    return C.snapshot_diff(old_snap, new_snap, ["user_id"], ["value"])
+    return C.snapshot_diff_from_events(
+        ev,
+        ["user_id"],
+        ["ts_s", "event_id"],
+        "value",
+        F.col("event_id") % 3 != 0,
+        F.col("event_id") % 2 != 0,
+    )
 
 
 _register(

@@ -46,6 +46,115 @@ def test_theilsen_single_bin_yields_empty(spark):
     assert TS.theilsen_trend(df, "ts", "value").count() == 0
 
 
+def test_snapshot_diff_from_events_equals_two_window_form(spark):
+    # the single-scan conditional-max_by form must emit exactly what
+    # apply_changelog×2 + snapshot_diff emits, including null values,
+    # one-sided users, and rows in neither side
+    from apache_flink_essentials_spark.operators import cdc as C
+
+    rows = [
+        # (user, ts_s, event_id, value): u1 updated, u2 only-old (D),
+        # u3 only-new (A), u4 same value (dropped), u5 null-latest (U),
+        # u6 in neither side, u7 value→null transition (U)
+        (1, 100, 1, 10.0), (1, 200, 3, 20.0),
+        (2, 100, 5, 5.0),
+        (3, 100, 2, 7.0),
+        (4, 100, 7, 9.0), (4, 200, 11, 9.0),
+        (5, 100, 13, 1.0), (5, 200, 15, None),
+        (6, 100, 6, 4.0),
+        (7, 100, 17, 2.0), (7, 200, 21, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_id long, value double"
+    )
+    old_pred = F.col("event_id") % 3 != 0
+    new_pred = F.col("event_id") % 2 != 0
+    got = C.snapshot_diff_from_events(
+        ev, ["user_id"], ["ts_s", "event_id"], "value", old_pred, new_pred
+    )
+    old_snap = C.apply_changelog(
+        ev.filter(old_pred).withColumn("op", F.lit("U")),
+        ["user_id"],
+        ["ts_s", "event_id"],
+    ).select("user_id", "value")
+    new_snap = C.apply_changelog(
+        ev.filter(new_pred).withColumn("op", F.lit("U")),
+        ["user_id"],
+        ["ts_s", "event_id"],
+    ).select("user_id", "value")
+    want = C.snapshot_diff(old_snap, new_snap, ["user_id"], ["value"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # plan shape: ONE aggregate exchange, no join, no window
+    from apache_flink_essentials_spark.plans import formatted_plan
+
+    plan = formatted_plan(got)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_posting_join_keeps_per_block_semantics(spark):
+    # r11 advisory: an id appearing in TWO blocks must produce per-block
+    # pair rows (like the all-pairs form), not merged intersection counts
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    rows = [
+        (1, "en", "web", "alpha beta gamma"),
+        (2, "en", "web", "alpha beta delta"),
+        # doc 1 again in a second block with the same partner text
+        (1, "en", "book", "alpha beta gamma"),
+        (2, "en", "book", "alpha beta delta"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    posting = D.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], threshold=0.1
+    ).collect()
+    allpairs = D.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], threshold=0.0
+    ).collect()
+    # both forms: one (1,2) row PER block, identical jaccards
+    assert sorted(map(tuple, posting)) == sorted(map(tuple, allpairs))
+    assert len(posting) == 2
+    # containment: same per-block contract
+    cont = D.containment_pairs(
+        docs, block_cols=["lang", "source"], shingle_k=2, threshold=0.1
+    ).collect()
+    per_pair = [r for r in cont if (r.src_id, r.dst_id) == (1, 2)]
+    assert len(per_pair) == 2  # one per block
+
+
+def test_ngram_best_match_contract(spark):
+    # per-doc argmax over the pair relation: O(corpus) output, highest
+    # jaccard wins, ties break to the smallest partner id
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    rows = [
+        (1, "en", "web", "a b c d"),
+        (2, "en", "web", "a b c e"),   # j(1,2)=3/5
+        (3, "en", "web", "a b c d"),   # j(1,3)=1.0, j(2,3)=3/5
+        (4, "en", "web", "zz yy xx"),  # no qualifying partner
+        (5, "en", "web", "a b c e"),   # j(2,5)=1.0 and j(3,5)=j(1,5)=3/5
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["best_match_id"], round(r["best_jaccard"], 6))
+        for r in D.ngram_jaccard_best_match(
+            docs, block_cols=["lang", "source"], threshold=0.5
+        ).collect()
+    }
+    assert got[1] == (3, 1.0)
+    assert got[3] == (1, 1.0)
+    assert got[2] == (5, 1.0)
+    assert got[5] == (2, 1.0)
+    assert 4 not in got  # below threshold everywhere → absent
+    # every doc appears at most once (corpus-bounded contract)
+    assert len(got) == 4
+
+
 def test_theilsen_two_bins_single_pair(spark):
     from apache_flink_essentials_spark.operators import timeseries as TS
 
