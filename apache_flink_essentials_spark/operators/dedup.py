@@ -695,6 +695,105 @@ def dedup_clusters(
     )
 
 
+def assign_components_incremental(
+    new_edges: DataFrame,
+    assignments: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "node",
+    rep_col: str = "component",
+) -> DataFrame:
+    """Incremental connected-component assignment: fold a batch of NEW
+    match edges into a SETTLED ``(node, component)`` assignment table
+    without re-clustering the corpus. Returns the FULL updated
+    assignment relation (untouched rows pass through unchanged), equal
+    to ``connected_components(old_edges ∪ new_edges)`` — the
+    batch-incremental ≡ full-recompute contract, pinned by test.
+
+    Why it's exact: a settled component is equivalent to a STAR
+    (member → rep edges), and the rep is the component's minimum id
+    (the `connected_components` canonical form). Collapsing each new
+    edge's endpoints to their settled reps preserves connectivity, so
+    CC over the collapsed edge set — |new edges|-sized, NOT
+    corpus-sized — yields the merged groups; and since each rep IS the
+    min of its old component, ``min(reps ∪ new ids)`` in a merged group
+    equals the full recompute's ``min(all member ids)``.
+
+    Scale shape: the corpus participates in exactly two key joins —
+    (1) endpoint → settled rep lookup on the new edges (|new| rows
+    against the assignment table, AQE broadcasts the small side), and
+    (2) touched-component re-assignment (assignment table joined to the
+    |touched reps|-row re-map, a broadcast). The CC iteration itself
+    runs on the collapsed batch-sized graph. Work ∝ new batch + touched
+    clusters; the settled corpus is never re-hashed or re-clustered —
+    the ER mirror of `near_dedup_with_signatures`.
+
+    New ids that appear in no new edge are NOT in the output (same
+    contract as `connected_components`: singletons are their own
+    component by definition — union them in as (id, id) if you need
+    explicit rows).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("_id"), F.col(rep_col).alias("_rep")
+    )
+    e = (
+        new_edges.select(F.col(src).alias("_ea"), F.col(dst).alias("_eb"))
+        .join(
+            a.select(
+                F.col("_id").alias("_ea"), F.col("_rep").alias("_ra")
+            ),
+            "_ea",
+            "left",
+        )
+        .join(
+            a.select(
+                F.col("_id").alias("_eb"), F.col("_rep").alias("_rb")
+            ),
+            "_eb",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("_ra"), F.col("_ea")).alias("na"),
+            F.coalesce(F.col("_rb"), F.col("_eb")).alias("nb"),
+        )
+    )
+    cc = connected_components(e, "na", "nb")
+    # nodes of the collapsed graph are settled reps or new ids; a rep's
+    # new component re-points every member of its old cluster. Join
+    # strategy left to AQE (no F.broadcast hint): remap is BATCH-sized,
+    # bounded but not guaranteed broadcastable — a forced hint would
+    # OOM on a huge backfill batch (the r11 rollup advisory class)
+    remap = cc.select(
+        F.col("node").alias("_rep"), F.col("component").alias("_new_rep")
+    )
+    touched = assignments.join(
+        remap, F.col(rep_col) == F.col("_rep")
+    ).select(
+        F.col(id_col), F.col("_new_rep").alias(rep_col)
+    )
+    untouched = assignments.join(
+        remap.select("_rep"),
+        F.col(rep_col) == F.col("_rep"),
+        "left_anti",
+    ).select(id_col, rep_col)
+    new_nodes = (
+        cc.join(
+            a.select(F.col("_rep").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .join(
+            assignments.select(F.col(id_col).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select(
+            F.col("node").alias(id_col), F.col("component").alias(rep_col)
+        )
+    )
+    return untouched.unionByName(touched).unionByName(new_nodes)
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

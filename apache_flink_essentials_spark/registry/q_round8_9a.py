@@ -151,6 +151,70 @@ _register(
 )(_er_clusters_q)
 
 
+def _er_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ER (r12): customers with custkey % 3 == 0 arrive as a
+    NEW batch against settled clusters built from the rest. Settled
+    assignments come from CC over corpus-only match pairs; the batch
+    folds in via `assign_components_incremental` (CC over the collapsed
+    batch-sized graph; corpus never re-clustered). The result is exactly
+    the full recompute over ALL pairs — which is what the oracle runs."""
+    pairs = (
+        _fs_weights_q(spark, sf)
+        .where(F.col("label") == "match")
+        .select("id_a", "id_b")
+    )
+    is_new_a = F.col("id_a") % 3 == 0
+    is_new_b = F.col("id_b") % 3 == 0
+    corpus_pairs = pairs.where(~is_new_a & ~is_new_b)
+    new_edges = pairs.where(is_new_a | is_new_b)
+    settled = D.connected_components(corpus_pairs, "id_a", "id_b")
+    return (
+        D.assign_components_incremental(new_edges, settled)
+        .select(
+            F.col("node").cast("long").alias("c_custkey"),
+            F.col("component").cast("long").alias("entity_rep"),
+        )
+    )
+
+
+_register(
+    "er_assign_incremental",
+    f"""
+    WITH RECURSIVE cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON lower(substr(a.c_name, 1, 16)) = lower(substr(b.c_name, 1, 16))
+       AND a.c_custkey < b.c_custkey
+    ), w AS (
+      SELECT id_a, id_b,
+             (CASE WHEN levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+                   THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+              + CASE WHEN a.c_nationkey = b.c_nationkey
+                     THEN {_FS_W["nation"][0]} ELSE {_FS_W["nation"][1]} END
+              + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                     THEN {_FS_W["segment"][0]} ELSE {_FS_W["segment"][1]} END
+             )::BIGINT AS weight_micro
+      FROM cand
+      JOIN customer a ON a.c_custkey = id_a
+      JOIN customer b ON b.c_custkey = id_b
+    ), pairs AS (
+      SELECT id_a, id_b FROM w WHERE weight_micro >= {_FS_T_MATCH}
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a::BIGINT AS c_custkey, least(a, min(b))::BIGINT AS entity_rep
+    FROM reach GROUP BY a
+    """,
+    late=True,
+)(_er_incremental_q)
+
+
 _register(
     "multimodal_exact_dedup",
     # payload bytes are the documents' UTF-8 text (documents_as_media),

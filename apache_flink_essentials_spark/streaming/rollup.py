@@ -532,11 +532,18 @@ def referential_counts_stream(
 ) -> DataFrame:
     """Incremental form of ``profiling.referential_audit`` for ONE
     fact→dim relation: every micro-batch stream-static left-joins the
-    (deduplicated, marker-tagged) dimension key set — broadcast under
-    threshold, re-planned per batch so dim updates between batches are
-    picked up — and a complete-mode 1-row aggregate maintains
-    ``(n_rows, n_null_fk, n_orphans)``. All three are associative BIGINT
-    sums → stream ≡ batch exactly; state is ONE row.
+    (deduplicated, marker-tagged) dimension key set — join strategy left
+    to Spark/AQE (broadcast when the dim key set fits
+    ``autoBroadcastJoinThreshold``, shuffle otherwise), re-planned per
+    batch so dim updates between batches are picked up — and a
+    complete-mode 1-row aggregate maintains ``(n_rows, n_null_fk,
+    n_orphans)``. All three are associative BIGINT sums → stream ≡ batch
+    exactly; state is ONE row.
+
+    No forced ``F.broadcast`` hint (r12, r11 advisory): a hint overrides
+    the size threshold, so a LARGE dimension would be force-broadcast
+    every micro-batch — an OOM at the 100 TB deployment target. The
+    planner's own sizing already broadcasts small dims per batch.
 
     The monitoring deployment shape: the orphan count is the alert
     signal and it is maintained at ingest — no periodic full-fact rescan
@@ -545,7 +552,7 @@ def referential_counts_stream(
     dkeys = (
         dim.select(F.col(pk).alias(fk)).distinct().withColumn("_hit", F.lit(1))
     )
-    joined = fact_stream.join(F.broadcast(dkeys), fk, "left")
+    joined = fact_stream.join(dkeys, fk, "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).cast("long")

@@ -913,6 +913,11 @@ def knn_topk_stream(
         for ANY arrival order (asserted in tests). Scores are raw dot
         products — cosine when inputs are unit-normalized (the
         embeddings fixture contract).
+      * duplicate-delivery safe (r12, matching the HLL/edge-set ops):
+        the merge dedups by vec_id (keeping the max score) BEFORE
+        truncating to k, so an at-least-once source redelivering a
+        vector can neither evict a genuine neighbor nor emit the same
+        vec_id twice in one top-k.
     """
     structs = []
     for qid, qv in queries:
@@ -951,6 +956,13 @@ def knn_topk_stream(
                 zip(pdf["score"].astype(float).tolist(),
                     pdf["vec_id"].astype("int64").tolist())
             )
+        # dedup by vec_id keeping the best score — redelivered vectors
+        # (at-least-once sources) must not occupy two of the k slots
+        best: dict = {}
+        for s, i in cur:
+            if i not in best or s > best[i]:
+                best[i] = s
+        cur = [(s, i) for i, s in best.items()]
         cur.sort(key=lambda t: (-t[0], t[1]))
         cur = cur[:k]
         state.update((

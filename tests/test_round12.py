@@ -155,6 +155,85 @@ def test_ngram_best_match_contract(spark):
     assert len(got) == 4
 
 
+def test_knn_topk_stream_duplicate_delivery_safe(spark):
+    # an at-least-once source redelivering vectors must not occupy two
+    # of the k slots or evict a genuine neighbor (r11 advisory — the
+    # HLL/edge-set siblings already carried this contract)
+    from apache_flink_essentials_spark.streaming.replay import (
+        replay_as_stream,
+        run_stream_to_df,
+    )
+    from apache_flink_essentials_spark.streaming.stateful import (
+        knn_topk_stream,
+    )
+
+    base = [(i, [float(i), 1.0]) for i in range(1, 7)]
+    # redeliver the two best vectors (5, 6) in a later file
+    df = spark.createDataFrame(
+        base + [(6, [6.0, 1.0]), (5, [5.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = run_stream_to_df(
+        knn_topk_stream(
+            replay_as_stream(df, num_files=4), [(0, [1.0, 0.0])], k=3
+        ),
+        output_mode="update",
+    )
+    rows = out.collect()
+    # without dedup the redelivery batch emits [6@1, 6@2, 5@3]: vec 6
+    # occupies two slots and evicts vec 4. Vec 6 is the global max from
+    # the moment it arrives, so ANY rank-2+ row for it is the duplicate
+    # signature; likewise vec 5 can never legitimately rank below 2.
+    assert not [r for r in rows if r.vec_id == 6 and r.rank != 1]
+    assert not [r for r in rows if r.vec_id == 5 and r.rank > 2]
+    # the final state (monotone improvement → best emission) is 6, 5, 4
+    best = {}
+    for r in rows:
+        if r.vec_id not in best or r.score > best[r.vec_id]:
+            best[r.vec_id] = r.score
+    top3 = sorted(best.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [v for v, _ in top3] == [6, 5, 4]
+
+
+def test_assign_components_incremental_equals_full_recompute(spark):
+    # adversarial shapes: a new edge MERGING two settled clusters, a
+    # pure-new cluster, an untouched settled cluster, a settled id with
+    # no prior edges, and a new id bridging settled + new
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    new_edges = spark.createDataFrame(
+        [
+            (3, 10),    # merges cluster {1,2,3} with {10,11}
+            (50, 51),   # pure-new cluster
+            (52, 20),   # new id joins settled cluster {20,21}
+            (52, 53),   # ...and extends it with another new id
+            (99, 11),   # settled-but-unclustered? 99 is brand new
+        ],
+        "id_a long, id_b long",
+    )
+    settled = D.connected_components(old_edges, "id_a", "id_b")
+    got = D.assign_components_incremental(new_edges, settled)
+    want = D.connected_components(
+        old_edges.unionByName(new_edges), "id_a", "id_b"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # untouched cluster {30,31} passed through unchanged
+    rows = {r.node: r.component for r in got.collect()}
+    assert rows[30] == 30 and rows[31] == 30
+    # merge adopted the global min (1), including for old {10,11} members
+    assert rows[10] == 1 and rows[11] == 1 and rows[99] == 1
+    # the settled corpus was NOT re-clustered: the CC input is the
+    # collapsed batch graph, not corpus-sized
+    assert rows[52] == 20 and rows[53] == 20
+    assert rows[50] == 50 and rows[51] == 50
+
+
 def test_theilsen_two_bins_single_pair(spark):
     from apache_flink_essentials_spark.operators import timeseries as TS
 
