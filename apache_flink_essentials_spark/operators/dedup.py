@@ -284,6 +284,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
     max_block_size: int | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (token-set) Jaccard over BLOCKED pairs: a cheap blocking
     key (default: same lang + same source) confines the quadratic step.
@@ -306,12 +307,28 @@ def ngram_jaccard_pairs(
     skew hazard — at 100 TB strip stopwords upstream or set
     ``max_block_size``.
 
+    ``max_token_df`` (r12, the `containment_pairs.max_shingle_df` twin)
+    is the posting join's LINEARIZER: tokens whose in-block document
+    frequency exceeds it are dropped from the posting join but still
+    counted in every doc's denominator, so capped jaccard is a
+    guaranteed UNDER-estimate (no false positives — a pair glued only
+    by ubiquitous tokens scores lower). With the cap, posting work is
+    bounded by ``cap × Σ df`` — LINEAR in corpus size, where the
+    uncapped form is ``Σ C(df, 2)`` (the r12 sf0.1→sf1 curve measured
+    alpha 1.89 on the densifying fixture). Requires ``threshold > 0``.
+
     PRODUCTION NOTE: the cap defaults to ``None`` (exact — every
     pair emitted, matching the DuckDB oracle on test fixtures). At
     100 TB ALWAYS set it: one uncapped hot bucket/block emits m²/2
     pairs in a single task. Recommended starting points and the
     recall argument are in SCALING.md §'Hot-block caps'.
     """
+    if max_token_df is not None and threshold <= 0:
+        raise ValueError(
+            "max_token_df requires threshold > 0 (the all-pairs fallback "
+            "computes intersections from full arrays and cannot honor a "
+            "posting-df cap)"
+        )
     block_cols = block_cols or ["lang"]
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.array_distinct(tokens_expr(text_col)).alias("tok")
@@ -326,6 +343,22 @@ def ngram_jaccard_pairs(
             F.col(id_col), *[F.col(c) for c in block_cols],
             F.explode("tok").alias("_t"),
         )
+        if max_token_df is not None:
+            # window count per (block, token): one pass over the
+            # postings, same partitioning the join needs anyway (the
+            # containment_pairs.max_shingle_df idiom)
+            from pyspark.sql.window import Window as _W
+
+            posts = (
+                posts.withColumn(
+                    "_df",
+                    F.count(F.lit(1)).over(
+                        _W.partitionBy(*block_cols, "_t")
+                    ),
+                )
+                .filter(F.col("_df") <= max_token_df)
+                .drop("_df")
+            )
         # block_cols ride through the pair groupBy AND both size joins, so
         # an id that appears in several blocks (or on several rows) keeps
         # per-(block, pair) semantics — identical to the all-pairs form,
@@ -390,6 +423,7 @@ def ngram_jaccard_best_match(
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
     max_block_size: int | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Per-document BEST near-dup partner: for every doc with at least one
     blocked pair at ``jaccard ≥ threshold``, the single highest-jaccard
@@ -420,6 +454,7 @@ def ngram_jaccard_best_match(
         block_cols=block_cols,
         threshold=threshold,
         max_block_size=max_block_size,
+        max_token_df=max_token_df,
     )
     sym = pairs.select(
         F.explode(
@@ -1286,6 +1321,46 @@ def containment_pairs(
         ).alias("_d")
     ).select("_d.src_id", "_d.dst_id", "_d.containment")
     return directed.filter(F.col("containment") >= threshold)
+
+
+def containment_best_container(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_block_size: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Per-document BEST CONTAINER: for every doc whose shingle set is
+    ≥ ``threshold`` contained in some other doc, the single most-containing
+    dst (highest containment, ties → smallest dst id) →
+    ``(doc_id, container_id, containment)``. O(corpus) output — the
+    drop-decision contract for subset dedup (`drop src if containment ≥ τ`
+    needs only the best container, never the full directional pair list,
+    whose size grows with duplicate density²; see
+    `ngram_jaccard_best_match` for the scaling argument). The directional
+    pair stream from `containment_pairs` feeds a map-side-combined
+    ``max_by`` per src, so pairs reduce inside each task before any
+    exchange.
+    """
+    pairs = containment_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        block_cols=block_cols,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_block_size=max_block_size,
+        max_shingle_df=max_shingle_df,
+    )
+    return pairs.groupBy(F.col("src_id").alias(id_col)).agg(
+        F.expr("max_by(dst_id, struct(containment, -dst_id))").alias(
+            "container_id"
+        ),
+        F.max("containment").alias("containment"),
+    )
 
 
 def paragraph_dedup(

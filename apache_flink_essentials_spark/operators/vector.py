@@ -183,6 +183,60 @@ def cosine_pairs_blocked(
     )
 
 
+def cosine_best_match_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-vector BEST within-block partner at ``cosine ≥ threshold`` →
+    ``(vec_id, best_match_id, best_cosine)``; ties break to the smallest
+    partner id. The corpus-bounded OUTPUT CONTRACT over
+    :func:`cosine_pairs_blocked` (the `ngram_jaccard_best_match` story):
+    the pair LIST grows with within-block density² — the sf0.1→sf1 curve
+    measured alpha 1.45 for the pair form, and most of that is the
+    result set itself — while this output is ≤|corpus| rows.
+
+    The dot-product work is still Σ block² (exact all-pairs is exact;
+    the APPROXIMATE escape at 100 TB is the LSH/IVF family) — but the
+    pair stream here feeds a map-side-combined ``max_by`` aggregate, so
+    pairs are reduced to per-vector bests inside each join task and the
+    unbounded pair relation is never shuffled or materialized.
+    """
+    pairs = cosine_pairs_blocked(
+        embeddings,
+        block_col,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc"),
+                    F.col("id_b").alias("partner"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc"),
+                    F.col("id_a").alias("partner"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.doc", "_e.partner", "_e.cosine")
+    return sym.groupBy(F.col("doc").alias(id_col)).agg(
+        F.expr("max_by(partner, struct(cosine, -partner))").alias(
+            "best_match_id"
+        ),
+        F.max("cosine").alias("best_cosine"),
+    )
+
+
 def signed_sign_table(
     n_proj: int, dim: int, seed: int = 0
 ) -> "list[list[int]]":

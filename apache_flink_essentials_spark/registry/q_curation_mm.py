@@ -1333,6 +1333,52 @@ _register(
 )(lambda spark, sf: D.containment_pairs(load_table(spark, "documents", sf)))
 
 
+# corpus-bounded twin (r12): the drop decision needs only each doc's BEST
+# container — O(corpus) output vs the directional pair list's density²
+_register(
+    "dedup_containment_best",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::BIGINT AS i,
+             len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ), directed AS (
+      SELECT id_a AS src_id, id_b AS dst_id, i::DOUBLE / na AS containment
+      FROM pairs
+      UNION ALL
+      SELECT id_b AS src_id, id_a AS dst_id, i::DOUBLE / nb AS containment
+      FROM pairs
+    ), qual AS (
+      SELECT * FROM directed WHERE containment >= 0.6
+    ), ranked AS (
+      SELECT src_id, dst_id, containment,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY containment DESC, dst_id ASC) AS rn
+      FROM qual
+    )
+    SELECT src_id AS doc_id, dst_id AS container_id, containment
+    FROM ranked WHERE rn = 1
+    """,
+    late=True,
+)(lambda spark, sf: D.containment_best_container(
+    load_table(spark, "documents", sf)
+))
+
+
 _register(
     "events_mad_outliers",
     """

@@ -209,6 +209,58 @@ _register(
     load_table(spark, "documents", sf), block_cols=["lang", "source"]
 ))
 
+# the LINEAR scale path (r12): max_token_df=10 drops heavy-hitter tokens
+# from the posting join (kept in denominators → guaranteed under-estimate,
+# no false positives). Uncapped posting work is Σ C(df,2) — alpha 1.89/1.94
+# on the densifying sf1 fixture; capped it is ≤ cap × Σ df, linear. The
+# oracle replicates the cap exactly: df per (block, token) from distinct
+# postings, tokens with df > 10 excluded from intersections only.
+_register(
+    "dedup_ngram_best_match_capped",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, lang, source, unnest(tok) AS t FROM toks
+    ), dfs AS (
+      SELECT lang, source, t, count(*) AS df FROM posts GROUP BY 1, 2, 3
+    ), kept AS (
+      SELECT p.doc_id, p.lang, p.source, p.t
+      FROM posts p JOIN dfs USING (lang, source, t) WHERE df <= 10
+    ), ic AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.source = b.source AND a.t = b.t
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b,
+             i::DOUBLE / (len(ta.tok) + len(tb.tok) - i) AS jaccard
+      FROM ic JOIN toks ta ON ta.doc_id = id_a
+              JOIN toks tb ON tb.doc_id = id_b
+      WHERE i::DOUBLE / (len(ta.tok) + len(tb.tok) - i) >= 0.5
+    ), sym AS (
+      SELECT id_a AS doc, id_b AS partner, jaccard FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, jaccard FROM pairs
+    ), ranked AS (
+      SELECT doc, partner, jaccard,
+             row_number() OVER (PARTITION BY doc
+               ORDER BY jaccard DESC, partner ASC) AS rn
+      FROM sym
+    )
+    SELECT doc AS doc_id, partner AS best_match_id, jaccard AS best_jaccard
+    FROM ranked WHERE rn = 1
+    """,
+    late=True,
+)(lambda spark, sf: D.ngram_jaccard_best_match(
+    load_table(spark, "documents", sf),
+    block_cols=["lang", "source"],
+    max_token_df=10,
+))
+
 _STOPWORDS_SQL = "['" + "', '".join(X.STOPWORDS_EN) + "']"
 
 _register(
@@ -352,6 +404,35 @@ _register(
     WHERE {_COS} >= 0.3
     """,
 )(lambda spark, sf: V.cosine_pairs_blocked(
+    load_table(spark, "embeddings", sf), block_col="label", threshold=0.3
+))
+
+# corpus-bounded twin (r12): per-vector best within-block partner —
+# O(corpus) output; the pair stream reduces via map-side max_by before
+# any exchange (the pair form's sf1 curve alpha was mostly result size)
+_register(
+    "vec_cosine_best_match",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS} >= 0.3
+    ), sym AS (
+      SELECT id_a AS doc, id_b AS partner, cosine FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, cosine FROM pairs
+    ), ranked AS (
+      SELECT doc, partner, cosine,
+             row_number() OVER (PARTITION BY doc
+               ORDER BY cosine DESC, partner ASC) AS rn
+      FROM sym
+    )
+    SELECT doc AS vec_id, partner AS best_match_id, cosine AS best_cosine
+    FROM ranked WHERE rn = 1
+    """,
+    late=True,
+)(lambda spark, sf: V.cosine_best_match_blocked(
     load_table(spark, "embeddings", sf), block_col="label", threshold=0.3
 ))
 

@@ -223,6 +223,14 @@ HEADLINE = [
     "text_hapax_ratio",
     "ts_seasonal_naive",
     "er_entity_clusters",
+    # round-12: corpus-bounded dedup output contract (per-doc argmax over
+    # the posting-join pair stream) and incremental ER (batch folded into
+    # settled clusters, corpus never re-clustered)
+    "dedup_ngram_best_match",
+    "er_assign_incremental",
+    "dedup_containment_best",
+    "vec_cosine_best_match",
+    "dedup_ngram_best_match_capped",
     # round-8 batch 3-4: join-size pre-audit (predicts the join it never
     # runs), Kaplan-Meier gap survival, per-source Jensen-Shannon drift.
     # graph_kcore and er_golden_record stay sweep-only: their bench cost

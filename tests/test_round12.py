@@ -125,6 +125,51 @@ def test_posting_join_keeps_per_block_semantics(spark):
     assert len(per_pair) == 2  # one per block
 
 
+def test_ngram_max_token_df_underestimates_never_inflates(spark):
+    # the df cap drops heavy-hitter tokens from the posting join only:
+    # capped jaccard <= exact jaccard pair-for-pair (no false positives),
+    # and a pair glued ONLY by a ubiquitous token disappears
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    glue = "the " * 1  # token 'the' appears in every doc (df=4 > cap)
+    rows = [
+        (1, "en", "web", glue + "alpha beta gamma"),
+        (2, "en", "web", glue + "alpha beta delta"),
+        (3, "en", "web", glue + "zz yy xx"),
+        (4, "en", "web", glue + "qq rr ss"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, block_cols=["lang", "source"], threshold=0.01
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs,
+            block_cols=["lang", "source"],
+            threshold=0.01,
+            max_token_df=3,
+        ).collect()
+    }
+    # every capped pair exists in exact with jaccard >= capped
+    for k, v in capped.items():
+        assert k in exact and exact[k] >= v - 1e-12
+    # (1,2) share alpha+beta (df=2 each, kept): still present capped
+    assert (1, 2) in capped
+    # (3,4) share ONLY 'the' (df=4 > 3, dropped): vanishes under the cap
+    assert (3, 4) in exact and (3, 4) not in capped
+    # threshold<=0 with a cap is a contract error
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        D.ngram_jaccard_pairs(docs, threshold=0.0, max_token_df=3)
+
+
 def test_ngram_best_match_contract(spark):
     # per-doc argmax over the pair relation: O(corpus) output, highest
     # jaccard wins, ties break to the smallest partner id
