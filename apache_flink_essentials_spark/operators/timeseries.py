@@ -696,29 +696,71 @@ def theilsen_from_binned(binned: DataFrame) -> DataFrame:
             [],
             "n_bins long, n_pairs long, slope_micro_per_bin double",
         )
-    # pair generation by INDEX explode over spark.range, not a θ-join:
-    # row i emits sequence(i+1, n−1) partner indices (whole-stage
-    # codegen) and both sides' (bin, m) come from literal-array lookups
-    # on the collected bins — zero joins, zero broadcasts, ONE job for
-    # the whole tail. The earlier a.join(broadcast(b), bi < bj) was a
-    # BroadcastNestedLoopJoin whose interpreted |bins|² predicate
-    # evaluation dominated the whole op (measured 1.37 s of a 2.4 s
-    # total at sf0.1's 720 bins); even the equi-join form paid a
-    # broadcast-exchange job per run. The literal arrays are
-    # |bins|-sized (parameter-bounded, hours-to-days of bins).
-    # ONE py4j call per array via a SQL literal — both F.array(F.lit(x)
-    # for x …) and F.lit(list) construct a Column per ELEMENT through
-    # py4j (cProfile: 1,452 lit calls = 0.79 s of driver overhead at
-    # 720 bins); a single parsed array(…L) expression is ~0 driver cost
+    # middle rank(s): odd N -> the single (N+1) div 2; even N -> both
+    # N div 2 and N div 2 + 1 (their fixed-order average is the median)
+    r_lo = (n_pairs + 1) // 2
+    r_hi = n_pairs // 2 + 1
+    if n_pairs == 0:
+        # one bin → no pairs → zero rows (the grouped-form contract)
+        return spark.createDataFrame(
+            [],
+            "n_bins long, n_pairs long, slope_micro_per_bin double",
+        )
+    if n_pairs <= small_pairs:
+        # SMALL path: the bins are ALREADY on the driver (the collect
+        # above — aggregate-sized, the codebook-collect justification),
+        # so the ≤2M-pair median is pure local arithmetic; shipping it
+        # back through Spark costs a full extra job (+literal-array
+        # analysis) for work numpy finishes in ~20 ms. This is exactly
+        # what the single-node oracle engine does, and the adaptive
+        # gate keeps everything distributed the moment the pair table
+        # outgrows the driver (>2M pairs → explode + two-phase rank).
+        import numpy as np
+
+        bins_arr = np.array([b for b, _ in m_rows], dtype=np.int64)
+        m_arr = np.array([mm for _, mm in m_rows], dtype=np.int64)
+        ii, jj = np.triu_indices(n_bins, k=1)
+        slopes_np = (m_arr[jj] - m_arr[ii]).astype(np.float64) / (
+            bins_arr[jj] - bins_arr[ii]
+        ).astype(np.float64)
+        # total order (slope, bi, bj): lexsort keys are LAST-primary
+        order = np.lexsort(
+            (bins_arr[jj], bins_arr[ii], slopes_np)
+        )
+        s_lo = float(slopes_np[order[r_lo - 1]])
+        s_hi = float(slopes_np[order[r_hi - 1]])
+        mid = (min(s_lo, s_hi) + max(s_lo, s_hi)) / 2.0
+        # replicate Spark's F.round (BigDecimal HALF_UP) — Python's
+        # round() is half-even and would diverge on exact midpoints
+        from decimal import ROUND_HALF_UP, Decimal
+
+        val = float(
+            Decimal(repr(mid)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        return spark.createDataFrame(
+            [(n_bins, n_pairs, val)],
+            "n_bins long, n_pairs long, slope_micro_per_bin double",
+        )
+    # DISTRIBUTED path: pair generation by INDEX explode over
+    # spark.range — row i emits sequence(i+1, n−1) partner indices
+    # (whole-stage codegen) and both sides' (bin, m) come from
+    # literal-array lookups on the collected bins: zero joins, zero
+    # broadcasts. (A θ-join BroadcastNestedLoopJoin's interpreted
+    # |bins|² predicate measured 1.37 s of a 2.4 s total at sf0.1's
+    # 720 bins; per-element F.lit construction another 0.79 s of py4j —
+    # hence ONE parsed array(…L) SQL literal per array.) Ranking is the
+    # two-phase global_row_number — never a 38M-row single-task sort.
     arr_bin = F.expr(
         "array(%s)" % ",".join("%dL" % b for b, _ in m_rows)
     )
     arr_m = F.expr(
         "array(%s)" % ",".join("%dL" % mm for _, mm in m_rows)
     )
-    base = spark.range(max(n_bins - 1, 0))
-    if n_pairs > small_pairs:
-        base = base.repartition(spark.sparkContext.defaultParallelism)
+    base = spark.range(max(n_bins - 1, 0)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # element_at is 1-indexed; sequence ascends because id ≤ n−2 here
     pairs = base.select(
         F.element_at(arr_bin, (F.col("id") + 1).cast("int")).alias("bi"),
@@ -741,29 +783,14 @@ def theilsen_from_binned(binned: DataFrame) -> DataFrame:
             ).cast("double")
         ).alias("slope"),
     )
-    if n_pairs > small_pairs:
-        from .transform import global_row_number
+    from .transform import global_row_number
 
-        ranked = global_row_number(
-            slopes,
-            ["slope", "bi", "bj"],
-            "_rk",
-            single_split=False,
-        ).select("slope", "_rk")
-    else:
-        from pyspark.sql.window import Window
-
-        ranked = slopes.select(
-            "slope",
-            F.row_number()
-            .over(Window.orderBy("slope", "bi", "bj"))
-            .cast("long")
-            .alias("_rk"),
-        )
-    # middle rank(s): odd N -> the single (N+1) div 2; even N -> both
-    # N div 2 and N div 2 + 1 (their fixed-order average is the median)
-    r_lo = (n_pairs + 1) // 2
-    r_hi = n_pairs // 2 + 1
+    ranked = global_row_number(
+        slopes,
+        ["slope", "bi", "bj"],
+        "_rk",
+        single_split=False,
+    ).select("slope", "_rk")
     picked = ranked.where(F.col("_rk").isin(r_lo, r_hi))
     # groupBy on the literals (not a global agg) so a pair-less input
     # (n_bins == 1) yields ZERO rows, matching the oracle's grouped form

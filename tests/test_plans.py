@@ -150,13 +150,6 @@ _GLOBAL_WINDOW_WHITELIST = {
     # pins these at parallelism 1, so a global order is the CONTRACT:
     "j4_connect_ratio",  # MultipleStreams.scala:115-116 running ratio
     "w4_count_window_10",  # GlobalWindows + CountTrigger.of(size)
-    # adaptive small path of theilsen_from_binned: the pair count is
-    # computed AT THE DRIVER from the collected |bins| table before the
-    # plan is built — the global window only plans when n_pairs ≤ 2M
-    # (above that the two-phase global_row_number ranks instead), so the
-    # single task is row-bounded by construction, just invisibly to a
-    # static plan walk (the bound lives in Python, not the plan).
-    "ts_theilsen_trend",
 }
 
 
