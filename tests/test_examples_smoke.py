@@ -38,3 +38,14 @@ def test_data_contracts_example_runs(spark):
     # TPC-H fixture is referentially clean: audits must report zeros
     assert len(rows) == 3
     assert all(r.n_orphans == 0 and r.n_null_fk == 0 for r in rows)
+
+
+def test_incremental_corpus_example_runs(spark):
+    from examples.incremental_corpus import run
+
+    report = run(spark, sf_dir="/root/testdata/sf0.001")
+    rows = report.collect()
+    assert len(rows) >= 1
+    # O(corpus): one row per doc at most
+    assert len(rows) == len({r.doc_id for r in rows})
+    assert all(0.0 <= r.best_jaccard <= 1.0 for r in rows)
