@@ -937,3 +937,33 @@ def test_connected_components_matches_union_find(spark, edge_rows):
         for r in D.connected_components(df).collect()
     }
     assert got == expected
+
+
+@given(edge_rows=edges_strategy, split=st.integers(min_value=2, max_value=5))
+@settings(**SETTINGS)
+def test_assign_components_incremental_matches_full(spark, edge_rows, split):
+    """Incremental fold-in ≡ full recompute on ANY random multigraph and
+    ANY old/new edge split: edges whose min endpoint id % split == 0 are
+    'tonight's batch', the rest are settled first. Covers merges of
+    several settled clusters, batch-only components, and nodes that only
+    ever appear in the batch."""
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    old = [(a, b) for a, b in edge_rows if min(a, b) % split != 0]
+    new = [(a, b) for a, b in edge_rows if min(a, b) % split == 0]
+    if not old or not new:
+        return  # degenerate split — nothing incremental to test
+    old_df = spark.createDataFrame(old, "id_a long, id_b long")
+    new_df = spark.createDataFrame(new, "id_a long, id_b long")
+    settled = D.connected_components(old_df)
+    got = {
+        r.node: r.component
+        for r in D.assign_components_incremental(new_df, settled).collect()
+    }
+    want = {
+        r.node: r.component
+        for r in D.connected_components(
+            old_df.unionByName(new_df)
+        ).collect()
+    }
+    assert got == want
