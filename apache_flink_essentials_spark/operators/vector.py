@@ -1013,7 +1013,16 @@ def embedding_dedup_pairs(
     """Embedding-cosine near-duplicate pairs (all-pairs intent, LSH-bucketed
     execution): same-bucket pairs with cosine ≥ threshold. Near-identical
     vectors agree on every sign bit with overwhelming probability, so recall
-    at dedup thresholds (≥.99) is high while cost stays Σ bucket²."""
+    at dedup thresholds (≥.99) is high while cost stays Σ bucket².
+
+    Scaling knob: ``num_planes`` sets the bucket count (2^planes). With a
+    FIXED plane count, bucket occupancy grows ∝ corpus and Σ bucket²
+    super-linearizes (the r12 sf0.1→sf1 curve measured alpha 1.24 at the
+    default 8 planes) — grow planes with log₂(corpus) so expected
+    occupancy stays constant; each extra plane costs one more sign bit
+    per row and halves expected bucket size. Recall at ≥.99 thresholds
+    is insensitive to the plane count (near-identical vectors agree on
+    every added bit too)."""
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
     # The bucket/norm expressions are built as ONE SQL string instead of
