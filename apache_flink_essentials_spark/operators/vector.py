@@ -637,6 +637,28 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
+def auto_num_planes(
+    n_rows: int, target_bucket_rows: int = 8, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count that keeps EXPECTED bucket occupancy constant as the
+    corpus grows: ``clamp(ceil(log2(n / target)), lo, hi)``. With a fixed
+    plane count, occupancy ∝ corpus and the Σ bucket² pair stage
+    super-linearizes (the r12 sf0.1→sf1 curve measured alpha 1.24 for
+    ``embedding_dedup_pairs`` at the fixed default 8); growing planes with
+    log₂(corpus) holds occupancy at ``target_bucket_rows`` so the pair
+    stage is O(corpus · target). The formula is engine-replicable — the
+    DuckDB oracle computes the same ``ceil(log2(count(*)/target))`` — and
+    avoids exact-power-of-two FP edges only insofar as synthetic corpus
+    sizes aren't exact multiples of ``target·2^k``; both engines evaluate
+    the identical double expression, so they agree regardless."""
+    if n_rows <= 0:
+        return lo
+    import math
+
+    raw = math.ceil(math.log2(max(n_rows, 1) / float(target_bucket_rows)))
+    return max(lo, min(hi, raw))
+
+
 def ann_lsh_cosine(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1005,10 +1027,11 @@ def _ann_lsh_cosine_arrow(
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
-    num_planes: int = 8,
+    num_planes: "int | None" = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    target_bucket_rows: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (all-pairs intent, LSH-bucketed
     execution): same-bucket pairs with cosine ≥ threshold. Near-identical
@@ -1022,7 +1045,17 @@ def embedding_dedup_pairs(
     occupancy stays constant; each extra plane costs one more sign bit
     per row and halves expected bucket size. Recall at ≥.99 thresholds
     is insensitive to the plane count (near-identical vectors agree on
-    every added bit too)."""
+    every added bit too).
+
+    ``num_planes=None`` applies that policy automatically via
+    :func:`auto_num_planes` (one metadata-cheap ``count()`` up front):
+    occupancy is held at ``target_bucket_rows`` so the pair stage stays
+    O(corpus) instead of Σ bucket² super-linear — the measured r12 A/B is
+    in SCALING_CURVE.json (`vec_embedding_dedup_auto`)."""
+    if num_planes is None:
+        num_planes = auto_num_planes(
+            embeddings.count(), target_bucket_rows=target_bucket_rows
+        )
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
     # The bucket/norm expressions are built as ONE SQL string instead of

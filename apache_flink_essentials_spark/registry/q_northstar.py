@@ -550,6 +550,52 @@ _register(
     )
 )
 
+# r12: the auto-planes variant. A FIXED plane count super-linearizes the
+# Σ bucket² pair stage as the corpus grows (sf0.1→sf1 curve: alpha 1.24 at
+# 8 planes); `num_planes=None` derives clamp(ceil(log2(n/8)), 4, 24) from a
+# metadata-cheap count so expected occupancy stays constant. The oracle
+# replicates the SAME formula from count(*) and masks unused bits of a
+# 24-plane bucket expression — fully hash-checkable at ANY scale factor
+# (the fixture sizes 20/200/2000/20000 put n/8 safely between powers of
+# two, so ceil(log2(·)) can't straddle a ULP edge across engines).
+_AUTO_PLANES = [V._hyperplane(64, p) for p in range(24)]
+_AUTO_PLANES_SQL = ",\n           ".join(
+    "[" + ",".join(repr(c) for c in plane) + "]::DOUBLE[] AS p%d" % i
+    for i, plane in enumerate(_AUTO_PLANES)
+)
+_AUTO_BUCKET_SQL = "\n             + ".join(
+    f"(CASE WHEN {j} < n.np AND list_aggregate(list_transform(range(1, 65),"
+    f" i -> embedding[i]::DOUBLE * p{j}[i]), 'sum') >= 0"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j in range(24)
+)
+
+_register(
+    "vec_embedding_dedup_auto",
+    f"""
+    WITH n AS (
+      SELECT greatest(4, least(24,
+               ceil(log2(count(*) / 8.0))::INT)) AS np
+      FROM embeddings
+    ),
+    planes AS (SELECT {_AUTO_PLANES_SQL}),
+    bk AS (
+      SELECT vec_id, embedding,
+             {_AUTO_BUCKET_SQL} AS bucket
+      FROM embeddings, planes, n
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+    late=True,
+)(
+    lambda spark, sf: V.embedding_dedup_pairs(
+        load_table(spark, "embeddings", sf), threshold=0.35, num_planes=None
+    )
+)
+
 def _curation(spark: SparkSession, sf: str) -> DataFrame:
     # end-to-end training-data curation: language gate → quality gate →
     # exact dedup (min-id representative per fingerprint) → per-source

@@ -130,6 +130,7 @@ HEADLINE = [
     "ts_ewma_smooth",
     "vec_knn_recall",
     "vec_embedding_dedup",
+    "vec_embedding_dedup_auto",
     "text_inverted_index",
     "dedup_exact_best",
     # round-5 additions: Gopher rule battery, CCNet paragraph dedup,

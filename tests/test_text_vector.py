@@ -103,6 +103,33 @@ def test_embedding_dedup_finds_planted_duplicate(spark):
     assert pairs.get((0, 1)) == 1.0
 
 
+def test_embedding_dedup_auto_planes(spark):
+    # policy: occupancy held constant — clamp(ceil(log2(n/target)), 4, 24)
+    assert V.auto_num_planes(0) == 4
+    assert V.auto_num_planes(20) == 4          # sf0.001 fixture → lo clamp
+    assert V.auto_num_planes(200) == 5         # sf0.01
+    assert V.auto_num_planes(2_000) == 8       # sf0.1 — matches the pinned oracle
+    assert V.auto_num_planes(20_000) == 12     # sf1
+    assert V.auto_num_planes(10**12) == 24     # hi clamp
+
+    # identical vectors share every sign bit at ANY plane count, so the
+    # planted exact duplicate survives auto scaling
+    import random
+
+    random.seed(9)
+    dim = 64
+    base = [random.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, base, 0), (1, list(base), 0)] + [
+        (i, [random.uniform(-1, 1) for _ in range(dim)], 1) for i in range(2, 20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in V.embedding_dedup_pairs(emb, threshold=0.99, num_planes=None).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+
+
 def test_multimodal_feature_plumbing(spark, docs):
     feats = M.extract_features(M.documents_as_media(docs), dim=8).collect()
     assert len(feats) == 5
