@@ -967,3 +967,25 @@ def test_assign_components_incremental_matches_full(spark, edge_rows, split):
         ).collect()
     }
     assert got == want
+
+
+@given(ns=st.lists(st.integers(min_value=1, max_value=10**13), min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_auto_num_planes_matches_duckdb_formula(ns):
+    # vec_embedding_dedup_auto's oracle derives the plane count with
+    # DuckDB's greatest(4, least(24, ceil(log2(n/8.0))::INT)); the Spark
+    # side uses vector.auto_num_planes. Both must agree for EVERY corpus
+    # size or the bucket assignment (hence the whole result) diverges —
+    # including at exact powers of two where ceil(log2(...)) sits on an
+    # FP edge.
+    import duckdb
+
+    from apache_flink_essentials_spark.operators.vector import auto_num_planes
+
+    ns = ns + [8 * (1 << k) for k in range(0, 30, 3)]  # force exact-power edges
+    got = duckdb.sql(
+        "SELECT n, greatest(4, least(24, ceil(log2(n / 8.0))::INT)) AS np "
+        "FROM (SELECT unnest([" + ",".join(map(str, ns)) + "]::BIGINT[]) AS n)"
+    ).fetchall()
+    for n, np_duck in got:
+        assert auto_num_planes(n) == np_duck, (n, auto_num_planes(n), np_duck)
