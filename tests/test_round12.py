@@ -287,3 +287,40 @@ def test_theilsen_two_bins_single_pair(spark):
     assert len(r) == 1
     assert r[0]["n_pairs"] == 1
     assert abs(r[0]["slope_micro_per_bin"] - 3_000_000.0) < 1e-6
+
+
+def test_shuffle_audit_reads_real_exchange_metrics(spark):
+    # Guards the py4j executed-plan traversal in scripts/shuffle_audit.py
+    # (AQE wrappers + QueryStage descent) against Spark upgrades: a
+    # grouped aggregate MUST surface a shuffle exchange with non-zero
+    # shuffleBytesWritten, and a broadcast join a BroadcastExchange.
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from shuffle_audit import collect_exchanges
+
+    df = (
+        spark.range(0, 10_000)
+        .groupBy((F.col("id") % 97).alias("k"))
+        .agg(F.sum("id").alias("s"))
+    )
+    plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()
+    ex = collect_exchanges(plan)
+    shuffles = [e for e in ex if e["kind"] == "shuffle"]
+    assert shuffles and all(e["bytes"] > 0 and e["records"] > 0 for e in shuffles)
+
+    dim = spark.range(0, 10).withColumnRenamed("id", "k")
+    joined = (
+        spark.range(0, 1_000)
+        .withColumn("k", F.col("id") % 10)
+        .join(F.broadcast(dim), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    plan2 = joined._jdf.queryExecution().executedPlan()
+    plan2.execute().count()
+    kinds = {e["kind"] for e in collect_exchanges(plan2)}
+    assert "broadcast" in kinds
