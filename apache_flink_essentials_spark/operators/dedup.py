@@ -493,24 +493,31 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     md5(t); contribution ±1; fingerprint bit = 1 if the sum > 0.
     bits ≤ 32 (md5 hex digits). Returns (id, simhash BIGINT).
     """
-    toks = F.array_distinct(tokens_expr(text_col))
-    hashed = F.transform(toks, lambda t: F.md5(t))
-
-    def bit_sum(j: int):
-        # factory-bound j: a default-arg lambda would change the lambda arity
-        # and be misread by aggregate() as a 3-arg (acc, elem, idx) function
-        return lambda acc, h: acc + F.when(
-            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("long") % 2 == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for j in range(bits):
-        contrib = F.aggregate(hashed, F.lit(0).cast("long"), bit_sum(j))
-        bit_cols.append(F.when(contrib > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    # ONE md5 per token and ONE fold over the token array. The naive form
+    # (32 separate aggregate() folds, one per bit, each re-deriving the
+    # md5 array because HOF subtrees aren't common-subexpression-
+    # eliminated) recomputes md5 32× per token and re-walks the array 32×
+    # per doc — it measured 19.2 s at sf0.1 / 626.6 s at sf1, the slowest
+    # plan in the repo. Here the fold accumulates a per-bit odd-digit
+    # count array in one pass; bit j of the fingerprint is then
+    # ``2*count_j - n_tokens > 0`` — algebraically identical to the
+    # per-bit ±1 sum (contrib_j = 2*S_j − n), so results are bit-equal
+    # and the DuckDB oracle twin is untouched. Built as one SQL string:
+    # the Column-API HOF form pays a py4j round trip per lambda.
+    odd = "('1','3','5','7','9','b','d','f')"
+    toks_sql = rf"array_distinct(split(lower(`{text_col}`), '\\s+'))"
+    counts = (
+        f"aggregate(transform({toks_sql}, t -> md5(t)), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(1, {bits}), "
+        f"j -> IF(substring(h, j, 1) IN {odd}, 1L, 0L)), (a, b) -> a + b))"
+    )
+    fp = (
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        f"(c, j) -> IF(2L * c - size({toks_sql}) > 0, shiftleft(1L, j), 0L)), "
+        f"0L, (a, x) -> a + x)"
+    )
+    return df.selectExpr(f"`{id_col}`", f"{fp} AS simhash")
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, max_hamming: int = 3) -> DataFrame:
@@ -523,16 +530,86 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     sh = sh.withColumn("lo", F.col("simhash") % (2 ** half)).withColumn(
         "hi", F.floor(F.col("simhash") / (2 ** half))
     )
+    # the fingerprint relation feeds FOUR join inputs (a/b × two bands);
+    # without a materialization barrier Spark recomputes the whole
+    # fingerprint projection per input — 4× the corpus's most expensive
+    # per-row pass for a relation of 3 slim columns (measured ~25 s per
+    # recomputation at sf1). localCheckpoint materializes it once.
+    sh = sh.localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo", "hi")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo", "hi")
-    cands = (
-        a.join(b.drop("hi"), on="lo").select("id_a", "id_b", "sh_a", "sh_b")
-        .unionByName(a.drop("lo").join(b.drop("lo"), on="hi").select("id_a", "id_b", "sh_a", "sh_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+    # hamming-filter INSIDE each band join, BEFORE the cross-band
+    # dedup: popcount commutes with dropDuplicates, and the dedup is the
+    # only pair-level EXCHANGE in the plan — unfiltered it shuffles the
+    # whole candidate relation (the r12 shuffle-byte audit measured
+    # 941 MB / 75M candidate records at sf1 on the dense synthetic
+    # vocabulary, byte-alpha 1.92; filtered, the exchange carries only
+    # actual near-dups, which is output-sized). The XOR/popcount work is
+    # unchanged — it runs map-side in the join task either way.
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+
+    def band(joined: DataFrame) -> DataFrame:
+        return (
+            joined.filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    return (
+        band(a.join(b.drop("hi"), on="lo"))
+        .unionByName(band(a.drop("lo").join(b.drop("lo"), on="hi")))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_best_match(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Corpus-bounded contract over :func:`simhash_dup_pairs`: per doc, the
+    band-colliding partner with the SMALLEST hamming distance (ties → the
+    smallest partner id) → ``(doc_id, best_match_id, best_hamming)``.
+
+    The pair LIST is quadratic in duplicate-group size — the r12
+    shuffle-byte audit measured 64.5M result pairs / ~745 MB shuffled at
+    sf1 on the dense synthetic vocabulary (byte-alpha 1.95), and ALL of
+    it is the result relation itself. Here each band join's candidate
+    stream feeds a map-side-combined ``min_by`` aggregate: pairs reduce
+    to per-doc bests inside the join task, the only pair-level exchange
+    carries ≤|corpus| rows, and cross-band / both-direction duplicates
+    are harmless because min is idempotent under re-delivery."""
+    half = bits // 2
+    sh = simhash(df, id_col, text_col, bits)
+    sh = sh.withColumn("lo", F.col("simhash") % (2 ** half)).withColumn(
+        "hi", F.floor(F.col("simhash") / (2 ** half))
+    )
+    # materialize once — four join inputs below (see simhash_dup_pairs)
+    sh = sh.localCheckpoint(eager=False)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo", "hi")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo", "hi")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+    def band(joined: DataFrame) -> DataFrame:
+        return (
+            joined.filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.col("id_a").alias("doc"),
+                F.col("id_b").alias("partner"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    cands = band(a.join(b.drop("hi"), on="lo")).unionByName(
+        band(a.drop("lo").join(b.drop("lo"), on="hi"))
+    )
+    return cands.groupBy(F.col("doc").alias(id_col)).agg(
+        F.expr("min_by(partner, struct(hamming, partner))").alias("best_match_id"),
+        F.min("hamming").alias("best_hamming"),
+    )
 
 
 def connected_components(

@@ -499,13 +499,35 @@ def triangle_stats(
         )
         .localCheckpoint(eager=False)
     )
-    out_adj = oriented.groupBy("src").agg(
-        F.array_sort(F.collect_list("dst")).alias("_nbrs")
+    # repartition on src BEFORE the collect_list groupBy: the hash agg
+    # then runs on already-distributed slim (src, dst) rows and the
+    # exchange carries two longs per row — left to Catalyst, the agg's
+    # own exchange ships PARTIAL ARRAY rows instead (per-mapper partial
+    # adjacency lists: ~110 B/row of array/row overhead; the r12
+    # shuffle-byte audit measured 252 MB of 315 MB total on that one
+    # exchange at sf1, where the slim form is ~21 MB). The src-side
+    # intersect join below reuses this partitioning too.
+    out_adj = (
+        oriented.repartition(F.col("src"))
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("_nbrs"))
     )
     tri = (
         oriented.join(
             out_adj.select(F.col("src").alias("_s"), F.col("_nbrs").alias("_na")),
             F.col("src") == F.col("_s"),
+        )
+        # prune N+(src) to elements AFTER dst in the total order before
+        # the dst-keyed exchange: a closing node w ∈ N+(dst) always has
+        # w > dst (orientation), so elements ≤ dst can never intersect.
+        # This exchange is the plan's dominant byte term — it ships one
+        # adjacency array PER EDGE (Σ outdeg² elements; the r12
+        # shuffle-byte audit measured 252 MB of 315 MB total at sf1) and
+        # the prune halves it on average. The join above reuses out_adj's
+        # src partitioning, so the arrays themselves shuffle only once.
+        .select(
+            "dst",
+            F.expr("filter(_na, x -> x > dst)").alias("_na"),
         )
         .join(
             out_adj.select(F.col("src").alias("_d"), F.col("_nbrs").alias("_nb")),

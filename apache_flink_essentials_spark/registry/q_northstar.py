@@ -674,9 +674,10 @@ def _curation_oracle() -> str:
 _register("curation_pipeline", _curation_oracle())(_curation)
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
-    """Generate the DuckDB twin of operators.dedup.simhash_dup_pairs: same
-    md5-hex-digit-parity construction bit for bit."""
+def _simhash_keyed_prefix(bits: int = 32) -> str:
+    """Shared CTE prefix of the simhash oracles: md5-hex-digit-parity
+    fingerprints (bit for bit the operators.dedup.simhash construction)
+    banded into lo/hi halves."""
     odd = "('1','3','5','7','9','b','d','f')"
     contribs = ", ".join(
         f"list_aggregate(list_transform(hashed, h -> CASE WHEN substr(h, {j + 1}, 1) "
@@ -699,7 +700,12 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
       SELECT doc_id, simhash, simhash % {half} AS lo,
              floor(simhash / {half})::BIGINT AS hi
       FROM fp
-    ), cands AS (
+    )"""
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators.dedup.simhash_dup_pairs."""
+    return rf"""{_simhash_keyed_prefix(bits)}, cands AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
       FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
@@ -712,8 +718,36 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     """
 
 
+def _simhash_best_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators.dedup.simhash_best_match: per-doc argmin
+    over the same band-candidate relation (ties → smallest partner id)."""
+    return rf"""{_simhash_keyed_prefix(bits)}, cands AS (
+      SELECT a.doc_id AS doc, b.doc_id AS partner,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id <> b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))::INT
+      FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id <> b.doc_id
+    ), ranked AS (
+      SELECT doc, partner, hamming,
+             row_number() OVER (PARTITION BY doc
+               ORDER BY hamming, partner) AS rn
+      FROM cands WHERE hamming <= {max_hamming}
+    )
+    SELECT doc AS doc_id, partner AS best_match_id, hamming AS best_hamming
+    FROM ranked WHERE rn = 1
+    """
+
+
 _register("dedup_simhash", _simhash_oracle())(
     lambda spark, sf: D.simhash_dup_pairs(load_table(spark, "documents", sf))
+)
+
+# r12 corpus-bounded twin (the shuffle-byte audit measured the pair form's
+# sf1 result at 64.5M rows / ~745 MB shuffled — all output): per-doc
+# min_by over the band-candidate stream, map-side combined, O(corpus) out.
+_register("dedup_simhash_best", _simhash_best_oracle(), late=True)(
+    lambda spark, sf: D.simhash_best_match(load_table(spark, "documents", sf))
 )
 
 _register(

@@ -232,6 +232,7 @@ HEADLINE = [
     "dedup_containment_best",
     "vec_cosine_best_match",
     "dedup_ngram_best_match_capped",
+    "dedup_simhash_best",
     # round-8 batch 3-4: join-size pre-audit (predicts the join it never
     # runs), Kaplan-Meier gap survival, per-source Jensen-Shannon drift.
     # graph_kcore and er_golden_record stay sweep-only: their bench cost

@@ -39,6 +39,7 @@ DEFAULT_SET = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_best",
     "dedup_ngram_jaccard",
     "dedup_ngram_best_match_capped",
     "dedup_containment_best",

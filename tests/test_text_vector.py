@@ -52,6 +52,24 @@ def test_simhash_exact_dup_zero_hamming(spark, docs):
     assert out.get((0, 1)) == 0
 
 
+def test_simhash_best_match_agrees_with_pair_argmin(spark, docs):
+    # the corpus-bounded contract must equal a driver-side argmin over the
+    # symmetrized pair output (hamming asc, partner asc tiebreak)
+    pairs = D.simhash_dup_pairs(docs).collect()
+    expect = {}
+    for r in pairs:
+        for doc, partner in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            cur = expect.get(doc)
+            if cur is None or (r.hamming, partner) < cur:
+                expect[doc] = (r.hamming, partner)
+    got = {
+        r.doc_id: (r.best_hamming, r.best_match_id)
+        for r in D.simhash_best_match(docs).collect()
+    }
+    assert got == expect
+    assert got  # the planted exact dup guarantees a non-empty result
+
+
 def test_text_stats_exact(spark, docs):
     r = X.text_stats(docs).filter(F.col("doc_id") == 4).collect()[0]
     assert (r.n_tokens, r.n_distinct_tokens, r.n_chars) == (2, 2, 10)
