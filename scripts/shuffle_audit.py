@@ -181,6 +181,10 @@ def main() -> None:
                     )
             except Exception as exc:  # noqa: BLE001
                 entry["hi"] = {"err": str(exc)[:200]}
+        # preserve hand-written adjudication notes across re-runs
+        prior = results["queries"].get(name) or {}
+        if prior.get("note") and "note" not in entry:
+            entry["note"] = prior["note"]
         results["queries"][name] = entry
         flat = {k: v for k, v in entry.get("lo", {}).items()}
         print(
