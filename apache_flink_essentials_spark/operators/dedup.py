@@ -493,29 +493,65 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     md5(t); contribution ±1; fingerprint bit = 1 if the sum > 0.
     bits ≤ 32 (md5 hex digits). Returns (id, simhash BIGINT).
     """
-    # ONE md5 per token and ONE fold over the token array. The naive form
-    # (32 separate aggregate() folds, one per bit, each re-deriving the
-    # md5 array because HOF subtrees aren't common-subexpression-
-    # eliminated) recomputes md5 32× per token and re-walks the array 32×
-    # per doc — it measured 19.2 s at sf0.1 / 626.6 s at sf1, the slowest
-    # plan in the repo. Here the fold accumulates a per-bit odd-digit
-    # count array in one pass; bit j of the fingerprint is then
-    # ``2*count_j - n_tokens > 0`` — algebraically identical to the
-    # per-bit ±1 sum (contrib_j = 2*S_j − n), so results are bit-equal
-    # and the DuckDB oracle twin is untouched. Built as one SQL string:
-    # the Column-API HOF form pays a py4j round trip per lambda.
-    odd = "('1','3','5','7','9','b','d','f')"
+    # ONE md5 per token and ONE bit-sliced fold. Three generations,
+    # measured at sf0.1 (5000 docs, hot):
+    #   1. 32 aggregate() folds, one per bit, each re-deriving the md5
+    #      array (HOF subtrees aren't CSE'd): md5 computed 32× per token;
+    #      19.2 s at sf0.1 / 626.6 s at sf1 — the repo's slowest plan.
+    #   2. one fold with an array<long> of 32 per-bit counters via
+    #      zip_with: 2.6 s — the 32-element array allocation per TOKEN
+    #      dominates.
+    #   3. (this form, 0.76 s) bit-sliced counters: each token becomes one
+    #      BIGINT parity mask — translate() maps each md5 hex digit to
+    #      '0'/'1' by parity, conv(·, 2, 10) packs the 32-char string so
+    #      mask bit (31−j) = parity of digit j+1 — and the fold adds the
+    #      mask's bits into 8 BIGINT accumulators holding 4 sixteen-bit
+    #      counter lanes each (pure shift/mask/add, no per-token
+    #      allocation). Fingerprint bit j = 2·count_j − n_tokens > 0,
+    #      algebraically identical to the per-bit ±1 sum (contrib_j =
+    #      2·S_j − n), so results are bit-equal to the original
+    #      construction and the DuckDB oracle twin is untouched.
+    # The counts/n pair is bound ONCE via a single-element transform()
+    # (HOFs have no let-binding; referencing the fold from the 32-term
+    # fingerprint expression directly would re-evaluate it per term).
+    # 16-bit lanes bound distinct-tokens-per-doc at 65535 — enforced with
+    # an assert_true folded into the n field (same idiom as
+    # graph.triangle_stats' packed-order guard).
+    # Built as one SQL string: the Column-API HOF form pays a py4j round
+    # trip per lambda literal.
+    if bits != 32:
+        raise ValueError("simhash bit-sliced fold is specified for bits=32")
     toks_sql = rf"array_distinct(split(lower(`{text_col}`), '\\s+'))"
+    mask_sql = (
+        "cast(conv(translate(md5(t), '02468ace13579bdf', "
+        "'0000000011111111'), 2, 10) as bigint)"
+    )
+
+    def _spread(lane: int) -> str:
+        return " + ".join(
+            f"shiftleft(shiftright(m, {31 - (4 * lane + s)}) & 1, {16 * s})"
+            for s in range(4)
+        )
+
+    acc0 = ", ".join(["0L"] * 8)
+    upd = ", ".join(f"acc[{lane}] + ({_spread(lane)})" for lane in range(8))
     counts = (
-        f"aggregate(transform({toks_sql}, t -> md5(t)), "
-        f"array_repeat(0L, {bits}), "
-        f"(acc, h) -> zip_with(acc, transform(sequence(1, {bits}), "
-        f"j -> IF(substring(h, j, 1) IN {odd}, 1L, 0L)), (a, b) -> a + b))"
+        f"aggregate(transform({toks_sql}, t -> {mask_sql}), "
+        f"array({acc0}), (acc, m) -> array({upd}))"
+    )
+    n_guarded = (
+        f"size({toks_sql}) + coalesce(cast(assert_true("
+        f"size({toks_sql}) < 65536, "
+        f"'simhash 16-bit counter lanes require < 65536 distinct tokens "
+        f"per document') as bigint), 0L)"
     )
     fp = (
-        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
-        f"(c, j) -> IF(2L * c - size({toks_sql}) > 0, shiftleft(1L, j), 0L)), "
-        f"0L, (a, x) -> a + x)"
+        f"element_at(transform("
+        f"array(named_struct('c', {counts}, 'n', {n_guarded})), "
+        f"st -> aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(a, j) -> a + IF(2L * (shiftright("
+        f"element_at(st.c, cast(j / 4 as int) + 1), 16 * (j % 4)) & 65535) "
+        f"- st.n > 0, shiftleft(1L, j), 0L))), 1)"
     )
     return df.selectExpr(f"`{id_col}`", f"{fp} AS simhash")
 
