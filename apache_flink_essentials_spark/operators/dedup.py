@@ -485,6 +485,73 @@ def ngram_jaccard_best_match(
     )
 
 
+# Hot-bucket salting for the banded self-joins below. AQE's skew-join
+# never helps here: it splits by partition BYTES (256 MB default), but a
+# hot band bucket is COMPUTE-skewed at tiny byte size — 50k slim
+# (id, fingerprint) rows are ~1 MB yet do n² popcounts in one task (the
+# r12 sf1 curve watched 3 stragglers carry a 32-task stage for ~25 min).
+# Salting splits the WORK, not the bytes: left rows get a deterministic
+# slice pmod(xxhash64(id), S_k); right rows replicate across all S_k
+# slices — but ONLY for keys the broadcast hot-set marks, with
+# S_k = ceil(n_k / threshold) capped at _SALT_MAX_SLICES, so cold keys
+# (the overwhelming majority) pay zero replication and the join stays a
+# single equi-shuffle on (band, salt). Pair semantics are untouched:
+# every (left, right) row combination meets in exactly one slice.
+_SALT_BUCKET_THRESHOLD = 4096
+_SALT_MAX_SLICES = 64
+
+
+def _salted_band_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    id_a: str = "id_a",
+    threshold: int | None = None,
+    max_slices: int | None = None,
+) -> DataFrame:
+    """Self-band-join ``a ⋈ b ON key`` with deterministic salting of hot
+    band buckets (see module comment above). ``a`` must carry one row per
+    corpus doc — its per-key counts define the hot set."""
+    threshold = threshold or _SALT_BUCKET_THRESHOLD
+    cap = max_slices or _SALT_MAX_SLICES
+    hot = (
+        a.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(
+            key,
+            F.least(
+                F.ceil(F.col("_n") / F.lit(threshold)), F.lit(cap)
+            ).cast("int").alias("_slices"),
+        )
+    )
+    a2 = (
+        a.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_slices").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_a)), F.col("_slices")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_slices")
+    )
+    b2 = (
+        b.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_slices").isNotNull(),
+                    F.sequence(F.lit(0), F.col("_slices") - F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_slices")
+    )
+    return a2.join(b2, on=[key, "_salt"]).drop("_salt")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint (Charikar '02): sum ±1 per bit over token hashes,
     sign → bit. Near-dups differ in few bits (Hamming distance).
@@ -560,7 +627,12 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """SimHash near-dup candidates: docs whose fingerprints agree on either
     half band (standard multi-index trick: hamming ≤ k pairs must collide on
     at least one of k+1 disjoint bands; here 2 bands ⇒ guarantees h ≤ 1,
-    catches most h ≤ 2). Verified by exact popcount filter."""
+    catches most h ≤ 2). Verified by exact popcount filter.
+
+    Hot band buckets (e.g. boilerplate or empty docs sharing one
+    fingerprint half) are salted via :func:`_salted_band_join` so the
+    quadratic within-bucket compare parallelizes instead of funneling
+    into one task; pair output is identical."""
     half = bits // 2
     sh = simhash(df, id_col, text_col, bits)
     sh = sh.withColumn("lo", F.col("simhash") % (2 ** half)).withColumn(
@@ -592,8 +664,8 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         )
 
     return (
-        band(a.join(b.drop("hi"), on="lo"))
-        .unionByName(band(a.drop("lo").join(b.drop("lo"), on="hi")))
+        band(_salted_band_join(a, b.drop("hi"), "lo"))
+        .unionByName(band(_salted_band_join(a.drop("lo"), b.drop("lo"), "hi")))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -639,8 +711,8 @@ def simhash_best_match(
             .filter(F.col("hamming") <= max_hamming)
         )
 
-    cands = band(a.join(b.drop("hi"), on="lo")).unionByName(
-        band(a.drop("lo").join(b.drop("lo"), on="hi"))
+    cands = band(_salted_band_join(a, b.drop("hi"), "lo")).unionByName(
+        band(_salted_band_join(a.drop("lo"), b.drop("lo"), "hi"))
     )
     return cands.groupBy(F.col("doc").alias(id_col)).agg(
         F.expr("min_by(partner, struct(hamming, partner))").alias("best_match_id"),

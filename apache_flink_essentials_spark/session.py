@@ -56,6 +56,18 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JDK 17 + local[32] + parquet readers: allocation-heavy stages can
+        # die with a SPURIOUS "Retried waiting for GCLocker too often" OOM
+        # while heap is free — 32 threads keep re-entering JNI critical
+        # sections (parquet page decompression) so the retried allocation
+        # never sees a completed GC (observed killing a 64.5M-row stage at
+        # 8g that succeeds with headroom). Raising the retry count from the
+        # default 2 lets the allocation wait out the critical sections
+        # instead of throwing; no effect on genuinely-exhausted heaps.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")

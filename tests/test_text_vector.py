@@ -1338,3 +1338,64 @@ def test_connected_components_long_chain_and_dups(spark):
     )
     assert all(rows[i] == 0 for i in range(17))
     assert rows[100] == 100 and rows[101] == 100
+
+
+def test_simhash_bit_sliced_guards(spark):
+    # gen-3 bit-sliced fold (dedup.simhash): 16-bit counter lanes cap
+    # distinct tokens per doc at 65535 — the guard must be a loud
+    # assert_true, never a silent wrap; and the lane layout is specified
+    # for bits=32 only.
+    from apache_flink_essentials_spark.operators import dedup as D
+
+    with pytest.raises(ValueError):
+        D.simhash(
+            spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+            bits=16,
+        )
+
+    ok = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    assert D.simhash(ok).collect()[0].simhash is not None
+
+    # 65536+ distinct tokens in one doc must fail LOUDLY: under ANSI
+    # (Spark 4 default) the 2^48-lane accumulation overflows long first
+    # (ARITHMETIC_OVERFLOW); under non-ANSI the fold wraps silently and
+    # the assert_true lane guard fires instead — either way, no silent
+    # wrong fingerprint
+    import pyspark.sql.functions as FF
+
+    big = spark.range(1).select(
+        FF.lit(1).alias("doc_id"),
+        FF.array_join(
+            FF.transform(FF.sequence(FF.lit(0), FF.lit(65600)), lambda i: FF.concat(FF.lit("t"), i.cast("string"))),
+            " ",
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="65536|assert|overflow|ARITHMETIC"):
+        D.simhash(big).collect()
+
+
+def test_simhash_salted_band_join_pairs_unchanged(spark, docs, monkeypatch):
+    # force EVERY multi-doc band bucket through the hot-bucket salting
+    # path (threshold 1) — the pair set and per-doc bests must be
+    # byte-identical to the unsalted plan
+    import apache_flink_essentials_spark.operators.dedup as DD
+
+    base_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_dup_pairs(docs).collect()
+    }
+    base_best = {
+        (r.doc_id, r.best_match_id, r.best_hamming)
+        for r in D.simhash_best_match(docs).collect()
+    }
+    monkeypatch.setattr(DD, "_SALT_BUCKET_THRESHOLD", 1)
+    salted_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_dup_pairs(docs).collect()
+    }
+    salted_best = {
+        (r.doc_id, r.best_match_id, r.best_hamming)
+        for r in D.simhash_best_match(docs).collect()
+    }
+    assert salted_pairs == base_pairs and base_pairs
+    assert salted_best == base_best and base_best
