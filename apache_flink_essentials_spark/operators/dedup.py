@@ -720,6 +720,113 @@ def simhash_best_match(
     )
 
 
+def build_simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Persistable simhash fingerprint table for incremental dedup:
+    ``(id, simhash, lo, hi, sig_bits)``. Write it once per corpus; later
+    batches dedup against it via :func:`simhash_dedup_with_fingerprints`
+    without ever re-hashing the corpus (the simhash mirror of
+    :func:`build_signature_table` / ``near_dedup_with_signatures``).
+    ``sig_bits`` is carried as a constant column so a mismatched-``bits``
+    read fails fast instead of silently never colliding."""
+    half = bits // 2
+    return simhash(df, id_col, text_col, bits).select(
+        F.col(id_col),
+        "simhash",
+        (F.col("simhash") % (2 ** half)).alias("lo"),
+        F.floor(F.col("simhash") / (2 ** half)).alias("hi"),
+        F.lit(bits).alias("sig_bits"),
+    )
+
+
+def simhash_dedup_with_fingerprints(
+    new_df: DataFrame,
+    fingerprint_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental simhash near-dedup: rows of ``new_df`` that do NOT
+    collide (band match + hamming ≤ ``max_hamming``) with any corpus doc
+    in a PREBUILT :func:`build_simhash_table` relation. Only the new
+    batch is hashed; the corpus contributes its stored fingerprints —
+    the 100 TB contract is that ingest cost is O(batch), never
+    O(corpus).
+
+    The two band joins go through :func:`_salted_band_join` with the
+    CORPUS as the counted side, so a hot corpus bucket (boilerplate
+    fingerprints) replicates the SMALL batch side across salts — the
+    cheap direction."""
+    if "sig_bits" not in fingerprint_table.columns:
+        raise ValueError(
+            "fingerprint_table lacks a sig_bits column; build it with "
+            "build_simhash_table so bit-width compatibility can be "
+            "validated"
+        )
+    stored = fingerprint_table.select("sig_bits").limit(1).collect()
+    if stored and int(stored[0][0]) != int(bits):
+        raise ValueError(
+            f"fingerprint_table was built with bits={int(stored[0][0])} "
+            f"but simhash_dedup_with_fingerprints was called with "
+            f"bits={bits}; mismatched widths band differently and would "
+            f"silently pass near-duplicates through"
+        )
+    new_sh = build_simhash_table(new_df, id_col, text_col, bits)
+    corp = fingerprint_table.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("simhash").alias("sh_c"),
+        "lo",
+        "hi",
+    )
+    newb = new_sh.select(
+        F.col(id_col).alias("new_id"),
+        F.col("simhash").alias("sh_n"),
+        "lo",
+        "hi",
+    )
+    hamming = F.bit_count(F.col("sh_c").bitwiseXOR(F.col("sh_n")))
+
+    def matched(joined: DataFrame) -> DataFrame:
+        return joined.filter(hamming <= max_hamming).select("new_id")
+
+    hits = matched(
+        _salted_band_join(corp.drop("hi"), newb.drop("hi"), "lo", id_a="corpus_id")
+    ).unionByName(
+        matched(
+            _salted_band_join(corp.drop("lo"), newb.drop("lo"), "hi", id_a="corpus_id")
+        )
+    ).distinct()
+    return new_df.join(
+        hits.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def simhash_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One-shot front door: build the corpus fingerprint table inline and
+    dedup ``new_df`` against it (prefer persisting the table via
+    :func:`build_simhash_table` when the corpus outlives one batch)."""
+    return simhash_dedup_with_fingerprints(
+        new_df,
+        build_simhash_table(corpus_df, id_col, text_col, bits),
+        id_col,
+        text_col,
+        bits,
+        max_hamming,
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -750,6 +750,44 @@ _register("dedup_simhash_best", _simhash_best_oracle(), late=True)(
     lambda spark, sf: D.simhash_best_match(load_table(spark, "documents", sf))
 )
 
+
+def _simhash_inc_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators.dedup.simhash_dedup_with_fingerprints:
+    odd-id batch deduped against the even-id corpus's fingerprints."""
+    return rf"""{_simhash_keyed_prefix(bits)}, matched AS (
+      SELECT DISTINCT n.doc_id AS new_id
+      FROM keyed n JOIN keyed c ON n.lo = c.lo
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND bit_count(xor(n.simhash, c.simhash)) <= {max_hamming}
+      UNION
+      SELECT DISTINCT n.doc_id
+      FROM keyed n JOIN keyed c ON n.hi = c.hi
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND bit_count(xor(n.simhash, c.simhash)) <= {max_hamming}
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM matched)
+    """
+
+
+def _simhash_inc(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.simhash_dedup_against_corpus(new, corpus).select(
+        "doc_id", "source"
+    )
+
+
+# r12b: the simhash leg of the incremental-ingest matrix (minhash already
+# has near_dedup_with_signatures; ER has assign_components_incremental) —
+# batch hashed O(batch), corpus fingerprints reused from a persisted
+# build_simhash_table relation, batch side (the small one) replicated by
+# the hot-bucket salting.
+_register("dedup_simhash_incremental", _simhash_inc_oracle(), late=True)(
+    _simhash_inc
+)
+
 _register(
     "multimodal_metadata",
     """

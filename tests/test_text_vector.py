@@ -1399,3 +1399,51 @@ def test_simhash_salted_band_join_pairs_unchanged(spark, docs, monkeypatch):
     }
     assert salted_pairs == base_pairs and base_pairs
     assert salted_best == base_best and base_best
+
+
+def test_simhash_incremental_prebuilt_equals_inline_and_guards(spark, docs):
+    # split the fixture into corpus (even ids) and batch (odd ids): the
+    # prebuilt-fingerprint path must equal the inline front door, and the
+    # survivors must be exactly batch-minus-(band+hamming matched)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    table = D.build_simhash_table(corpus)
+    via_table = {
+        r.doc_id
+        for r in D.simhash_dedup_with_fingerprints(batch, table).collect()
+    }
+    inline = {
+        r.doc_id
+        for r in D.simhash_dedup_against_corpus(batch, corpus).collect()
+    }
+    assert via_table == inline
+
+    # driver-side truth: batch doc survives iff NO corpus doc shares a
+    # band half with hamming <= 3
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    half = 1 << 16
+
+    def bands(s):
+        return (s % half, s // half)
+
+    expect = set()
+    for b in (r.doc_id for r in batch.collect()):
+        hit = False
+        for c in (r.doc_id for r in corpus.collect()):
+            same_band = bands(fp[b])[0] == bands(fp[c])[0] or (
+                bands(fp[b])[1] == bands(fp[c])[1]
+            )
+            if same_band and bin(fp[b] ^ fp[c]).count("1") <= 3:
+                hit = True
+                break
+        if not hit:
+            expect.add(b)
+    assert via_table == expect
+
+    # parameter guards: missing / mismatched sig_bits fail fast
+    with pytest.raises(ValueError, match="sig_bits"):
+        D.simhash_dedup_with_fingerprints(batch, table.drop("sig_bits"))
+    with pytest.raises(ValueError, match="bits=32"):
+        D.simhash_dedup_with_fingerprints(
+            batch, table.withColumn("sig_bits", F.lit(16))
+        )
