@@ -509,47 +509,19 @@ def _salted_band_join(
     threshold: int | None = None,
     max_slices: int | None = None,
 ) -> DataFrame:
-    """Self-band-join ``a ⋈ b ON key`` with deterministic salting of hot
-    band buckets (see module comment above). ``a`` must carry one row per
-    corpus doc — its per-key counts define the hot set."""
-    threshold = threshold or _SALT_BUCKET_THRESHOLD
-    cap = max_slices or _SALT_MAX_SLICES
-    hot = (
-        a.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > threshold)
-        .select(
-            key,
-            F.least(
-                F.ceil(F.col("_n") / F.lit(threshold)), F.lit(cap)
-            ).cast("int").alias("_slices"),
-        )
+    """Module front door for :func:`skew.hot_bucket_salted_join` (see
+    module comment above) binding this module's threshold/slice constants
+    at CALL time so tests can monkeypatch them."""
+    from .skew import hot_bucket_salted_join
+
+    return hot_bucket_salted_join(
+        a,
+        b,
+        key,
+        id_a=id_a,
+        threshold=threshold or _SALT_BUCKET_THRESHOLD,
+        max_slices=max_slices or _SALT_MAX_SLICES,
     )
-    a2 = (
-        a.join(F.broadcast(hot), on=key, how="left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_slices").isNotNull(),
-                F.pmod(F.xxhash64(F.col(id_a)), F.col("_slices")).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_slices")
-    )
-    b2 = (
-        b.join(F.broadcast(hot), on=key, how="left")
-        .withColumn(
-            "_salt",
-            F.explode(
-                F.when(
-                    F.col("_slices").isNotNull(),
-                    F.sequence(F.lit(0), F.col("_slices") - F.lit(1)),
-                ).otherwise(F.array(F.lit(0)))
-            ),
-        )
-        .drop("_slices")
-    )
-    return a2.join(b2, on=[key, "_salt"]).drop("_salt")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

@@ -9,6 +9,13 @@ cover the cases AQE can't fix:
     deterministic salt.
   * ``replicate_join_skewed`` — hot join keys with a non-broadcastable but
     bounded right side: salt the left, replicate the right per salt.
+  * ``hot_bucket_salted_join`` — the ADAPTIVE form for bucketed self-joins
+    (LSH bands, sign buckets): only keys a broadcast hot-set marks are
+    salted, with a per-key slice count, because AQE's skew-join splits by
+    partition BYTES while a quadratic within-bucket compare is
+    COMPUTE-skewed at tiny byte sizes (a ~1 MB bucket of 50k slim rows is
+    n² popcounts in ONE task — the r12 sf1 curve measured 3 stragglers
+    carrying a 32-task stage for ~25 min until this landed).
 """
 
 from __future__ import annotations
@@ -64,3 +71,59 @@ def replicate_join_skewed(
         "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")))
     )
     return l.join(r, on=[key, "_salt"], how="inner").drop("_salt")
+
+
+def hot_bucket_salted_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    id_a: str = "id_a",
+    threshold: int = 4096,
+    max_slices: int = 64,
+) -> DataFrame:
+    """Self-band-join ``a ⋈ b ON key`` with deterministic salting of hot
+    band buckets only. ``a`` must carry one row per corpus element — its
+    per-key counts define the hot set (count > ``threshold``), which is
+    aggregate-sized by construction (≤ corpus/threshold keys) and
+    broadcasts. Hot keys get ``S_k = ceil(n_k/threshold) ≤ max_slices``
+    slices: ``a`` rows take slice ``pmod(xxhash64(id_a), S_k)``, ``b``
+    rows replicate across all ``S_k`` slices; cold keys keep salt 0 and
+    zero replication. Every (a, b) row combination meets in exactly one
+    slice, so join output is identical to the unsalted form — only the
+    task-level distribution of the quadratic compare changes."""
+    hot = (
+        a.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(
+            key,
+            F.least(
+                F.ceil(F.col("_n") / F.lit(threshold)), F.lit(max_slices)
+            ).cast("int").alias("_slices"),
+        )
+    )
+    a2 = (
+        a.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_slices").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_a)), F.col("_slices")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_slices")
+    )
+    b2 = (
+        b.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_slices").isNotNull(),
+                    F.sequence(F.lit(0), F.col("_slices") - F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_slices")
+    )
+    return a2.join(b2, on=[key, "_salt"]).drop("_salt")

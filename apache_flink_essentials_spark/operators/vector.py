@@ -1024,6 +1024,14 @@ def _ann_lsh_cosine_arrow(
     )
 
 
+# hot-bucket salting threshold for the embedding-dedup self-join: vector
+# rows are WIDE (~8·dim bytes), so replication is costlier per row than in
+# the simhash joins — but each within-bucket compare is a dim-length dot
+# product, so the single-task stall arrives at much SMALLER buckets too.
+# Module-level so tests can force the salted path on small fixtures.
+_VEC_SALT_THRESHOLD = 4096
+
+
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -1051,7 +1059,14 @@ def embedding_dedup_pairs(
     :func:`auto_num_planes` (one metadata-cheap ``count()`` up front):
     occupancy is held at ``target_bucket_rows`` so the pair stage stays
     O(corpus) instead of Σ bucket² super-linear — the measured r12 A/B is
-    in SCALING_CURVE.json (`vec_embedding_dedup_auto`)."""
+    in SCALING_CURVE.json (`vec_embedding_dedup_auto`).
+
+    IDENTICAL vectors share a bucket at ANY plane count (more planes
+    can't split exact duplicates — the boilerplate/zero-embedding case),
+    so the bucket self-join additionally goes through
+    :func:`skew.hot_bucket_salted_join`: hot buckets slice the quadratic
+    compare across salts, cold buckets (the expected steady state under
+    auto planes) pay zero replication."""
     if num_planes is None:
         num_planes = auto_num_planes(
             embeddings.count(), target_bucket_rows=target_bucket_rows
@@ -1093,8 +1108,12 @@ def embedding_dedup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
         "bucket", F.col("_norm").alias("_nb"),
     )
+    from .skew import hot_bucket_salted_join
+
     scored = (
-        a.join(b, on="bucket")
+        hot_bucket_salted_join(
+            a, b, "bucket", id_a="id_a", threshold=_VEC_SALT_THRESHOLD
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

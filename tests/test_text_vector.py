@@ -1447,3 +1447,24 @@ def test_simhash_incremental_prebuilt_equals_inline_and_guards(spark, docs):
         D.simhash_dedup_with_fingerprints(
             batch, table.withColumn("sig_bits", F.lit(16))
         )
+
+
+def test_embedding_dedup_salted_bucket_join_unchanged(spark, monkeypatch):
+    # identical vectors share a bucket at any plane count; force every
+    # multi-vector bucket through the salted path and require identical
+    # pair output
+    import apache_flink_essentials_spark.operators.vector as VV
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # planted exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in V.embedding_dedup_pairs(df, dim=8).collect()
+    }
+    monkeypatch.setattr(VV, "_VEC_SALT_THRESHOLD", 1)
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in V.embedding_dedup_pairs(df, dim=8).collect()
+    }
+    assert salted == base and base
