@@ -1134,6 +1134,138 @@ def embedding_dedup_pairs(
     )
 
 
+def _bucket_sql(vec_col: str, num_planes: int, dim: int) -> str:
+    """Sign-bucket expression shared by the batch and inline-corpus paths
+    of the incremental embedding dedup (same construction as
+    :func:`embedding_dedup_pairs`)."""
+    bits = []
+    for p_idx in range(num_planes):
+        plane = _hyperplane(dim, p_idx)
+        arr = "array(" + ",".join(f"{c!r}D" for c in plane) + ")"
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, arr)} >= 0 "
+            f"THEN {1 << p_idx} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def build_embedding_bucket_table(
+    embeddings: DataFrame,
+    num_planes: "int | None" = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    target_bucket_rows: int = 8,
+) -> DataFrame:
+    """Persistable sign-bucket table for incremental embedding dedup:
+    ``(id, vec, bucket, _norm, sig_planes, sig_dim)`` — the embedding
+    mirror of :func:`dedup.build_simhash_table`. ``num_planes=None``
+    derives the count from the CORPUS size via :func:`auto_num_planes`
+    and PINS it in ``sig_planes``: later batches bucket with the corpus's
+    plane count (re-deriving from batch size would bucket differently
+    and silently never collide — the same failure mode the ``sig_*``
+    guards on the minhash/simhash tables exist for)."""
+    if num_planes is None:
+        num_planes = auto_num_planes(
+            embeddings.count(), target_bucket_rows=target_bucket_rows
+        )
+    return embeddings.selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        f"{_bucket_sql(vec_col, num_planes, dim)} AS bucket",
+        f"{_safe_norm_sql(vec_col)} AS _norm",
+        f"{int(num_planes)} AS sig_planes",
+        f"{int(dim)} AS sig_dim",
+    )
+
+
+def embedding_dedup_with_buckets(
+    new_df: DataFrame,
+    bucket_table: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding dedup: rows of ``new_df`` whose vector has
+    NO corpus bucket-mate at ``round(cosine, 6) ≥ threshold`` in a
+    PREBUILT :func:`build_embedding_bucket_table` relation. Only the new
+    batch is bucketed (with the corpus-pinned ``sig_planes``/``sig_dim``
+    — mismatch is impossible by construction, missing columns fail
+    fast); ingest cost is O(batch), the corpus is never re-hashed. The
+    bucket join goes through :func:`skew.hot_bucket_salted_join` with
+    the corpus as the counted side, so a hot corpus bucket (exact-
+    duplicate boilerplate embeddings, which NO plane count can split)
+    replicates the small batch side across salts."""
+    for c in ("sig_planes", "sig_dim"):
+        if c not in bucket_table.columns:
+            raise ValueError(
+                f"bucket_table lacks a {c} column; build it with "
+                "build_embedding_bucket_table so plane-count/dim "
+                "compatibility is pinned"
+            )
+    stored = bucket_table.select("sig_planes", "sig_dim").limit(1).collect()
+    if not stored:
+        return new_df
+    num_planes, dim = int(stored[0][0]), int(stored[0][1])
+    corp = bucket_table.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "bucket",
+        F.col("_norm").alias("_na"),
+    )
+    newb = new_df.selectExpr(
+        f"`{id_col}` AS id_b",
+        f"`{vec_col}` AS vec_b",
+        f"{_bucket_sql(vec_col, num_planes, dim)} AS bucket",
+        f"{_safe_norm_sql(vec_col)} AS _nb",
+    )
+    from .skew import hot_bucket_salted_join
+
+    matched = (
+        hot_bucket_salted_join(
+            corp, newb, "bucket", id_a="id_a", threshold=_VEC_SALT_THRESHOLD
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(
+                dot_expr(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("_pushdown_barrier", F.monotonically_increasing_id())
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
+
+
+def embedding_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.99,
+    num_planes: "int | None" = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One-shot front door: build the corpus bucket table inline and
+    dedup ``new_df`` against it (persist via
+    :func:`build_embedding_bucket_table` when the corpus outlives one
+    batch)."""
+    return embedding_dedup_with_buckets(
+        new_df,
+        build_embedding_bucket_table(
+            corpus_df, num_planes, id_col, vec_col, dim
+        ),
+        threshold,
+        id_col,
+        vec_col,
+    )
+
+
 def quantize_int8_stats(
     df: DataFrame,
     id_col: str = "vec_id",

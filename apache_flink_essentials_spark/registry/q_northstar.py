@@ -596,6 +596,44 @@ _register(
     )
 )
 
+# r12b: embedding leg of the incremental-ingest matrix (minhash: ✓,
+# simhash: ✓, ER: ✓). The corpus bucket table pins its AUTO plane count
+# at build time (sig_planes) — the batch buckets with the CORPUS's
+# planes, and the oracle derives the same count from the corpus subset's
+# count(*), masking unused bits of the 24-plane bucket expression.
+_register(
+    "vec_embedding_dedup_incremental",
+    f"""
+    WITH n AS (
+      SELECT greatest(4, least(24,
+               ceil(log2(count(*) / 8.0))::INT)) AS np
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    planes AS (SELECT {_AUTO_PLANES_SQL}),
+    bk AS (
+      SELECT vec_id, embedding,
+             {_AUTO_BUCKET_SQL} AS bucket
+      FROM embeddings, planes, n
+    ),
+    matched AS (
+      SELECT DISTINCT b.vec_id
+      FROM bk a JOIN bk b ON a.bucket = b.bucket
+      WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        AND a.vec_id <> b.vec_id AND {_COS} >= 0.35
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM matched)
+    """,
+    late=True,
+)(
+    lambda spark, sf: V.embedding_dedup_against_corpus(
+        load_table(spark, "embeddings", sf).filter(F.col("vec_id") % 2 == 1),
+        load_table(spark, "embeddings", sf).filter(F.col("vec_id") % 2 == 0),
+        threshold=0.35,
+        num_planes=None,
+    ).select("vec_id")
+)
+
 def _curation(spark: SparkSession, sf: str) -> DataFrame:
     # end-to-end training-data curation: language gate → quality gate →
     # exact dedup (min-id representative per fingerprint) → per-source

@@ -233,8 +233,9 @@ HEADLINE = [
     "vec_cosine_best_match",
     "dedup_ngram_best_match_capped",
     "dedup_simhash_best",
-    # r12b: simhash leg of the incremental-ingest matrix
+    # r12b: simhash + embedding legs of the incremental-ingest matrix
     "dedup_simhash_incremental",
+    "vec_embedding_dedup_incremental",
     # round-8 batch 3-4: join-size pre-audit (predicts the join it never
     # runs), Kaplan-Meier gap survival, per-source Jensen-Shannon drift.
     # graph_kcore and er_golden_record stay sweep-only: their bench cost

@@ -1468,3 +1468,31 @@ def test_embedding_dedup_salted_bucket_join_unchanged(spark, monkeypatch):
         for r in V.embedding_dedup_pairs(df, dim=8).collect()
     }
     assert salted == base and base
+
+
+def test_embedding_dedup_incremental_prebuilt_equals_inline(spark):
+    rows = [(i, [float((i * 13 + j * 5) % 7) - 3.0 for j in range(8)]) for i in range(30)]
+    # planted: batch vec 101 duplicates corpus vec 4 exactly -> must be dropped
+    rows += [(101, rows[4][1]), (103, [9.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") % 2 == 0)
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+    table = V.build_embedding_bucket_table(corpus, num_planes=4, dim=8)
+    via_table = {
+        r.vec_id
+        for r in V.embedding_dedup_with_buckets(
+            batch, table, threshold=0.999
+        ).collect()
+    }
+    inline = {
+        r.vec_id
+        for r in V.embedding_dedup_against_corpus(
+            batch, corpus, threshold=0.999, num_planes=4, dim=8
+        ).collect()
+    }
+    assert via_table == inline
+    assert 101 not in via_table        # planted exact dup removed
+    assert 103 in via_table            # unique vector survives
+
+    with pytest.raises(ValueError, match="sig_planes"):
+        V.embedding_dedup_with_buckets(batch, table.drop("sig_planes"))
