@@ -139,7 +139,11 @@ def cosine_pairs_blocked(
     """All-pairs cosine ≥ threshold within a blocking key (e.g. a cluster
     id / label from an upstream coarse quantizer). This is the exact-within-
     block half of an IVF index: the quadratic step is confined to one block,
-    cost Σ block² — the join shuffles once on the block key."""
+    cost Σ block² — the join shuffles once on the block key. A HOT block
+    (one label covering a large corpus slice) additionally slices its
+    quadratic compare across salts via :func:`skew.hot_bucket_salted_join`
+    — the exact Σ block² work is intrinsic to the operator's contract, but
+    no single task should carry one block's share alone."""
     base = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
@@ -160,8 +164,12 @@ def cosine_pairs_blocked(
         F.col(vec_col).alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
+    from .skew import hot_bucket_salted_join
+
     scored = (
-        a.join(b, on=block_col)
+        hot_bucket_salted_join(
+            a, b, block_col, id_a="id_a", threshold=_VEC_SALT_THRESHOLD
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             block_col,

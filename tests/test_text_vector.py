@@ -1496,3 +1496,23 @@ def test_embedding_dedup_incremental_prebuilt_equals_inline(spark):
 
     with pytest.raises(ValueError, match="sig_planes"):
         V.embedding_dedup_with_buckets(batch, table.drop("sig_planes"))
+
+
+def test_cosine_pairs_blocked_salted_unchanged(spark, monkeypatch):
+    import apache_flink_essentials_spark.operators.vector as VV
+
+    rows = [
+        (i, "blk%d" % (i % 3), [float((i * 11 + j) % 6) - 2.5 for j in range(8)])
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    base = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in V.cosine_pairs_blocked(df, "label", 0.2).collect()
+    }
+    monkeypatch.setattr(VV, "_VEC_SALT_THRESHOLD", 1)
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in V.cosine_pairs_blocked(df, "label", 0.2).collect()
+    }
+    assert salted == base and base
