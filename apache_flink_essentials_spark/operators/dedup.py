@@ -595,6 +595,27 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return df.selectExpr(f"`{id_col}`", f"{fp} AS simhash")
 
 
+def _banded(
+    keyed: DataFrame, id_alias: str, sh_alias: str, id_col: str, sh_col: str = "simhash"
+) -> DataFrame:
+    """Explode a ``(id, simhash, lo, hi)`` fingerprint relation into ONE
+    band-keyed relation: ``lo`` becomes band ``2·lo`` and ``hi`` band
+    ``2·hi + 1`` (disjoint by parity), so the two per-band self-joins the
+    simhash operators used to run collapse into a SINGLE equi-join on
+    ``_band`` — one hot-set aggregate and one salted shuffle instead of
+    two of each (the r12 optimization pass measured the two-join form
+    paying double stage floors for identical candidate output; a pair
+    colliding in both bands still surfaces twice, exactly like the old
+    union, and every caller dedups or min_by-aggregates downstream)."""
+    return keyed.select(
+        F.col(id_col).alias(id_alias),
+        F.col(sh_col).alias(sh_alias),
+        F.explode(
+            F.array(F.col("lo") * 2, F.col("hi") * 2 + 1)
+        ).alias("_band"),
+    )
+
+
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup candidates: docs whose fingerprints agree on either
     half band (standard multi-index trick: hamming ≤ k pairs must collide on
@@ -616,9 +637,9 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # per-row pass for a relation of 3 slim columns (measured ~25 s per
     # recomputation at sf1). localCheckpoint materializes it once.
     sh = sh.localCheckpoint(eager=False)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo", "hi")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo", "hi")
-    # hamming-filter INSIDE each band join, BEFORE the cross-band
+    a = _banded(sh, "id_a", "sh_a", id_col)
+    b = _banded(sh, "id_b", "sh_b", id_col)
+    # hamming-filter INSIDE the band join, BEFORE the cross-band
     # dedup: popcount commutes with dropDuplicates, and the dedup is the
     # only pair-level EXCHANGE in the plan — unfiltered it shuffles the
     # whole candidate relation (the r12 shuffle-byte audit measured
@@ -627,17 +648,11 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # actual near-dups, which is output-sized). The XOR/popcount work is
     # unchanged — it runs map-side in the join task either way.
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-
-    def band(joined: DataFrame) -> DataFrame:
-        return (
-            joined.filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-        )
-
     return (
-        band(_salted_band_join(a, b.drop("hi"), "lo"))
-        .unionByName(band(_salted_band_join(a.drop("lo"), b.drop("lo"), "hi")))
+        _salted_band_join(a, b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -666,25 +681,21 @@ def simhash_best_match(
     sh = sh.withColumn("lo", F.col("simhash") % (2 ** half)).withColumn(
         "hi", F.floor(F.col("simhash") / (2 ** half))
     )
-    # materialize once — four join inputs below (see simhash_dup_pairs)
+    # materialize once — the banded join reads it from both sides
+    # (see simhash_dup_pairs)
     sh = sh.localCheckpoint(eager=False)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo", "hi")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo", "hi")
+    a = _banded(sh, "id_a", "sh_a", id_col)
+    b = _banded(sh, "id_b", "sh_b", id_col)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-
-    def band(joined: DataFrame) -> DataFrame:
-        return (
-            joined.filter(F.col("id_a") != F.col("id_b"))
-            .select(
-                F.col("id_a").alias("doc"),
-                F.col("id_b").alias("partner"),
-                hamming.alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
+    cands = (
+        _salted_band_join(a, b, "_band")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc"),
+            F.col("id_b").alias("partner"),
+            hamming.alias("hamming"),
         )
-
-    cands = band(_salted_band_join(a, b.drop("hi"), "lo")).unionByName(
-        band(_salted_band_join(a.drop("lo"), b.drop("lo"), "hi"))
+        .filter(F.col("hamming") <= max_hamming)
     )
     return cands.groupBy(F.col("doc").alias(id_col)).agg(
         F.expr("min_by(partner, struct(hamming, partner))").alias("best_match_id"),
@@ -730,7 +741,7 @@ def simhash_dedup_with_fingerprints(
     the 100 TB contract is that ingest cost is O(batch), never
     O(corpus).
 
-    The two band joins go through :func:`_salted_band_join` with the
+    The banded join goes through :func:`_salted_band_join` with the
     CORPUS as the counted side, so a hot corpus bucket (boilerplate
     fingerprints) replicates the SMALL batch side across salts — the
     cheap direction."""
@@ -748,31 +759,36 @@ def simhash_dedup_with_fingerprints(
             f"bits={bits}; mismatched widths band differently and would "
             f"silently pass near-duplicates through"
         )
+    return _simhash_dedup_validated(
+        new_df, fingerprint_table, id_col, text_col, bits, max_hamming
+    )
+
+
+def _simhash_dedup_validated(
+    new_df: DataFrame,
+    fingerprint_table: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Join body of :func:`simhash_dedup_with_fingerprints`, after (or
+    without) the sig_bits validation — the inline front door skips the
+    validation collect because it built the table itself one call up
+    (saves a whole Spark job; the prebuilt-table path keeps it, since a
+    stale table with the wrong width silently never collides)."""
+    # no checkpoint on the batch fingerprints: the banded join reads them
+    # exactly once (the corpus side is the counted/hot side)
     new_sh = build_simhash_table(new_df, id_col, text_col, bits)
-    corp = fingerprint_table.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col("simhash").alias("sh_c"),
-        "lo",
-        "hi",
-    )
-    newb = new_sh.select(
-        F.col(id_col).alias("new_id"),
-        F.col("simhash").alias("sh_n"),
-        "lo",
-        "hi",
-    )
+    corp = _banded(fingerprint_table, "corpus_id", "sh_c", id_col)
+    newb = _banded(new_sh, "new_id", "sh_n", id_col)
     hamming = F.bit_count(F.col("sh_c").bitwiseXOR(F.col("sh_n")))
-
-    def matched(joined: DataFrame) -> DataFrame:
-        return joined.filter(hamming <= max_hamming).select("new_id")
-
-    hits = matched(
-        _salted_band_join(corp.drop("hi"), newb.drop("hi"), "lo", id_a="corpus_id")
-    ).unionByName(
-        matched(
-            _salted_band_join(corp.drop("lo"), newb.drop("lo"), "hi", id_a="corpus_id")
-        )
-    ).distinct()
+    hits = (
+        _salted_band_join(corp, newb, "_band", id_a="corpus_id")
+        .filter(hamming <= max_hamming)
+        .select("new_id")
+        .distinct()
+    )
     return new_df.join(
         hits.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
@@ -788,10 +804,22 @@ def simhash_dedup_against_corpus(
 ) -> DataFrame:
     """One-shot front door: build the corpus fingerprint table inline and
     dedup ``new_df`` against it (prefer persisting the table via
-    :func:`build_simhash_table` when the corpus outlives one batch)."""
-    return simhash_dedup_with_fingerprints(
+    :func:`build_simhash_table` when the corpus outlives one batch).
+
+    The inline table is localCheckpoint'd: the banded join reads the
+    corpus fingerprints twice (hot-set count + join input), and without a
+    materialization barrier each read re-runs the md5-per-token
+    fingerprint pass — the same 4×-recompute hazard `simhash_dup_pairs`
+    documents. A PERSISTED table (the `simhash_dedup_with_fingerprints`
+    path) does not want this barrier: its re-reads are column-pruned
+    parquet scans, and checkpointing would copy the whole corpus table.
+    The sig_bits validation collect is skipped too — the table was built
+    with the requested ``bits`` one line up."""
+    return _simhash_dedup_validated(
         new_df,
-        build_simhash_table(corpus_df, id_col, text_col, bits),
+        build_simhash_table(corpus_df, id_col, text_col, bits).localCheckpoint(
+            eager=False
+        ),
         id_col,
         text_col,
         bits,
