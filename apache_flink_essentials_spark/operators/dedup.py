@@ -827,6 +827,65 @@ def simhash_dedup_against_corpus(
     )
 
 
+# Edge count at or below which the canonicalized edge list is pulled to
+# the driver and solved with a vectorized min-label propagation instead of
+# running distributed star rounds. Rationale (r12 optimization round): at
+# or below `rows_per_part` (2M) the loop ALREADY runs every round in ONE
+# task (loop_sp = ceil(n / 2e6) = 1), so the distributed path is the same
+# single-machine computation paid for O(log n) times over 4 exchanges per
+# round of scheduling floors (measured: 5,380 edges → 23 jobs, multi-second
+# wall for ~ms of actual work). The collect is bounded by construction
+# (≤ 2M slim (v, u) rows ≈ 32 MB — the aggregate-sized-collect rule), the
+# numpy fold is exact (min-label propagation with pointer doubling,
+# identical output contract), and any larger edge set takes the unchanged
+# distributed path. Tests pin small-path ≡ distributed-path equality.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _cc_driver_small_path(e: DataFrame, n_edges: int) -> DataFrame:
+    """Driver-side exact CC for edge sets that fit one task anyway (see
+    `_CC_DRIVER_MAX_EDGES`): vectorized min-label propagation with pointer
+    doubling over the canonicalized (v, u) relation. Returns the same
+    ``(node, component=min id in component)`` relation, every edge-touched
+    node present, reps self-assigned."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    node_type = e.schema["v"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type, True),
+            T.StructField("component", node_type, True),
+        ]
+    )
+    if n_edges == 0:
+        return spark.createDataFrame([], out_schema)
+    pdf = e.toPandas()
+    vals = np.concatenate([pdf["v"].to_numpy(), pdf["u"].to_numpy()])
+    # ids sorted ascending → the minimum INDEX in a component is the
+    # minimum ID, so labels can be propagated as indices
+    ids, inv = np.unique(vals, return_inverse=True)
+    av, au = inv[: len(pdf)], inv[len(pdf):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[av], lab[au])
+        np.minimum.at(lab, av, m)
+        np.minimum.at(lab, au, m)
+        while True:  # pointer doubling: compress label chains fully
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, before):
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "component": ids[lab]}), out_schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -839,6 +898,13 @@ def connected_components(
     ``component`` is the minimum node id in the node's component; every node
     that appears in any edge gets a row (components of size 1 never appear
     in an edge list, so they are their own trivial component by definition).
+
+    Size-adaptive: once the first convergence-signature action has measured
+    the canonical edge count, edge sets at or below `_CC_DRIVER_MAX_EDGES`
+    (= the loop's own one-partition bound) are solved on the driver in one
+    vectorized pass instead of O(log n) single-task distributed rounds —
+    see `_cc_driver_small_path`. Larger graphs take the star rounds below
+    unchanged.
 
     Scale design: each star is ONE keyed window (min over the
     neighborhood, partitioned by the star's center) — one |E|-row
@@ -922,6 +988,8 @@ def connected_components(
         return (row["n"], row["s"])
 
     sig = signature(e)
+    if sig[0] <= _CC_DRIVER_MAX_EDGES:
+        return _cc_driver_small_path(e, sig[0])
     for _ in range(max_iterations):
         # large-star: for every node, attach its strictly-larger neighbors
         # to the minimum of its neighborhood (including itself) — the

@@ -979,6 +979,83 @@ def _fs_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fs_match_conjunction() -> list[str] | None:
+    """If ``weight_micro >= _FS_T_MATCH`` is EXACTLY equivalent to "these
+    fields all agree", return that field list (registry order); else None.
+    Proven by enumerating all 2^k agreement combinations of the frozen
+    ``_FS_W`` integer weights — the constants are baked literals, so the
+    equivalence is a compile-time fact, re-checked at call time so a
+    future weight edit can never silently change the match set."""
+    import itertools
+
+    names = list(_FS_W)
+    matches = {
+        combo
+        for combo in itertools.product((0, 1), repeat=len(names))
+        if sum(_FS_W[n][0 if c else 1] for n, c in zip(names, combo))
+        >= _FS_T_MATCH
+    }
+    if not matches:
+        return None
+    necessary = [
+        n for i, n in enumerate(names) if all(c[i] for c in matches)
+    ]
+    implied = {
+        combo
+        for combo in itertools.product((0, 1), repeat=len(names))
+        if all(combo[names.index(n)] for n in necessary)
+    }
+    return necessary if implied == matches else None
+
+
+def _fs_match_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Just the MATCH pairs ``(id_a, id_b)`` — the ``label == 'match'``
+    slice of :func:`_fs_weights_q`, computed cheap-predicates-first for
+    the ER clustering/incremental/golden-record queries (guide §1.2: fix
+    the algorithm before the per-task work).
+
+    With the frozen m/u weights, ``weight >= T_MATCH`` is exactly
+    ``agree_name AND agree_nation`` (segment cannot flip the decision
+    either way — proven by :func:`_fs_match_conjunction`, which falls
+    back to full scoring if the constants ever change). So nationkey
+    equality joins as a SECOND block key — the candidate relation shrinks
+    ~25× before any comparator runs — and the banded levenshtein (the
+    scoring hot loop, ~4.6 µs/pair measured at sf0.1) touches only the
+    survivors. Match set identical; the full weight relation
+    (er_fs_match_weights, er_threshold_sweep) still scores every blocked
+    candidate as before."""
+    if _fs_match_conjunction() != ["name", "nation"]:
+        return (
+            _fs_weights_q(spark, sf)
+            .where(F.col("label") == "match")
+            .select("id_a", "id_b")
+        )
+    c = load_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    blk = F.lower(F.substring("c_name", 1, 16))
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_name_a"),
+        blk.alias("_blk"),
+        F.col("c_nationkey").alias("_nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_name_b"),
+        blk.alias("_blk"),
+        F.col("c_nationkey").alias("_nk"),
+    )
+    return (
+        a.join(b, ["_blk", "_nk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.levenshtein(F.lower("_name_a"), F.lower("_name_b"), 1) >= 0
+        )
+        .select("id_a", "id_b")
+    )
+
+
 _register(
     "er_fs_match_weights",
     f"""

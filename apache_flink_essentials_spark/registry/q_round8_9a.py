@@ -12,7 +12,12 @@ from ._common import (  # noqa: F401 — underscore names not covered by *
     _Win,
 )
 from .q_northstar import _lang_oracle  # noqa: F401
-from .q_round5_7 import _FS_T_MATCH, _FS_W, _fs_weights_q  # noqa: F401
+from .q_round5_7 import (  # noqa: F401
+    _FS_T_MATCH,
+    _FS_W,
+    _fs_match_pairs_q,
+    _fs_weights_q,
+)
 
 # =========================================================================
 # round 8 batch 2: corpus statistics, forecastability, entity clustering
@@ -91,11 +96,7 @@ def _er_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     pairs; this collapses them into entities). Reuses the large-star /
     small-star CC operator; output is aggregate-sized (one row per
     distinct cluster size)."""
-    pairs = (
-        _fs_weights_q(spark, sf)
-        .where(F.col("label") == "match")
-        .select("id_a", "id_b")
-    )
+    pairs = _fs_match_pairs_q(spark, sf)
     cc = D.connected_components(pairs, "id_a", "id_b")
     sizes = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -158,11 +159,10 @@ def _er_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     folds in via `assign_components_incremental` (CC over the collapsed
     batch-sized graph; corpus never re-clustered). The result is exactly
     the full recompute over ALL pairs — which is what the oracle runs."""
-    pairs = (
-        _fs_weights_q(spark, sf)
-        .where(F.col("label") == "match")
-        .select("id_a", "id_b")
-    )
+    # one pass for both branches below: the match-pair relation feeds the
+    # corpus CC AND the new-edge fold, and without a barrier each branch
+    # re-runs the blocked candidate join + levenshtein (guide §2.4)
+    pairs = _fs_match_pairs_q(spark, sf).localCheckpoint(eager=False)
     is_new_a = F.col("id_a") % 3 == 0
     is_new_b = F.col("id_b") % 3 == 0
     corpus_pairs = pairs.where(~is_new_a & ~is_new_b)
@@ -339,11 +339,7 @@ _register(
 
 
 def _golden_record_q(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = (
-        _fs_weights_q(spark, sf)
-        .where(F.col("label") == "match")
-        .select("id_a", "id_b")
-    )
+    pairs = _fs_match_pairs_q(spark, sf)
     cc = D.connected_components(pairs, "id_a", "id_b")
     members = cc.join(
         load_table(spark, "customer", sf),
