@@ -339,9 +339,22 @@ def ngram_jaccard_pairs(
             F.col(id_col), *[F.col(c) for c in block_cols],
             F.col("tok"), F.size("tok").alias("_n"),
         )
+        # r12: each doc's token-set size rides WITH its postings, so the
+        # pair relation never joins back to a size table — the old form
+        # joined the (duplicate-density-quadratic) pair table twice just
+        # to attach _na/_nb, re-deriving the tokenize subtree each time
+        # (guide §2.4: the pair table is the big relation here; widening
+        # each posting row by one int is the cheap direction). NO
+        # checkpoint on the postings: an interleaved A/B at sf0.1 read
+        # ckpt 1.75 s vs no-ckpt 1.63 s for best_match — whitespace
+        # tokenization is cheap enough that recomputing it for the
+        # second join input beats materializing the posting relation
+        # (contrast containment_pairs, whose k-shingle assembly is the
+        # expensive subtree).
         posts = sized.select(
             F.col(id_col), *[F.col(c) for c in block_cols],
             F.explode("tok").alias("_t"),
+            "_n",
         )
         if max_token_df is not None:
             # window count per (block, token): one pass over the
@@ -359,40 +372,33 @@ def ngram_jaccard_pairs(
                 .filter(F.col("_df") <= max_token_df)
                 .drop("_df")
             )
-        # block_cols ride through the pair groupBy AND both size joins, so
-        # an id that appears in several blocks (or on several rows) keeps
-        # per-(block, pair) semantics — identical to the all-pairs form,
-        # which emitted one row per block-pair; without them, counts from
-        # different blocks would merge and the bare-id size join would
-        # fan out (r11 advisory)
+        # block_cols ride through the pair groupBy, so an id that appears
+        # in several blocks (or on several rows) keeps per-(block, pair)
+        # semantics — identical to the all-pairs form, which emitted one
+        # row per block-pair (r11 advisory)
         inter_counts = (
-            posts.select(F.col(id_col).alias("id_a"), *block_cols, "_t")
+            posts.select(
+                F.col(id_col).alias("id_a"), *block_cols, "_t",
+                F.col("_n").alias("_na"),
+            )
             .join(
-                posts.select(F.col(id_col).alias("id_b"), *block_cols, "_t"),
+                posts.select(
+                    F.col(id_col).alias("id_b"), *block_cols, "_t",
+                    F.col("_n").alias("_nb"),
+                ),
                 on=[*block_cols, "_t"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy(*block_cols, "id_a", "id_b")
-            .agg(F.count(F.lit(1)).cast("int").alias("_i"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("_i"),
+                F.max("_na").alias("_na"),
+                F.max("_nb").alias("_nb"),
+            )
         )
-        sizes = sized.select(F.col(id_col), *block_cols, F.col("_n"))
         # unrounded int/int division — engine-portable (see minhash_lsh_pairs)
         return (
-            inter_counts.join(
-                sizes.select(
-                    F.col(id_col).alias("id_a"), *block_cols,
-                    F.col("_n").alias("_na"),
-                ),
-                ["id_a", *block_cols],
-            )
-            .join(
-                sizes.select(
-                    F.col(id_col).alias("id_b"), *block_cols,
-                    F.col("_n").alias("_nb"),
-                ),
-                ["id_b", *block_cols],
-            )
-            .withColumn(
+            inter_counts.withColumn(
                 "jaccard",
                 F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")),
             )
@@ -1610,9 +1616,15 @@ def containment_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.col("sh"), F.size("sh").alias("_n"),
     )
+    # r12: shingle-set sizes ride WITH the postings (see
+    # ngram_jaccard_pairs — the pair table is the duplicate-density-
+    # quadratic relation; joining it twice to attach _na/_nb re-derived
+    # the shingle subtree each time), and the posting relation is
+    # localCheckpoint'd because both join inputs read it.
     posts = sized.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.explode("sh").alias("_s"),
+        "_n",
     )
     if max_shingle_df is not None:
         # window count per (block, shingle): one pass over the postings,
@@ -1629,36 +1641,26 @@ def containment_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
+    posts = posts.localCheckpoint(eager=False)
     pa = posts.select(
-        F.col(id_col).alias("id_a"), *block_cols, "_s"
+        F.col(id_col).alias("id_a"), *block_cols, "_s",
+        F.col("_n").alias("_na"),
     )
     pb = posts.select(
-        F.col(id_col).alias("id_b"), *block_cols, "_s"
+        F.col(id_col).alias("id_b"), *block_cols, "_s",
+        F.col("_n").alias("_nb"),
     )
-    # per-(block, pair) semantics: block_cols in the groupBy and both
-    # size joins, matching the old all-pairs form when an id spans
-    # blocks (r11 advisory — bare-id keys merged counts across blocks)
-    inter = (
+    # per-(block, pair) semantics: block_cols in the groupBy, matching
+    # the old all-pairs form when an id spans blocks (r11 advisory —
+    # bare-id keys merged counts across blocks)
+    pairs = (
         pa.join(pb, on=[*block_cols, "_s"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy(*block_cols, "id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("_i"))
-    )
-    sizes = sized.select(F.col(id_col), *block_cols, F.col("_n"))
-    pairs = (
-        inter.join(
-            sizes.select(
-                F.col(id_col).alias("id_a"), *block_cols,
-                F.col("_n").alias("_na"),
-            ),
-            ["id_a", *block_cols],
-        )
-        .join(
-            sizes.select(
-                F.col(id_col).alias("id_b"), *block_cols,
-                F.col("_n").alias("_nb"),
-            ),
-            ["id_b", *block_cols],
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_i"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
         )
         .select("id_a", "id_b", "_i", "_na", "_nb")
     )

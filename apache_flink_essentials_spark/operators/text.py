@@ -214,11 +214,28 @@ def bpe_train_merges(
 
     Output: (step 1..n_merges, pair "x y", n_occ) — the merge table a BPE
     tokenizer persists.
+
+    Trains over the TYPE table (r12 optimization): tokens are first
+    aggregated to distinct ``(type, frequency)`` rows — the standard
+    Sennrich formulation — so every per-step pass (char split, pair
+    explode, rewrite) runs over |vocabulary| rows weighted by frequency
+    instead of |corpus| token instances. Pair counts are identical exact
+    integers (a token occurring k times contributes k× each internal
+    pair, whether counted per instance or as frequency × per-type
+    occurrences), so the merge table and the DuckDB oracle twin are
+    bit-unchanged. At 100 TB this is the difference between k merge
+    steps scanning the corpus token stream and ONE corpus-wide type
+    count followed by k passes over a vocabulary-sized relation.
     """
-    rep = df.select(
-        F.explode(tokens_expr(text_col)).alias("_t")
-    ).filter(F.length("_t") >= 2).select(
-        F.trim(F.regexp_replace("_t", "(.)", "$1 ")).alias("_rep")
+    rep = (
+        df.select(F.explode(tokens_expr(text_col)).alias("_t"))
+        .filter(F.length("_t") >= 2)
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.trim(F.regexp_replace("_t", "(.)", "$1 ")).alias("_rep"),
+            "_n",
+        )
     )
     out = None
     for step in range(1, n_merges + 1):
@@ -233,14 +250,16 @@ def bpe_train_merges(
                 ).otherwise(F.expr("array()").cast("array<int>"))
             ).alias("_i"),
             syms.alias("_s"),
+            "_n",
         ).select(
             F.concat_ws(
                 " ", F.expr("_s[_i - 1]"), F.expr("_s[_i]")
-            ).alias("pair")
+            ).alias("pair"),
+            "_n",
         )
         top1 = (
             pairs.groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .agg(F.sum("_n").alias("n_occ"))
             .orderBy(F.desc("n_occ"), F.asc("pair"))
             .limit(1)
             .select(
@@ -255,7 +274,8 @@ def bpe_train_merges(
                 F.replace(
                     F.col("_rep"), F.col("_p"),
                     F.replace(F.col("_p"), F.lit(" "), F.lit("")),
-                ).alias("_rep")
+                ).alias("_rep"),
+                "_n",
             )
     return out
 
