@@ -1733,6 +1733,99 @@ def mmr_diversify(
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
 
 
+# Sim-table row bound for the driver-side greedy MMR selection (see
+# mmr_diversify_exact): candidate lists are request-sized by contract
+# (|Q|·k² sim rows), so the bound exists only to keep the distributed
+# unroll available for a pathological caller. 1M slim rows ≈ 32 MB.
+_MMR_DRIVER_MAX_SIM_ROWS = 1_000_000
+
+
+def _mmr_greedy_driver(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam: float,
+    one_minus: float,
+    query_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Driver-side greedy loop of :func:`mmr_diversify_exact` over the
+    ALREADY-JVM-computed rounded sim table — identical IEEE arithmetic
+    and (score desc, id asc) tiebreak, so the selection and every
+    mmr_score double are bit-equal to the distributed unroll."""
+    from pyspark.sql import types as T
+
+    spark = cand.sparkSession
+    q_type = cand.schema["q"].dataType
+    id_type = cand.schema["cid"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, q_type, True),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, id_type, True),
+            T.StructField("mmr_score", T.DoubleType(), True),
+        ]
+    )
+    def _py(v):  # numpy scalar → plain Python (createDataFrame rejects np types)
+        return v.item() if hasattr(v, "item") else v
+
+    cand_pdf = cand.select("q", "cid", "rel").toPandas()
+    sims_pdf = sims.toPandas()
+    by_q: dict = {}
+    for q, cid, rel in cand_pdf.itertuples(index=False):
+        by_q.setdefault(_py(q), {})[_py(cid)] = float(rel)
+    sim_map: dict = {}
+    for q, ia, ib, sim in sims_pdf.itertuples(index=False):
+        sim_map[(_py(q), _py(ia), _py(ib))] = float(sim)
+    rows = []
+    for q in by_q:
+        rel = by_q[q]
+        remaining = set(rel)
+        picked: list = []
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            if picked:
+                best = max(
+                    remaining,
+                    key=lambda c: (
+                        lam * rel[c]
+                        - one_minus
+                        * max(sim_map[(q, c, p)] for p in picked),
+                        _NegKey(c),
+                    ),
+                )
+                score = lam * rel[best] - one_minus * max(
+                    sim_map[(q, best, p)] for p in picked
+                )
+            else:
+                best = max(
+                    remaining, key=lambda c: (lam * rel[c], _NegKey(c))
+                )
+                score = lam * rel[best]
+            rows.append((q, rank, best, score))
+            picked.append(best)
+            remaining.discard(best)
+    return spark.createDataFrame(rows, out_schema)
+
+
+class _NegKey:
+    """Order-inverting wrapper so ``max(key=...)`` breaks score ties by
+    ASCENDING id for ids of any orderable type (numeric negation would
+    fail on strings)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return self.v > other.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def mmr_diversify_exact(
     candidates: DataFrame,
     query_col: str = "query_id",
@@ -1754,11 +1847,22 @@ def mmr_diversify_exact(
 
     Shape: one within-query all-pairs sim table over the BOUNDED candidate
     set (top-k lists are request-sized by contract — |Q|·k² pairs, never a
-    corpus quadratic), then ``k`` unrolled selection steps, each a window
-    rank over ≤|Q|·k rows plus a tiny aggregate join; every selected set is
-    localCheckpoint-ed (10-row jobs) so the final plan stays O(k) shallow.
-    The relevance column is used as given (the bruteforce KNN tier already
-    rounds it by the same contract).
+    corpus quadratic), then the k-step greedy selection. The selection is
+    inherently sequential and runs over the tiny (candidate-sized)
+    relations only, so when the materialized sim table is at or below
+    `_MMR_DRIVER_MAX_SIM_ROWS` it is pulled to the driver and the greedy
+    loop runs in plain Python over the SAME JVM-computed rounded sims —
+    every arithmetic step (lam·rel − (1−lam)·max_sim on IEEE doubles,
+    argmax by (score desc, id asc)) is identical, so scores are
+    bit-identical to the distributed unroll (pinned by test). The r12
+    job-count audit measured the unrolled form at ~63 Spark jobs per run
+    (k steps × checkpoint/window/anti-join), all over ≤|Q|·k-row
+    relations — pure scheduling floors. Oversized candidate sets keep the
+    distributed unroll: each step is a window rank over ≤|Q|·|cand| rows
+    plus a tiny aggregate join, every selected set localCheckpoint-ed so
+    the final plan stays O(k) shallow. The relevance column is used as
+    given (the bruteforce KNN tier already rounds it by the same
+    contract).
     """
     one_minus = 1.0 - lam  # inline THIS double everywhere (≠ literal 0.3)
     cand = candidates.select(
@@ -1784,6 +1888,12 @@ def mmr_diversify_exact(
         )
         .localCheckpoint(eager=True)
     )
+
+    n_sims = sims.count()  # cheap: counts the materialized checkpoint
+    if n_sims <= _MMR_DRIVER_MAX_SIM_ROWS:
+        return _mmr_greedy_driver(
+            cand, sims, k, lam, one_minus, query_col, id_col
+        )
 
     remaining = cand.select("q", "cid", "rel")
     picked = None  # union of (q, cid, rank, mmr_score) rows
