@@ -190,17 +190,21 @@ def pack_sequences(
     stays ≤ budget (a document alone larger than the budget gets its own
     pack and is flagged ``oversize``).
 
-    Shape: one shuffle on a deterministic hash-group key, then next-fit
-    packing in id order inside each group via ``applyInPandas``. Packing is
-    partition-local by design — global optimal bin packing is NP-hard and
-    needs a global sort; next-fit within hash groups wastes at most one
-    partially-filled pack per group, negligible when groups hold thousands
-    of docs. ``pack_id = group * 2^40 + local_index`` is globally unique and
-    deterministic, so re-runs produce identical packs (required for
-    resumable tokenization jobs).
+    Shape: one partial-aggregated shuffle on a deterministic hash-group
+    key, then next-fit packing in id order inside each group — since r13
+    as a pure ``aggregate()`` expression fold over the group's sorted
+    (doc_id, n_tokens) array (guide §4: the greedy recurrence is exact
+    integer arithmetic, so the former ``applyInPandas`` bought nothing but
+    an ArrowEvalPython stage in the oracle path; outputs are identical by
+    construction). Packing is partition-local by design — global optimal
+    bin packing is NP-hard and needs a global sort; next-fit within hash
+    groups wastes at most one partially-filled pack per group, negligible
+    when groups hold thousands of docs. ``pack_id = group * 2^40 +
+    local_index`` is globally unique and deterministic, so re-runs produce
+    identical packs (required for resumable tokenization jobs). State per
+    group is its own (doc_id, n_tokens) list — the same colocation the
+    pandas form needed; raise ``num_groups`` to shrink it.
     """
-    import pandas as pd
-
     grouped = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(token_count_col).cast("long").alias("n_tokens"),
@@ -217,30 +221,49 @@ def pack_sequences(
             % num_groups
         ).alias("pack_group"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        group = int(pdf["pack_group"].iloc[0])
-        pack_ids, oversize = [], []
-        local, acc = 0, 0
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if acc > 0 and acc + n > budget:
-                local += 1
-                acc = 0
-            pack_ids.append(group * (1 << 40) + local)
-            oversize.append(n > budget)
-            acc += n
-            if acc >= budget:
-                local += 1
-                acc = 0
-        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
-        pdf["oversize"] = pd.Series(oversize, dtype="bool")
-        return pdf[["doc_id", "n_tokens", "pack_group", "pack_id", "oversize"]]
-
-    return grouped.groupBy("pack_group").applyInPandas(
-        pack,
-        schema="doc_id long, n_tokens long, pack_group long, pack_id long, oversize boolean",
+    series = grouped.groupBy("pack_group").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "n_tokens"))
+        ).alias("_rows")
+    )
+    b = int(budget)
+    # empty array of the output struct type (see ewma_anomaly)
+    empty_out = (
+        "slice(array(named_struct('doc_id', 0L, 'n_tokens', 0L, "
+        "'local', 0L, 'oversize', false)), 1, 0)"
+    )
+    # the next-fit recurrence, verbatim: close the open pack when the doc
+    # would overflow it, assign, then close again when it filled exactly
+    fold = f"""
+    aggregate(
+      _rows,
+      named_struct('local', 0L, 'acc', 0L, 'out', {empty_out}),
+      (acc, r) -> named_struct(
+        'local', (acc.local
+                    + if(acc.acc > 0 AND acc.acc + r.n_tokens > {b}, 1L, 0L))
+                 + if(if(acc.acc > 0 AND acc.acc + r.n_tokens > {b},
+                         0L, acc.acc) + r.n_tokens >= {b}, 1L, 0L),
+        'acc', if(if(acc.acc > 0 AND acc.acc + r.n_tokens > {b},
+                     0L, acc.acc) + r.n_tokens >= {b},
+                  0L,
+                  if(acc.acc > 0 AND acc.acc + r.n_tokens > {b},
+                     0L, acc.acc) + r.n_tokens),
+        'out', array_append(acc.out, named_struct(
+            'doc_id', r.doc_id, 'n_tokens', r.n_tokens,
+            'local', acc.local
+                + if(acc.acc > 0 AND acc.acc + r.n_tokens > {b}, 1L, 0L),
+            'oversize', r.n_tokens > {b}))),
+      acc -> acc.out)
+    """
+    return series.select(
+        "pack_group", F.explode(F.expr(fold)).alias("_r")
+    ).select(
+        F.col("_r.doc_id").alias("doc_id"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("pack_group"),
+        (F.col("pack_group") * F.lit(1 << 40).cast("long")
+         + F.col("_r.local")).alias("pack_id"),
+        F.col("_r.oversize").alias("oversize"),
     )
 
 

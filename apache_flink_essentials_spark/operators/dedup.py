@@ -392,6 +392,13 @@ def ngram_jaccard_pairs(
             .groupBy(*block_cols, "id_a", "id_b")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("_i"),
+                # max(): the size is constant per doc side, so this just
+                # rides the pair groupBy. Degenerate-input caveat (r12
+                # advisory): an id appearing on MULTIPLE rows of one
+                # block would now yield ONE pair row with the max size,
+                # where the old size-table join fanned out one row per
+                # size variant — the one-row-per-block-pair contract is
+                # intended, not a regression, if such input ever shows.
                 F.max("_na").alias("_na"),
                 F.max("_nb").alias("_nb"),
             )
@@ -1163,27 +1170,28 @@ def assign_components_incremental(
     # new component re-points every member of its old cluster. Join
     # strategy left to AQE (no F.broadcast hint): remap is BATCH-sized,
     # bounded but not guaranteed broadcastable — a forced hint would
-    # OOM on a huge backfill batch (the r11 rollup advisory class)
+    # OOM on a huge backfill batch (the r11 rollup advisory class).
+    # r13 (guide §2.4): touched + untouched fold into ONE left join
+    # (coalesce picks the re-pointed rep) — the former inner-join +
+    # left_anti pair read the assignment table twice through two
+    # exchanges of the same key
     remap = cc.select(
         F.col("node").alias("_rep"), F.col("component").alias("_new_rep")
     )
-    touched = assignments.join(
-        remap, F.col(rep_col) == F.col("_rep")
+    reassigned = assignments.join(
+        remap, F.col(rep_col) == F.col("_rep"), "left"
     ).select(
-        F.col(id_col), F.col("_new_rep").alias(rep_col)
+        F.col(id_col),
+        F.coalesce(F.col("_new_rep"), F.col(rep_col)).alias(rep_col),
     )
-    untouched = assignments.join(
-        remap.select("_rep"),
-        F.col(rep_col) == F.col("_rep"),
-        "left_anti",
-    ).select(id_col, rep_col)
+    # a collapsed-graph node is a settled rep or a batch-new id, and the
+    # canonical assignment form (connected_components output: every rep
+    # has a self-row) makes reps ⊆ assignment ids — so ONE anti join
+    # against the id set isolates the new ids (r13; formerly two anti
+    # joins, the rep-set one redundant under the canonical-form contract
+    # this operator already documents)
     new_nodes = (
         cc.join(
-            a.select(F.col("_rep").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        )
-        .join(
             assignments.select(F.col(id_col).alias("node")).distinct(),
             "node",
             "left_anti",
@@ -1192,7 +1200,7 @@ def assign_components_incremental(
             F.col("node").alias(id_col), F.col("component").alias(rep_col)
         )
     )
-    return untouched.unionByName(touched).unionByName(new_nodes)
+    return reassigned.unionByName(new_nodes)
 
 
 def dedup_against_corpus(
@@ -1659,6 +1667,8 @@ def containment_pairs(
         .groupBy(*block_cols, "id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("int").alias("_i"),
+            # max() rides the pair groupBy (size constant per doc side);
+            # see ngram_jaccard_pairs for the duplicate-id-row caveat
             F.max("_na").alias("_na"),
             F.max("_nb").alias("_nb"),
         )

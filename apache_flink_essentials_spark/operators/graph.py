@@ -33,6 +33,210 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# partition sizing for the iterative loops: ~2M slim rows ≈ 32 MB per
+# partition (the connected_components constant — see dedup.py); the same
+# bound gates the driver small path (the _CC_DRIVER_MAX_EDGES precedent:
+# at or below it the distributed loop ran every round in ONE task anyway,
+# paying O(iterations) scheduling floors for single-machine work)
+_PR_ROWS_PER_PART = 2_000_000
+_PR_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _pagerank_edges(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, int]:
+    """Null-filtered RAW edge relation + its measured count (the count
+    also materializes the persist). Deduplication happens downstream —
+    on the driver (pandas drop_duplicates) for the small path, so the
+    small path never pays a Spark-side distinct shuffle, and as a
+    ``distinct()`` in the distributed preamble. The raw count gates the
+    small path (conservative: raw ≥ distinct, and it bounds the collect
+    size)."""
+    raw = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
+    )
+    return raw, raw.count()
+
+
+def _pagerank_driver_arrays(raw: DataFrame):
+    """Collect the (bounded — see `_PR_DRIVER_MAX_EDGES`) raw edge list,
+    dedup it driver-side, and index it: returns
+    ``(ids, asrc, adst, outdeg, dang)`` where ``asrc``/``adst`` are
+    per-edge node indices into the sorted-unique ``ids``."""
+    import numpy as np
+
+    pdf = raw.toPandas().drop_duplicates()
+    vals = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    ids, inv = np.unique(vals, return_inverse=True)
+    asrc, adst = inv[: len(pdf)], inv[len(pdf):]
+    outdeg = np.bincount(asrc, minlength=len(ids)).astype(np.int64)
+    return ids, asrc, adst, outdeg, outdeg == 0
+
+
+def _pagerank_fp_driver(
+    e0: DataFrame, n_edges: int, iterations: int, scale: int
+) -> DataFrame:
+    """Driver small path for :func:`pagerank_fixedpoint` (the
+    `_cc_driver_small_path` precedent): every quantity is int64 with
+    floor division, and integer addition is order-free, so the numpy
+    replay is BIT-IDENTICAL to the distributed loop (pinned by test) at
+    a fraction of its O(iterations) job floors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e0.sparkSession
+    node_type = e0.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type, True),
+            T.StructField("rank_fp", T.LongType(), True),
+        ]
+    )
+    if n_edges == 0:
+        return spark.createDataFrame([], out_schema)
+    ids, asrc, adst, outdeg, dang = _pagerank_driver_arrays(e0)
+    n = len(ids)
+    od_src = outdeg[asrc]
+    base = (15 * scale) // (100 * n)
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        d_mass = int(r[dang].sum())  # total mass ≤ scale — no overflow
+        c = (85 * r[asrc]) // (100 * od_src)  # floor div on non-negatives
+        agg = np.zeros(n, dtype=np.int64)
+        np.add.at(agg, adst, c)
+        r = base + (85 * d_mass) // (100 * n) + agg
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "rank_fp": r}), out_schema
+    )
+
+
+def _pagerank_float_driver(
+    e0: DataFrame, n_edges: int, iterations: int, damping: float
+) -> DataFrame:
+    """Driver small path for float :func:`pagerank`: same structure as
+    the fixed-point twin; float contribution sums differ from the
+    distributed loop only in IEEE summation order (the float variant is
+    rows-only by contract, semantics pinned by rtol-1e-9 fixtures)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e0.sparkSession
+    node_type = e0.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type, True),
+            T.StructField("rank", T.DoubleType(), True),
+        ]
+    )
+    if n_edges == 0:
+        return spark.createDataFrame([], out_schema)
+    ids, asrc, adst, outdeg, dang = _pagerank_driver_arrays(e0)
+    n = len(ids)
+    od_src = outdeg[asrc].astype(np.float64)
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(iterations):
+        d_mass = float(r[dang].sum())
+        c = r[asrc] / od_src
+        agg = np.zeros(n, dtype=np.float64)
+        np.add.at(agg, adst, c)
+        r = ((1.0 - damping) / n + damping * d_mass / float(n)) + damping * agg
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids, "rank": r}), out_schema
+    )
+
+
+def _pagerank_setup(
+    e0: DataFrame, m: int
+) -> tuple[DataFrame, DataFrame, int, int, list]:
+    """Distributed-loop preamble (r13, the CC loop discipline — guide
+    §2.4/§5): measure |V|, then build the two LOOP-STATIC relations so
+    that every iteration is pure merge work over partitionings/orderings
+    established here ONCE:
+
+      * ``e2`` — the edge table WITH its source's out-degree attached
+        (outdeg never changes, so the per-iteration ranks⋈outdeg join
+        the r12 shape paid — twice, counting the dangling branch — is
+        paid once, here), hash-partitioned AND sorted on ``src``;
+      * ``base`` — one row per node with a static ``_dang`` flag (no
+        out-edges), hash-partitioned and sorted on ``node``; the rank
+        relation inherits both through every iteration (localCheckpoint
+        preserves partitioning and ordering), so the dangling mass is a
+        FILTER over the rank table instead of a join.
+
+    Partition count derives from the measured max(|E|, |V|) at
+    ~2M slim rows per partition, capped at the session setting.
+    Returns ``(e2, base, n, loop_sp, cleanup)``; unpersist each frame in
+    ``cleanup`` when done."""
+    sess = e0.sparkSession
+    sp_old = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    e0 = e0.distinct().persist()  # raw → canonical (see _pagerank_edges)
+    nodes0 = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes0.count()
+    loop_sp = max(
+        1, min(sp_old, -(-max(n, m) // _PR_ROWS_PER_PART))
+    )
+    outdeg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = (
+        e0.repartition(loop_sp, "src")
+        .join(outdeg, "src")
+        # explicit sort (not an SMJ side effect — the planner may pick a
+        # broadcast join here): the cached ordering is what lets every
+        # iteration's contribs join run as a sort-free merge
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    base = (
+        nodes0.repartition(loop_sp, "node")
+        .join(
+            outdeg.select(
+                F.col("src").alias("node"), F.lit(True).alias("_hasout")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_hasout").isNull().alias("_dang"))
+        .sortWithinPartitions("node")
+        .persist()
+    )
+    return e2, base, n, loop_sp, [e0, nodes0, e2, base]
+
+
+class _pagerank_loop_conf:
+    """Context manager: AQE off + loop-sized shuffle partitions for the
+    duration of the iteration actions (the CC discipline — AQE splits
+    every exchange materialization into its own job and buys nothing on
+    the loop's equal-width keyed shuffles; partition count comes from the
+    measured edge count instead). Assumes the session runs no concurrent
+    queries while held (true for every caller in this repo)."""
+
+    def __init__(self, sess, loop_sp: int):
+        self.sess = sess
+        self.loop_sp = loop_sp
+
+    def __enter__(self):
+        c = self.sess.conf
+        self.aqe_old = c.get("spark.sql.adaptive.enabled")
+        self.sp_old = c.get("spark.sql.shuffle.partitions")
+        c.set("spark.sql.adaptive.enabled", "false")
+        c.set("spark.sql.shuffle.partitions", str(self.loop_sp))
+
+    def __exit__(self, *exc):
+        c = self.sess.conf
+        c.set("spark.sql.adaptive.enabled", self.aqe_old)
+        c.set("spark.sql.shuffle.partitions", self.sp_old)
+        return False
+
 
 def pagerank(
     edges: DataFrame,
@@ -48,62 +252,48 @@ def pagerank(
     where ``dangling`` is the rank mass sitting on nodes without
     out-edges. Ranks sum to 1 every iteration (asserted in tests).
     """
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()  # also materializes the cached edge/node tables
-    if n == 0:
-        e.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
+    e0, m = _pagerank_edges(edges, src_col, dst_col)
+    if m <= _PR_DRIVER_MAX_EDGES:
+        out = _pagerank_float_driver(e0, m, iterations, damping)
+        e0.unpersist()
+        return out
+    e2, base, n, loop_sp, cleanup = _pagerank_setup(e0, m)
+    cleanup.append(e0)
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
 
-    for _ in range(iterations):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "rank", "outdeg")
-        # dangling mass stays IN the plan as a one-row aggregate that
-        # broadcast-cross-joins onto the rank update — one job per
-        # iteration (the eager localCheckpoint), no driver round-trip
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
-        )
-        contribs = (
-            e.join(with_deg.filter(F.col("outdeg").isNotNull()),
-                   e["src"] == with_deg["node"])
-            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (F.lit((1.0 - damping) / n)
-                 + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
-                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                 ).alias("rank"),
+    with _pagerank_loop_conf(edges.sparkSession, loop_sp):
+        for _ in range(iterations):
+            # dangling mass: a FILTER over the rank table (the _dang flag
+            # is loop-static) feeding a one-row aggregate that broadcast-
+            # cross-joins onto the rank update — one job per iteration
+            # (the eager localCheckpoint), no driver round-trip
+            dangling = ranks.filter(F.col("_dang")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
             )
-            .localCheckpoint(eager=True)
-        )
+            contribs = (
+                e2.join(ranks, e2["src"] == ranks["node"])
+                .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = (
+                ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    "_dang",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                     ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
 
-    e.unpersist()
-    nodes.unpersist()
-    return ranks
+    for d in cleanup:
+        d.unpersist()
+    return ranks.select("node", "rank")
 
 
 def pagerank_fixedpoint(
@@ -135,67 +325,52 @@ def pagerank_fixedpoint(
     aggregate broadcast back, localCheckpoint keeps the plan O(1)/round.
     Overflow headroom: rank ≤ scale = 1e12, ×85 ≈ 8.5e13 ≪ 2^63.
     """
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
-    if n == 0:
-        e.unpersist()
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    e0, m = _pagerank_edges(edges, src_col, dst_col)
+    if m <= _PR_DRIVER_MAX_EDGES:
+        out = _pagerank_fp_driver(e0, m, iterations, scale)
+        e0.unpersist()
+        return out
+    e2, nbase, n, loop_sp, cleanup = _pagerank_setup(e0, m)
+    cleanup.append(e0)
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = int(15 * scale) // (100 * n)
-    ranks = nodes.withColumn(
+    ranks = nbase.withColumn(
         "rank_fp", F.lit(int(scale) // n).cast("long")
     )
 
-    for _ in range(iterations):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "rank_fp", "outdeg")
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long")
-            .alias("_dangling")
-        )
-        contribs = (
-            e.join(with_deg.filter(F.col("outdeg").isNotNull()),
-                   e["src"] == with_deg["node"])
-            .select(
-                F.col("dst"),
-                # positive int64 `div` == floor division on both engines
-                F.expr("(85 * rank_fp) div (100 * outdeg)").alias("c"),
+    with _pagerank_loop_conf(edges.sparkSession, loop_sp):
+        for _ in range(iterations):
+            dangling = ranks.filter(F.col("_dang")).agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long")
+                .alias("_dangling")
             )
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (F.lit(base).cast("long")
-                 + F.expr(f"(85 * _dangling) div (100 * {n})")
-                 + F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
-                 ).cast("long").alias("rank_fp"),
+            contribs = (
+                e2.join(ranks, e2["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    # positive int64 `div` == floor division on both engines
+                    F.expr("(85 * rank_fp) div (100 * outdeg)").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").cast("long").alias("contrib"))
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    "_dang",
+                    (F.lit(base).cast("long")
+                     + F.expr(f"(85 * _dangling) div (100 * {n})")
+                     + F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
+                     ).cast("long").alias("rank_fp"),
+                )
+                .localCheckpoint(eager=True)
+            )
 
-    e.unpersist()
-    nodes.unpersist()
-    return ranks
+    for d in cleanup:
+        d.unpersist()
+    return ranks.select("node", "rank_fp")
 
 
 def degree_distribution(edges: DataFrame) -> DataFrame:

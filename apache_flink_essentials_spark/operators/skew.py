@@ -80,19 +80,36 @@ def hot_bucket_salted_join(
     id_a: str = "id_a",
     threshold: int = 4096,
     max_slices: int = 64,
+    max_inline_hot: int = 64,
 ) -> DataFrame:
     """Self-band-join ``a ⋈ b ON key`` with deterministic salting of hot
     band buckets only. ``a`` must carry one row per corpus element — its
     per-key counts define the hot set (count > ``threshold``), which is
-    aggregate-sized by construction (≤ corpus/threshold keys) and
-    broadcasts. Hot keys get ``S_k = ceil(n_k/threshold) ≤ max_slices``
-    slices: ``a`` rows take slice ``pmod(xxhash64(id_a), S_k)``, ``b``
-    rows replicate across all ``S_k`` slices; cold keys keep salt 0 and
-    zero replication. Every (a, b) row combination meets in exactly one
+    aggregate-sized by construction (≤ corpus/threshold keys). Hot keys
+    get ``S_k = ceil(n_k/threshold) ≤ max_slices`` slices: ``a`` rows
+    take slice ``pmod(xxhash64(id_a), S_k)``, ``b`` rows replicate
+    across all ``S_k`` slices; cold keys keep salt 0 and zero
+    replication. Every (a, b) row combination meets in exactly one
     slice, so join output is identical to the unsalted form — only the
-    task-level distribution of the quadratic compare changes."""
+    task-level distribution of the quadratic compare changes.
+
+    Self-funding at low skew (r13, the r12 verdict's one regression):
+    the hot set is COLLECTED up front (one bounded aggregate job — the
+    same aggregate the broadcast build ran anyway) and the plan adapts:
+
+      * no hot keys (the common case): the plain unsalted equi-join —
+        zero salt columns, zero extra joins in the plan;
+      * ≤ ``max_inline_hot`` hot keys: the per-key slice counts inline
+        as ONE map literal (an O(|hot|) lookup per row — trivial at the
+        64-key cap), still no join against the hot set;
+      * more (a pathologically hot corpus): the broadcast-join form,
+        which never collects more than ``max_inline_hot + 1`` rows here.
+    """
     hot = (
-        a.groupBy(key)
+        # null keys never survive the equi-join, and a null map key would
+        # be rejected by create_map — exclude them from the hot set
+        a.filter(F.col(key).isNotNull())
+        .groupBy(key)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > threshold)
         .select(
@@ -102,6 +119,36 @@ def hot_bucket_salted_join(
             ).cast("int").alias("_slices"),
         )
     )
+    hot_rows = hot.limit(max_inline_hot + 1).collect()
+    if not hot_rows:
+        return a.join(b, on=key)
+    if len(hot_rows) <= max_inline_hot:
+        mapping = F.create_map(
+            *[
+                lit
+                for r in hot_rows
+                for lit in (F.lit(r[0]), F.lit(int(r[1])))
+            ]
+        )
+        sl_a = F.element_at(mapping, F.col(key))
+        a2 = a.withColumn(
+            "_salt",
+            F.when(
+                sl_a.isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_a)), sl_a).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        sl_b = F.element_at(mapping, F.col(key))
+        b2 = b.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    sl_b.isNotNull(),
+                    F.sequence(F.lit(0), sl_b - F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        return a2.join(b2, on=[key, "_salt"]).drop("_salt")
     a2 = (
         a.join(F.broadcast(hot), on=key, how="left")
         .withColumn(

@@ -310,82 +310,83 @@ def ewma_anomaly(
     (so an anomalous spike flags itself rather than first polluting the
     baseline it is judged against).
 
-    The recurrence is inherently sequential per key (BY-DESIGN pandas op,
-    same tier as MMR/IVF/PCA), but the Arrow grouping is COARSER than the
-    key: grouping `applyInPandas` by the key itself means one pandas
-    DataFrame construction per key, and with many small series the fixed
-    per-group cost dwarfs the recurrence (measured 2.7 s for 10 k
-    ten-row series at sf0.1 — ~0.25 ms per group, ~50 ms of actual
-    recurrence). Instead the groups are ``pmod(hash(key), n_buckets)``
-    hash buckets: ONE pandas call per bucket sorts its rows by
-    (key, ts, value) and runs the per-key recurrence with key-change
-    detection — same O(rows) work, per-group overhead amortized over the
-    whole bucket (measured ~5×). At 100 TB a bucket is one shuffle
-    partition's worth of rows (n_buckets defaults to
-    ``spark.sql.shuffle.partitions``) — the same memory envelope any
-    keyed shuffle already needs; a single key's rows must colocate under
-    either grouping.
+    The recurrence is inherently sequential per key, but it no longer
+    needs Python (r13, guide §4): each key's series is collected into ONE
+    sorted array (the same per-key colocation any keyed grouping already
+    requires) and folded by an ``aggregate()`` expression whose lambda
+    replays `_ewma_steps`' IEEE operations VERBATIM, in the same
+    left-associative order, appending each step's (ts, value, ewma, flag)
+    to the accumulator — so per-key outputs are bit-identical to the
+    former applyInPandas form (and to the streaming twin
+    `stateful.ewma_anomaly_stream`, which still runs `_ewma_steps` on
+    GroupState; equivalence asserted bit-for-bit in tests). The plan is
+    one partial-aggregated shuffle + an explode — no BatchEvalPython /
+    ArrowEvalPython node, whole plan stays in the JVM.
 
-    Per-key results are bit-identical to the one-group-per-key form: the
-    recurrence is the shared `_ewma_steps`, fed rows in the same
-    (ts, value) sort order. Streaming twin:
-    `stateful.ewma_anomaly_stream` runs the SAME `_ewma_steps` on
-    GroupState — equivalence asserted bit-for-bit in tests. Rows-only
-    driver check (float-iterative, like PCA/semantic dedup).
+    Scale: state per key is its own series (bounded by the per-key
+    timeline, exactly the envelope the bucketed pandas form needed); the
+    fold is O(rows) float work with O(rows²) small array copies per key —
+    fine for control-chart series (≤ ~10⁵ rows/key), and the Python
+    boundary it replaces cost more at every measured size. NULL values
+    enter the fold as NaN (matching pandas ``astype(float)``); NaN-
+    poisoned comparisons follow Spark's NaN ordering instead of Python's
+    (observable only on NULL/NaN inputs, which no caller feeds).
+
+    Rows-only driver check (float-iterative, like PCA/semantic dedup).
     """
-    import pandas as pd
-
     # key column keeps its incoming type (string keys are as valid as
     # numeric ones; hardcoding `long` here would miscast or fail them)
-    key_type = df.schema[key_col].dataType.simpleString()
-    out_schema = (
-        f"{key_col} {key_type}, ts_s long, value double, ewma double, "
-        "is_anomaly boolean"
+    alpha = float(alpha)
+    oma = 1.0 - alpha  # same Python-float constants _ewma_steps computes
+    z2 = float(z) * float(z)
+    a_lit, oma_lit, z2_lit = (repr(alpha) + "D", repr(oma) + "D",
+                              repr(z2) + "D")
+    obs = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.coalesce(
+            F.col(value_col).cast("double"), F.lit(float("nan"))
+        ).alias("_v"),
     )
-    n_buckets = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    # sort_array on struct(_ts, _v) = the pandas (ts, value) mergesort
+    series = obs.groupBy("_k").agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_v"))).alias("_rows")
     )
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        col = pdf[ts_col]
-        if col.dtype.kind == "M":
-            col = col.astype("int64") // 1_000_000_000
-        work = pd.DataFrame(
-            {
-                "_k": pdf[key_col],
-                "_ts": col.astype("int64"),
-                "_v": pdf[value_col].astype(float),
-            }
-        ).sort_values(["_k", "_ts", "_v"], kind="mergesort")
-        out_k: list = []
-        out_steps: list = []
-        ks = work["_k"].tolist()
-        tss = work["_ts"].tolist()
-        vs = work["_v"].tolist()
-        i, n = 0, len(ks)
-        while i < n:
-            j = i
-            k = ks[i]
-            while j < n and ks[j] == k:
-                j += 1
-            steps, _ = _ewma_steps(
-                list(zip(tss[i:j], vs[i:j])), alpha, z
-            )
-            out_k.extend([k] * (j - i))
-            out_steps.extend(steps)
-            i = j
-        return pd.DataFrame(
-            [(k, ts, x, m, a) for k, (ts, x, m, a) in zip(out_k, out_steps)],
-            columns=[key_col, "ts_s", "value", "ewma", "is_anomaly"],
-        )
-
-    bucket = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
-    return (
-        df.groupBy(bucket.alias("_bucket"))
-        .applyInPandas(
-            lambda pdf: fn(pdf.drop(columns=["_bucket"], errors="ignore")),
-            out_schema,
-        )
+    out_t = (
+        "named_struct('ts_s', r._ts, 'value', r._v, 'ewma', "
+        f"if(acc.n = 0, r._v, acc.ewma + {a_lit} * (r._v - acc.ewma)), "
+        "'is_anomaly', acc.n > 0 AND acc.ewvar > 0.0D AND "
+        f"(r._v - acc.ewma) * (r._v - acc.ewma) > {z2_lit} * acc.ewvar)"
+    )
+    # slice(array(<dummy>), 1, 0): an EMPTY array of the output struct
+    # type (a bare array() would type as array<string>)
+    empty_out = (
+        "slice(array(named_struct('ts_s', 0L, 'value', 0.0D, 'ewma', "
+        "0.0D, 'is_anomaly', false)), 1, 0)"
+    )
+    fold = f"""
+    aggregate(
+      _rows,
+      named_struct('ewma', 0.0D, 'ewvar', 0.0D, 'n', 0,
+                   'out', {empty_out}),
+      (acc, r) -> named_struct(
+        'ewma', if(acc.n = 0, r._v,
+                   acc.ewma + {a_lit} * (r._v - acc.ewma)),
+        'ewvar', if(acc.n = 0, 0.0D,
+                    {oma_lit} * (acc.ewvar
+                        + {a_lit} * (r._v - acc.ewma) * (r._v - acc.ewma))),
+        'n', acc.n + 1,
+        'out', array_append(acc.out, {out_t})),
+      acc -> acc.out)
+    """
+    return series.select(
+        F.col("_k").alias(key_col), F.explode(F.expr(fold)).alias("_r")
+    ).select(
+        key_col,
+        F.col("_r.ts_s").alias("ts_s"),
+        F.col("_r.value").alias("value"),
+        F.col("_r.ewma").alias("ewma"),
+        F.col("_r.is_anomaly").alias("is_anomaly"),
     )
 
 

@@ -1752,7 +1752,14 @@ def _mmr_greedy_driver(
     """Driver-side greedy loop of :func:`mmr_diversify_exact` over the
     ALREADY-JVM-computed rounded sim table — identical IEEE arithmetic
     and (score desc, id asc) tiebreak, so the selection and every
-    mmr_score double are bit-equal to the distributed unroll."""
+    mmr_score double are bit-equal to the distributed unroll.
+
+    Returns ``None`` when any relevance or similarity is NULL/NaN
+    (null-vector rows): Python ``max()`` orders NaN differently from
+    Spark's NaN-is-largest / null-skipping aggregates, so those inputs
+    fall through to the distributed unroll instead (r12 advisory)."""
+    import math
+
     from pyspark.sql import types as T
 
     spark = cand.sparkSession
@@ -1773,9 +1780,13 @@ def _mmr_greedy_driver(
     sims_pdf = sims.toPandas()
     by_q: dict = {}
     for q, cid, rel in cand_pdf.itertuples(index=False):
+        if rel is None or (isinstance(rel, float) and math.isnan(rel)):
+            return None
         by_q.setdefault(_py(q), {})[_py(cid)] = float(rel)
     sim_map: dict = {}
     for q, ia, ib, sim in sims_pdf.itertuples(index=False):
+        if sim is None or (isinstance(sim, float) and math.isnan(sim)):
+            return None
         sim_map[(_py(q), _py(ia), _py(ib))] = float(sim)
     rows = []
     for q in by_q:
@@ -1891,9 +1902,13 @@ def mmr_diversify_exact(
 
     n_sims = sims.count()  # cheap: counts the materialized checkpoint
     if n_sims <= _MMR_DRIVER_MAX_SIM_ROWS:
-        return _mmr_greedy_driver(
+        out = _mmr_greedy_driver(
             cand, sims, k, lam, one_minus, query_col, id_col
         )
+        if out is not None:
+            return out
+        # NULL/NaN rel or sim detected — the distributed unroll below
+        # owns those semantics (null-skipping max, NaN-is-largest)
 
     remaining = cand.select("q", "cid", "rel")
     picked = None  # union of (q, cid, rank, mmr_score) rows

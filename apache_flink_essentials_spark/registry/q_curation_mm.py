@@ -1744,7 +1744,10 @@ def _pq(spark: SparkSession, sf: str) -> DataFrame:
     # fixture otherwise runs encode + the 500k-pair join on ONE core)
     emb = T.floor_parallelism(
         load_table(spark, "embeddings", sf), min_task_bytes=1 << 18
-    )
+    # the raw corpus feeds FOUR actions (PQ seed window, one codebook
+    # pass, the query collect, the final search) — one materialization
+    # instead of four scan+exchange reruns (guide §5)
+    ).localCheckpoint(eager=True)
     # normalize=True: squared-L2 over unit vectors is monotonic in cosine,
     # so PQ ranks by the same metric as the exact KNN tier; normalization
     # happens in numpy inside the Arrow passes (free next to the matmul),
@@ -2061,7 +2064,15 @@ def _ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     emb = T.floor_parallelism(
         load_table(spark, "embeddings", sf), min_task_bytes=1 << 18
     )
-    base = V._l2_normalized(emb, "vec_id", "embedding")
+    # the normalized corpus feeds SIX actions (k-means seed window + one
+    # Lloyd pass, PQ seed window + one codebook pass, the query-set
+    # collect, and the final indexed search) — localCheckpoint runs the
+    # scan + ArrowEvalPython normalize ONCE instead of once per action
+    # (guide §5; r12 verdict item 5: single codebook-relation
+    # materialization, Arrow normalize/encode stay the only Python)
+    base = V._l2_normalized(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
     cents = V.kmeans_fit(base, k=8, iters=1, dim=64)
     books = V.pq_fit(base, m=4, k=8, iters=1, dim=64)
     idx = V.ivfpq_index(base, cents, books)

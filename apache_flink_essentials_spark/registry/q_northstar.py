@@ -485,8 +485,10 @@ _register(
 def _ivf(spark: SparkSession, sf: str) -> DataFrame:
     # one Lloyd iteration, index built once per call (fit + single
     # assignment pass via ivf_index — the searched DataFrame IS the fit's
-    # assignment, never re-assigned); dim passed so the fit skips its probe
-    emb = load_table(spark, "embeddings", sf)
+    # assignment, never re-assigned); dim passed so the fit skips its probe.
+    # localCheckpoint: the corpus feeds the seed collect, the Lloyd pass,
+    # the query collect and the final search — one scan, not four (§5)
+    emb = load_table(spark, "embeddings", sf).localCheckpoint(eager=True)
     centroids, indexed = V.ivf_index(emb, k=8, iters=1, dim=64)
     return V.ivf_search(
         emb,

@@ -404,6 +404,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_num,
+        "cpus": cpus,
+        "sf_dir": sf_dir,
         "queries": timings,
         "duck_queries": duck_timings,
         "duck_total_common": duck_total,
@@ -419,10 +421,47 @@ def main() -> None:
 
     # The driver parses the final JSON line only if it fits inside its
     # 2000-char output tail (round 2's 4.6k-char line came back unparsed).
-    # Report per-query times slowest-first and trim the fastest entries
-    # until the line fits; the trimmed ones are sub-0.1 s fixed-overhead
-    # queries whose full times live in bench_detail.json.
-    by_cost = sorted(timings, key=timings.get, reverse=True)
+    # Two r12-verdict contract fixes here:
+    #   * the line echoes "cpus" and the sf dir so the driver can confirm
+    #     the $SPARK_GRAFT_CPUS / $SPARK_GRAFT_SF_DIR knobs took effect
+    #     (r12 flagged suspect_cpus_ignored because it could not);
+    #   * per-query line coverage is STABLE round-over-round: names that
+    #     appeared in the previous round's line (read back from the newest
+    #     BENCH_r*.json driver artifact) are pinned first in the keep
+    #     priority, so adding new slow queries can no longer evict old
+    #     ones from the line (r12 booked 11 phantom "dropped_from_bench"
+    #     rows that way). Extras fill whatever budget remains, slowest
+    #     first; full times for everything live in bench_detail.json.
+    prev_line_names: set[str] = set()
+    try:
+        import glob
+        import re
+
+        cand = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        )
+        # skip alternate-cpu runs like BENCH_r12_c8.json: their lines are
+        # shorter (lower-core reruns) and would shrink the pinned set
+        cand = [p for p in cand if re.search(r"BENCH_r\d+\.json$", p)]
+        if cand:
+            with open(cand[-1]) as f:
+                prev_line_names = set(
+                    json.load(f).get("parsed", {}).get("queries", {})
+                )
+    except Exception:  # noqa: BLE001 — coverage pinning is best-effort
+        prev_line_names = set()
+    pinned = sorted(
+        (n for n in timings if n in prev_line_names),
+        key=timings.get,
+        reverse=True,
+    )
+    extras = sorted(
+        (n for n in timings if n not in prev_line_names),
+        key=timings.get,
+        reverse=True,
+    )
+    by_cost = pinned + extras
     # keep descends to 0, at which point the line carries scalars only —
     # never print an oversized keep=1 candidate (a single >1.9k-char line
     # would defeat the driver's 2000-char tail this loop exists to fit)
@@ -431,10 +470,15 @@ def main() -> None:
             "metric": "headline_queries_total_wall",
             "unit": "sec",
             "sf": sf_num,
+            "cpus": cpus,
+            "sf_dir": os.path.basename(sf_dir.rstrip("/")),
             "n_queries": len(timings),
             "queries": {n: round(timings[n], 2) for n in by_cost[:keep]},
-            "duck_total_common": duck_total,
-            "spark_total_common": spark_common,
+            # 1-decimal on the anchor totals funds the cpus/sf_dir echo
+            # inside the same 1900-char budget; full precision stays in
+            # bench_detail.json and in the 3-decimal ratio below
+            "duck_total_common": round(duck_total, 1),
+            "spark_total_common": round(spark_common, 1),
             "value": total,
             "spark_over_duck_ratio": ratio,
         }

@@ -15,7 +15,7 @@ from apache_flink_essentials_spark import get_spark  # noqa: E402
 from apache_flink_essentials_spark import registry  # noqa: E402
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "plans", "r12")
+OUT = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main() -> None:

@@ -575,6 +575,62 @@ def test_mmr_exact_rank1_tiebreak_and_k_truncation(spark):
     assert [(r.rank, r.neighbor_id) for r in out] == [(1, 3)]
 
 
+def test_mmr_exact_driver_path_equals_distributed(spark, monkeypatch):
+    # the driver-side greedy (default at test sizes) must be bit-identical
+    # to the distributed unroll — force the unroll by disabling the driver
+    # gate and compare every (query, rank, id, mmr_score), tie cases
+    # included (r12 advisory: the docstring claimed this pin existed)
+    import apache_flink_essentials_spark.operators.vector as VV
+
+    rows = [
+        (1, 10, [1.0, 0.0, 0.0], 0.95),
+        (1, 11, [0.999, 0.01, 0.0], 0.94),
+        (1, 12, [0.0, 1.0, 0.0], 0.80),
+        (1, 13, [0.0, 0.9, 0.4], 0.70),
+        (1, 7, [0.0, 0.9, 0.4], 0.70),   # duplicate vector+score tie
+        (2, 20, [1.0, 0.0, 0.0], 0.9),
+        (2, 21, [0.0, 0.0, 1.0], 0.9),   # rank-1 score tie
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, embedding array<double>, cosine double",
+    )
+    driver = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.mmr_score)
+        for r in V.mmr_diversify_exact(df, k=4, lam=0.5).collect()
+    )
+    monkeypatch.setattr(VV, "_MMR_DRIVER_MAX_SIM_ROWS", -1)
+    unrolled = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.mmr_score)
+        for r in V.mmr_diversify_exact(df, k=4, lam=0.5).collect()
+    )
+    assert driver == unrolled and driver
+
+
+def test_hot_bucket_salted_join_broadcast_fallback_unchanged(spark):
+    # >max_inline_hot hot keys routes through the broadcast-join form —
+    # pin its output against the plain join (r13: the inline-map and
+    # empty-hot paths are pinned by the forced-salting tests above)
+    from apache_flink_essentials_spark.operators.skew import (
+        hot_bucket_salted_join,
+    )
+
+    rows = [(i, i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "id_a long, bucket long")
+    right = df.select(F.col("id_a").alias("id_b"), "bucket")
+    plain = {
+        (r.bucket, r.id_a, r.id_b)
+        for r in df.join(right, "bucket").collect()
+    }
+    salted = {
+        (r.bucket, r.id_a, r.id_b)
+        for r in hot_bucket_salted_join(
+            df, right, "bucket", threshold=2, max_inline_hot=1
+        ).collect()
+    }
+    assert salted == plain and plain
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     # identical docs share ALL fingerprints; a doc sharing a long substring
     # shares at least one (the winnowing guarantee: len >= w + k - 1)
